@@ -1,0 +1,199 @@
+"""HTML → Node tree, built on stdlib ``html.parser.HTMLParser``.
+
+Implements the tolerant-parse behavior the extraction pipeline needs:
+HTML5-ish auto-closing of ``p``/``li``/table cells, void elements,
+mismatched end tags ignored, entities decoded (``convert_charrefs``).
+The reference itself uses stdlib HTMLParser for its link extraction
+(crawler.py:635-652), so the pattern is proven; this is a full tree
+builder rather than a streaming scraper.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .node import TEXT, VOID_TAGS, Node
+
+# Opening any of these closes an open <p> (HTML5 §8.1.2.4-ish).
+_P_CLOSERS = frozenset(
+    {
+        "address",
+        "article",
+        "aside",
+        "blockquote",
+        "details",
+        "div",
+        "dl",
+        "fieldset",
+        "figcaption",
+        "figure",
+        "footer",
+        "form",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "header",
+        "hr",
+        "main",
+        "menu",
+        "nav",
+        "ol",
+        "p",
+        "pre",
+        "section",
+        "table",
+        "ul",
+    }
+)
+
+# tag -> ordered close passes: each set is applied in turn so e.g. a new
+# <tr> first closes an open cell, then the open row.
+_SIBLING_CLOSERS: dict[str, tuple[frozenset[str], ...]] = {
+    "li": (frozenset({"li"}),),
+    "dt": (frozenset({"dt", "dd"}),),
+    "dd": (frozenset({"dt", "dd"}),),
+    "td": (frozenset({"td", "th"}),),
+    "th": (frozenset({"td", "th"}),),
+    "tr": (frozenset({"td", "th"}), frozenset({"tr"})),
+    "option": (frozenset({"option"}),),
+    "optgroup": (frozenset({"option"}), frozenset({"optgroup"})),
+    "tbody": (
+        frozenset({"td", "th"}),
+        frozenset({"tr"}),
+        frozenset({"thead", "tbody", "tfoot"}),
+    ),
+    "tfoot": (
+        frozenset({"td", "th"}),
+        frozenset({"tr"}),
+        frozenset({"thead", "tbody", "tfoot"}),
+    ),
+}
+
+# Implicit-close scope barriers: never auto-close past these.
+_SCOPE_BARRIERS = frozenset(
+    {"html", "body", "div", "section", "article", "main", "table", "template"}
+)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self._stack: list[Node] = [self.root]
+        self._suppress_cdata = False
+
+    # -- helpers ------------------------------------------------------
+
+    @property
+    def _top(self) -> Node:
+        return self._stack[-1]
+
+    def _close_through(self, closable: frozenset[str]) -> None:
+        """Pop the stack through the nearest tag in ``closable``, stopping
+        at scope barriers (never implicitly close a div/table/etc.)."""
+        for i in range(len(self._stack) - 1, 0, -1):
+            name = self._stack[i].name
+            if name in closable:
+                del self._stack[i:]
+                return
+            if name in _SCOPE_BARRIERS:
+                return
+
+    def _auto_close(self, tag: str) -> None:
+        if tag in _P_CLOSERS:
+            self._close_through(frozenset({"p"}))
+        for closable in _SIBLING_CLOSERS.get(tag, ()):
+            self._close_through(closable)
+
+    # -- HTMLParser hooks ---------------------------------------------
+
+    def set_cdata_mode(self, elem: str) -> None:  # type: ignore[override]
+        # A <style> opened inside a phrase context is treated as
+        # transparent (its CSS parses as visible text) — matching the
+        # reference DOM library's behavior on which the golden corpus
+        # depends (infoworld angular fixture: leaked Word-paste CSS
+        # inside a <p> survives as article text and is then scrubbed by
+        # the host regex, reference extractor.py:208-211,353-356).
+        if self._suppress_cdata:
+            self._suppress_cdata = False
+            return
+        super().set_cdata_mode(elem)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag == "style" and any(n.name == "p" for n in self._stack):
+            self._suppress_cdata = True
+            return
+        self._auto_close(tag)
+        attr_dict: dict[str, str] = {}
+        for key, value in attrs:
+            if key not in attr_dict:  # first occurrence wins (HTML spec)
+                attr_dict[key] = value if value is not None else ""
+        node = Node(tag, attr_dict)
+        self._top.append_child(node)
+        if tag not in VOID_TAGS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        self._auto_close(tag)
+        attr_dict: dict[str, str] = {}
+        for key, value in attrs:
+            if key not in attr_dict:
+                attr_dict[key] = value if value is not None else ""
+        self._top.append_child(Node(tag, attr_dict))
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            return
+        # Pop to the matching open tag if present; ignore stray end tags.
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].name == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        top = self._top
+        children = top.children
+        if children and children[-1].name == TEXT:
+            children[-1].text += data
+        else:
+            text_node = Node(TEXT, text=data)
+            text_node.attrs = {}
+            top.append_child(text_node)
+
+    # Comments, PIs, declarations: not part of the content model.
+    def handle_comment(self, data: str) -> None:
+        return
+
+    def handle_decl(self, decl: str) -> None:
+        return
+
+    def handle_pi(self, data: str) -> None:
+        return
+
+    def unknown_decl(self, data: str) -> None:
+        return
+
+
+def parse_html(html: str | bytes) -> Node:
+    """Parse HTML into a ``#document`` root node.
+
+    Bytes are decoded UTF-8 with a latin-1 fallback, matching the
+    reference's input handling (extractor.py:279-283).
+    """
+    if isinstance(html, bytes):
+        try:
+            html = html.decode("utf-8")
+        except UnicodeDecodeError:
+            html = html.decode("latin-1")
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root

@@ -1,0 +1,96 @@
+"""Mini CSS selector compiler.
+
+Covers exactly the selector grammar exercised by the reference extraction
+semantics (SURVEY.md §1.1): bare tags, comma lists, ``#id``, ``.class``,
+``tag.class`` compounds, ``[attr]``, ``[attr="v"]``, ``[attr^="v"]``,
+``[attr*="v"]``.  No combinators (descendant matching is done by the
+caller walking the tree).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from functools import lru_cache
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .node import Node
+
+Matcher = Callable[["Node"], bool]
+
+_PART_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][a-zA-Z0-9-]*)
+  | \#(?P<id>[\w-]+)
+  | \.(?P<cls>[\w-]+)
+  | \[(?P<attr>[\w-]+)(?:(?P<op>[\^\*]?=)(?P<q>["']?)(?P<val>[^"'\]]*)(?P=q))?\]
+    """,
+    re.VERBOSE,
+)
+
+
+def _class_list(node: Node) -> list[str]:
+    raw = node.attrs.get("class", "")
+    if isinstance(raw, (list, tuple)):
+        return [str(c) for c in raw]
+    return str(raw).split()
+
+
+def _compile_compound(compound: str) -> Matcher:
+    checks: list[Matcher] = []
+    pos = 0
+    compound = compound.strip()
+    while pos < len(compound):
+        m = _PART_RE.match(compound, pos)
+        if m is None:
+            # Unparseable selector part: match nothing (defensive).
+            return lambda node: False
+        pos = m.end()
+        if m.group("tag"):
+            tag = m.group("tag").lower()
+            checks.append(lambda n, t=tag: n.name == t)
+        elif m.group("id"):
+            ident = m.group("id")
+            checks.append(lambda n, v=ident: str(n.attrs.get("id", "")) == v)
+        elif m.group("cls"):
+            cls = m.group("cls")
+            checks.append(lambda n, v=cls: v in _class_list(n))
+        else:
+            attr = m.group("attr")
+            op = m.group("op")
+            val = m.group("val")
+            if op is None:
+                checks.append(lambda n, a=attr: a in n.attrs)
+            elif op == "=":
+                checks.append(
+                    lambda n, a=attr, v=val: str(n.attrs.get(a, "")) == v
+                )
+            elif op == "^=":
+                checks.append(
+                    lambda n, a=attr, v=val: str(n.attrs.get(a, "")).startswith(v)
+                )
+            else:  # *=
+                checks.append(
+                    lambda n, a=attr, v=val: v in str(n.attrs.get(a, ""))
+                )
+
+    if not checks:
+        return lambda node: False
+    if len(checks) == 1:
+        return checks[0]
+
+    def _all(node: Node, cs: tuple[Matcher, ...] = tuple(checks)) -> bool:
+        return all(c(node) for c in cs)
+
+    return _all
+
+
+@lru_cache(maxsize=512)
+def compile_selector(selector: str) -> tuple[Matcher, ...]:
+    """Compile a comma-separated selector list into matcher callables."""
+    return tuple(
+        _compile_compound(part)
+        for part in selector.split(",")
+        if part.strip()
+    )

@@ -1,0 +1,239 @@
+"""Post-selection content sanitization.
+
+Reproduces the reference's content_sanitizer.py semantics (SURVEY.md
+§2.1 E17-E21, E23): empty-link removal, invalid-image removal,
+boilerplate-block pruning, empty-block removal, host-specific cleanups,
+and a safe-mode output pass.
+"""
+
+from __future__ import annotations
+
+from . import rules
+from .cleaning import remove_matching
+from .scoring import is_unlikely_candidate
+from ..dom.node import Node
+
+
+def nodes_with_tags(root: Node, tags: tuple[str, ...]) -> list[Node]:
+    """All descendants with one of ``tags``, plus the root if it matches
+    (reference dom_utils.py:16-40)."""
+    wanted = set(tags)
+    out = [n for n in root.iter_elements() if n.name in wanted]
+    if root.name in wanted:
+        out.append(root)
+    return out
+
+
+# ------------------------------------------------------------------
+# image validity (content_sanitizer.py:110-209)
+# ------------------------------------------------------------------
+
+def _url_host(src: str) -> str | None:
+    if src.startswith("//"):
+        rest = src[2:]
+    elif "://" in src:
+        rest = src.split("://", 1)[1]
+    else:
+        return None
+    if not rest:
+        return None
+    host = rest.split("/", 1)[0]
+    return host.split("?", 1)[0].split("#", 1)[0]
+
+
+def _url_filename(src: str) -> str:
+    path = src.split("?", 1)[0].split("#", 1)[0]
+    return path.rsplit("/", 1)[-1]
+
+
+def is_safe_data_image(src_lower: str) -> bool:
+    return src_lower.startswith(rules.SAFE_DATA_IMAGE_PREFIXES)
+
+
+def _plausible_image_filename(filename: str) -> bool:
+    filename = filename.rsplit("/", 1)[-1]
+    base, dot, ext = filename.rpartition(".")
+    if not dot:
+        return False
+    if ext not in rules.IMAGE_EXTENSIONS:
+        return False
+    # tiny basenames ("t.gif") are almost always trackers
+    return len(base.strip()) >= rules.MIN_IMAGE_BASENAME_CHARS
+
+
+def _plausible_absolute_image(filename: str) -> bool:
+    if not filename or "." not in filename:
+        return True  # extension-less CDN paths are common and fine
+    return _plausible_image_filename(filename)
+
+
+def has_valid_image_src(node: Node) -> bool:
+    src = node.attrs.get("src")
+    if src is None:
+        return False
+    src = str(src).strip()
+    if not src:
+        return False
+    low = src.lower()
+
+    if low.startswith("data:"):
+        return is_safe_data_image(low)
+
+    filename = _url_filename(low)
+    host = _url_host(low)
+    if filename in rules.TRACKING_IMAGE_FILENAMES:
+        return False
+    if host and host.startswith(rules.TRACKING_HOST_PREFIXES):
+        return False
+
+    if low.startswith(("http://", "https://", "//")):
+        return _plausible_absolute_image(filename)
+    if low.startswith(("/", "./", "../")):
+        return True
+    return _plausible_image_filename(low)
+
+
+def has_visible_content(node: Node) -> bool:
+    if node.to_text(strip=True):
+        return True
+    if node.name == "img":
+        return has_valid_image_src(node)
+    return any(has_valid_image_src(img) for img in node.query("img"))
+
+
+# ------------------------------------------------------------------
+# boilerplate heuristic (content_sanitizer.py:221-295)
+# ------------------------------------------------------------------
+
+def _node_link_density(node: Node) -> float:
+    text = node.to_text(separator=" ", strip=True)
+    if not text:
+        return 0.0
+    linked = sum(
+        len(a.to_text(separator=" ", strip=True)) for a in node.query("a")
+    )
+    return min(1.0, linked / len(text))
+
+
+def _hint_text(node: Node) -> str:
+    attrs = node.attrs or {}
+    cls = attrs.get("class", "")
+    if isinstance(cls, (list, tuple)):
+        cls = " ".join(str(c) for c in cls)
+    return f"{cls} {attrs.get('id', '')}".strip()
+
+
+def looks_like_boilerplate(node: Node) -> bool:
+    text = node.to_text(separator=" ", strip=True)
+    if not text:
+        return False
+
+    low = text.lower()
+    density = _node_link_density(node)
+    n = len(text)
+    phrase = any(p in low for p in rules.BOILERPLATE_PHRASES)
+    unlikely = is_unlikely_candidate(node)
+    hints = _hint_text(node)
+    hinted = bool(rules.RX_BOILERPLATE_ATTRS.search(hints))
+    strongly_hinted = bool(rules.RX_BOILERPLATE_ATTRS_STRONG.search(hints))
+
+    return (
+        (strongly_hinted and (n < 5000 or density > 0.08))
+        or (hinted and n < 2500 and density > 0.05)
+        or (unlikely and (n < 1600 or density > 0.2))
+        or (phrase and hinted and (density > 0.08 or n < 1200))
+        or (phrase and density > 0.35)
+        or (phrase and strongly_hinted and n < 2500)
+    )
+
+
+# ------------------------------------------------------------------
+# sanitize passes (content_sanitizer.py:43-107)
+# ------------------------------------------------------------------
+
+def _drop_failing(root: Node, tags: tuple[str, ...], keep) -> None:
+    for node in nodes_with_tags(root, tags):
+        if keep(node):
+            continue
+        if node.parent is not None:
+            node.parent.remove_child(node)
+
+
+def sanitize_content(root: Node, *, remove_boilerplate: bool = True) -> None:
+    """Empty links → invalid images → (boilerplate blocks) → empty blocks."""
+    _drop_failing(root, ("a",), has_visible_content)
+    _drop_failing(root, ("img",), has_valid_image_src)
+    if remove_boilerplate:
+        for node in nodes_with_tags(
+            root, ("div", "section", "aside", "ul", "ol", "p")
+        ):
+            if node is root or not looks_like_boilerplate(node):
+                continue
+            if node.parent is not None:
+                node.parent.remove_child(node)
+    _drop_failing(root, ("li", "p", "div"), has_visible_content)
+
+
+# ------------------------------------------------------------------
+# host-specific cleanup (extractor.py:162-194)
+# ------------------------------------------------------------------
+
+_HOST_CLEANUP_SELECTORS: dict[str, tuple[str, ...]] = {
+    "leaddev.com": (
+        ".gform_wrapper", ".gform_fields", ".ld-card", ".wp-block-pbc-card",
+    ),
+    "infoworld.com": (
+        ".primaryNav", ".header__container", ".header__menu",
+        '[id^="header-menu-"]', ".article-hero", ".author-bio",
+        "aside.social-share-sticky-menu", ".suggested-content-various",
+        "script", ".ad", ".advert", ".ad-bottomleaderboard", ".rightTrailAd",
+        "#newsletter-end", ".newsletter", "footer.footer",
+    ),
+    "technologyreview.com": ('[class*="fullStory__sidebar"]',),
+}
+
+
+def host_specific_cleanup(root: Node, host: str) -> None:
+    for selector in _HOST_CLEANUP_SELECTORS.get(host, ()):
+        remove_matching(root, selector)
+
+
+# ------------------------------------------------------------------
+# safe-mode output pass (intent of justhtml.sanitize.sanitize_dom,
+# whitelist documented at reference constants.py:227-263)
+# ------------------------------------------------------------------
+
+def _is_unsafe_url(value: str) -> bool:
+    low = value.lower().strip()
+    return low.startswith(rules.UNSAFE_URL_SCHEMES)
+
+
+def safe_mode_clean(root: Node) -> None:
+    """Drop executable/embedded subtrees, strip non-whitelisted and
+    unsafe attributes in place.  Non-whitelisted structural tags are kept
+    (their text must survive: the reference's golden outputs retain
+    div/span wrappers) — only their attributes are reduced.
+
+    Unlike the reference, URLs are preserved directly rather than routed
+    through uuid placeholders (extractor.py:37-92): our sanitizer keeps
+    safe http(s)/data-image URLs natively, so the placeholder round-trip
+    is unnecessary and determinism is free.
+    """
+    for node in list(root.iter_elements()):
+        if node.name in rules.SAFE_MODE_DROP_TAGS:
+            if node.parent is not None:
+                node.parent.remove_child(node)
+            continue
+        if not node.attrs:
+            continue
+        kept: dict[str, str] = {}
+        for key, value in node.attrs.items():
+            if key.startswith("on"):
+                continue
+            if key not in rules.SAFE_OUTPUT_ATTRS:
+                continue
+            sval = str(value)
+            if key in ("href", "src", "srcset") and _is_unsafe_url(sval):
+                continue
+            kept[key] = sval
+        node.attrs = kept
