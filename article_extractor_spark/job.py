@@ -1,0 +1,138 @@
+"""The end-to-end extraction job (spark-submit entry point).
+
+    spark-submit --py-files aes.zip -m article_extractor_spark.job ...
+
+Dataflow (one map stage + one tiny metrics shuffle; SURVEY.md §3.1/§4):
+
+    read corpus (doc_id, spans)        # bucketed Parquet / Iceberg scan
+      → skip committed buckets         # resume: lineage anti-join
+      → render spans → html            # JVM-side, whole-stage codegen
+      → mapInPandas extraction         # the single vectorized UDF stage
+      → write bucketed output          # dynamic partition overwrite
+      → aggregate + append lineage     # per-bucket metrics commit
+
+Wave execution: buckets are processed in ``waves`` groups, each wave
+committing its lineage after its output lands — a killed job resumes at
+wave granularity, re-running only uncommitted buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extraction import extract_articles, render_spans_to_html
+from .session import build_session
+from .sources import tableio
+from .sources.synth import corpus_dataframe
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    corpus: DataFrame | str,
+    output_path: str,
+    *,
+    run_id: str = "run-0",
+    n_buckets: int = tableio.DEFAULT_BUCKETS,
+    waves: int = 4,
+    min_word_count: int = 150,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) extraction over a corpus table.
+
+    Returns job stats: buckets processed/skipped, docs, wall seconds.
+    """
+    if isinstance(corpus, str):
+        corpus = tableio.read_table(spark, corpus)
+
+    if "bucket" not in corpus.columns:
+        corpus = tableio.with_bucket(corpus, "doc_id", n_buckets)
+    if "html" not in corpus.columns:
+        corpus = render_spans_to_html(corpus)
+    if "url" not in corpus.columns:
+        corpus = corpus.withColumn("url", F.lit(""))
+
+    committed = (
+        tableio.read_committed_buckets(spark, output_path) if resume else set()
+    )
+    todo = [b for b in range(n_buckets) if b not in committed]
+
+    t0 = time.time()
+    docs_done = 0
+    waves = max(1, min(waves, len(todo))) if todo else 0
+    for wave_idx in range(waves):
+        wave_buckets = todo[wave_idx::waves]
+        wave_df = corpus.where(F.col("bucket").isin(wave_buckets))
+        extracted = extract_articles(
+            wave_df, min_word_count=min_word_count
+        )
+        # re-derive bucket from doc_id (mapInPandas output dropped it);
+        # same hash → same bucket, no join needed
+        extracted = tableio.with_bucket(extracted, "doc_id", n_buckets)
+        tableio.write_bucketed(
+            extracted, output_path, mode="overwrite", dynamic=True
+        )
+        result = tableio.read_table(spark, output_path).where(
+            F.col("bucket").isin(wave_buckets)
+        )
+        lineage = tableio.build_lineage(result, run_id)
+        tableio.append_lineage(lineage, output_path)
+        docs_done += result.count()
+
+    return {
+        "run_id": run_id,
+        "buckets_total": n_buckets,
+        "buckets_skipped": len(committed),
+        "buckets_processed": len(todo),
+        "docs_processed": docs_done,
+        "wall_sec": round(time.time() - t0, 2),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="article-extractor-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_synth = sub.add_parser("synth", help="generate a synthetic corpus table")
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--docs", type=int, default=10000)
+    p_synth.add_argument("--seed", type=int, default=42)
+    p_synth.add_argument("--buckets", type=int, default=tableio.DEFAULT_BUCKETS)
+
+    p_run = sub.add_parser("extract", help="run the extraction job")
+    p_run.add_argument("--corpus", required=True)
+    p_run.add_argument("--out", required=True)
+    p_run.add_argument("--run-id", default="run-0")
+    p_run.add_argument("--buckets", type=int, default=tableio.DEFAULT_BUCKETS)
+    p_run.add_argument("--waves", type=int, default=4)
+    p_run.add_argument("--no-resume", action="store_true")
+
+    args = parser.parse_args(argv)
+    spark = build_session(app_name=f"aes-{args.cmd}")
+
+    if args.cmd == "synth":
+        df = corpus_dataframe(spark, args.docs, seed=args.seed)
+        df = tableio.with_bucket(df, "doc_id", args.buckets)
+        tableio.write_bucketed(df, args.out, dynamic=False)
+        print(f"wrote {args.docs} docs to {args.out}")
+        return 0
+
+    stats = run_extraction_job(
+        spark,
+        args.corpus,
+        args.out,
+        run_id=args.run_id,
+        n_buckets=args.buckets,
+        waves=args.waves,
+        resume=not args.no_resume,
+    )
+    print(stats)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,152 @@
+"""The extraction operator: one vectorized Arrow stage over a corpus.
+
+The whole per-document pipeline (SURVEY.md §2.1 E1-E29) runs inside a
+single ``mapInPandas`` batch function — no shuffle is needed for
+extraction itself, and no per-row Python ever touches the driver-side
+plan.  Catalyst prunes the scan to exactly the consumed columns; AQE and
+the bucketed layout handle distribution (SURVEY.md §4).
+
+Equivalent reference call sites: extractor.py:268-386 (the per-doc
+chain) and server.py:124-127 (its thread-pool acknowledgment that
+extraction is CPU-bound — here Spark's task scheduler does that job).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+)
+
+ARTICLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("word_count", T.IntegerType()),
+        T.StructField("excerpt", T.StringType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("warnings", T.ArrayType(T.StringType())),
+        T.StructField("nodes_scored", T.IntegerType()),
+        T.StructField("spans_emitted", T.IntegerType()),
+        # per-document extraction CPU time (µs) — feeds per-partition
+        # lineage metrics and the skew diagnosis the north rule requires
+        T.StructField("proc_us", T.LongType()),
+    ]
+)
+
+
+def _batch_extract(
+    batches: Iterator[pd.DataFrame],
+    min_word_count: int,
+    safe_output: bool,
+) -> Iterator[pd.DataFrame]:
+    """Executor-side batch function.  Imports resolve on the worker;
+    regexes in extract.rules compile once per worker process."""
+    from time import perf_counter
+
+    from ..extract.pipeline import ExtractOptions, extract_document
+
+    opts = ExtractOptions(min_word_count=min_word_count, safe_output=safe_output)
+    for batch in batches:
+        rows = []
+        for doc_id, url, html in zip(
+            batch["doc_id"], batch["url"], batch["html"]
+        ):
+            t0 = perf_counter()
+            result = extract_document(html or "", url=url or "", options=opts)
+            elapsed_us = int((perf_counter() - t0) * 1e6)
+            spans = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in result["spans"]
+            ]
+            rows.append(
+                (
+                    doc_id,
+                    url,
+                    result["title"],
+                    spans,
+                    result["word_count"],
+                    result["excerpt"],
+                    result["success"],
+                    result["error"],
+                    result["warnings"],
+                    result["nodes_scored"],
+                    len(spans),
+                    elapsed_us,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[f.name for f in ARTICLE_SCHEMA.fields],
+        )
+
+
+def extract_articles(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    min_word_count: int = 150,
+    safe_output: bool = True,
+) -> DataFrame:
+    """Run main-content extraction over a corpus DataFrame.
+
+    Input needs (id, url, html) columns; everything else is pruned
+    before the Arrow exchange so giant non-consumed columns never cross
+    the JVM→Python boundary.
+    """
+    pruned = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(url_col).cast("string").alias("url"),
+        F.col(html_col).cast("string").alias("html"),
+    )
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _batch_extract(batches, min_word_count, safe_output)
+
+    return pruned.mapInPandas(runner, schema=ARTICLE_SCHEMA)
+
+
+def render_spans_to_html(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Assemble the interleaved span representation back into an HTML
+    document — entirely JVM-side (whole-stage codegen), no UDF.
+
+    Text spans may carry markup; media spans render as ``<img>``.  This
+    is the bridge from the ``input_hint`` corpus shape
+    (doc_id, spans) to the raw-HTML column the extraction stage consumes.
+    """
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.col(spans_col),
+                lambda a, b: a["offset"] - b["offset"],
+            ),
+            lambda s: F.when(
+                s["kind"] == F.lit("media"),
+                F.concat(F.lit('<img src="'), s["media_ref"], F.lit('" />')),
+            ).otherwise(
+                F.when(
+                    s["text"].contains("<"), s["text"]
+                ).otherwise(F.concat(F.lit("<p>"), s["text"], F.lit("</p>")))
+            ),
+        ),
+        "\n",
+    )
+    return df.withColumn("html", rendered)

@@ -1,0 +1,114 @@
+"""Bucketed table IO + per-partition lineage (checkpoint/resume).
+
+Iceberg-shaped layout emulated on Parquet (no Iceberg runtime jar in
+this sandbox — SURVEY.md §7.0): tables are physically partitioned by
+``bucket = pmod(xxhash64(doc_id), N)``, the same co-location Iceberg's
+``bucket(N, doc_id)`` transform gives.  Call sites are written so that
+swapping ``.format("parquet")`` for ``.format("iceberg")`` +
+``PARTITIONED BY (bucket(N, doc_id))`` is a local change.
+
+The lineage table follows the reference's append-only change-queue
+pattern (storage_queue.py:87-293 — ordered, replayable commit records):
+one row per (run, bucket) with extraction metrics; resume = anti-join
+input buckets against committed lineage (SURVEY.md §4 item 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_BUCKETS = 32
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("doc_id_min", T.StringType()),
+        T.StructField("doc_id_max", T.StringType()),
+        T.StructField("docs_in", T.LongType()),
+        T.StructField("docs_ok", T.LongType()),
+        T.StructField("parse_failures", T.LongType()),
+        T.StructField("nodes_scored", T.LongType()),
+        T.StructField("spans_emitted", T.LongType()),
+        T.StructField("cpu_ms", T.LongType()),
+        T.StructField("committed_at", T.TimestampType()),
+    ]
+)
+
+
+def with_bucket(
+    df: DataFrame, id_col: str = "doc_id", n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Stable bucket assignment on the document key (Iceberg
+    bucket-transform emulation)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def write_bucketed(
+    df: DataFrame, path: str, *, mode: str = "overwrite", dynamic: bool = True
+) -> None:
+    """Write a table partitioned by ``bucket``.
+
+    ``dynamic=True`` only rewrites the bucket directories present in
+    ``df`` (partitionOverwriteMode=dynamic) — the resume path re-writes
+    only uncommitted buckets.
+    """
+    writer = df.write.mode(mode)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("bucket").parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def lineage_path(output_path: str) -> str:
+    return output_path.rstrip("/") + "_lineage"
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check (works for HDFS/S3A too)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def read_committed_buckets(spark: SparkSession, output_path: str) -> set[int]:
+    """Buckets already committed for this output table (any run)."""
+    lpath = lineage_path(output_path)
+    if not table_exists(spark, lpath):
+        return set()
+    lineage = spark.read.parquet(lpath)
+    rows = lineage.select("bucket").distinct().collect()
+    return {r["bucket"] for r in rows}
+
+
+def build_lineage(result: DataFrame, run_id: str) -> DataFrame:
+    """Aggregate per-bucket extraction metrics from the result table.
+    Tiny shuffle (N_buckets rows) — the only shuffle in the job."""
+    return (
+        result.groupBy("bucket")
+        .agg(
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.col("success").cast("long")).alias("docs_ok"),
+            F.sum((~F.col("success")).cast("long")).alias("parse_failures"),
+            F.sum("nodes_scored").alias("nodes_scored"),
+            F.sum("spans_emitted").alias("spans_emitted"),
+            (F.sum("proc_us") / 1000).cast("long").alias("cpu_ms"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("committed_at", F.current_timestamp())
+        .select([f.name for f in LINEAGE_SCHEMA.fields])
+    )
+
+
+def append_lineage(lineage: DataFrame, output_path: str) -> None:
+    lineage.write.mode("append").parquet(lineage_path(output_path))

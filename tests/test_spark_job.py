@@ -1,0 +1,157 @@
+"""Tier-3 Spark end-to-end tests (SURVEY.md §5): synthetic corpus table →
+extraction job → span equality, lineage metrics, kill-and-resume."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from article_extractor_spark.job import run_extraction_job
+from article_extractor_spark.operators.extraction import (
+    extract_articles,
+    render_spans_to_html,
+)
+from article_extractor_spark.sources import tableio
+from article_extractor_spark.sources.synth import (
+    corpus_dataframe,
+    generate_document,
+)
+
+N_DOCS = 120
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "docs")
+    df = corpus_dataframe(spark, N_DOCS, seed=42, partitions=4)
+    df = tableio.with_bucket(df, "doc_id", N_BUCKETS)
+    tableio.write_bucketed(df, path, dynamic=False)
+    return path
+
+
+def expected_span_tuples(doc_id: str) -> list[tuple]:
+    doc = generate_document(doc_id, seed=42)
+    return [
+        (s["kind"], s["text"], s["media_ref"]) for s in doc["expected_spans"]
+    ]
+
+
+def test_job_end_to_end_span_equality(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "out")
+    stats = run_extraction_job(
+        spark, corpus_path, out, n_buckets=N_BUCKETS, waves=2
+    )
+    assert stats["docs_processed"] == N_DOCS
+
+    result = spark.read.parquet(out)
+    assert result.count() == N_DOCS
+    assert result.where("success").count() == N_DOCS
+
+    # spot-check span equality against generation-time expectations
+    sample = result.orderBy("doc_id").limit(25).collect()
+    for row in sample:
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in row["spans"]]
+        assert got == expected_span_tuples(row["doc_id"]), row["doc_id"]
+
+    # lineage: every bucket committed, totals add up
+    lineage = spark.read.parquet(tableio.lineage_path(out))
+    agg = lineage.agg(
+        F.sum("docs_in").alias("docs"),
+        F.sum("docs_ok").alias("ok"),
+        F.countDistinct("bucket").alias("buckets"),
+    ).collect()[0]
+    assert agg["docs"] == N_DOCS
+    assert agg["ok"] == N_DOCS
+    assert agg["buckets"] == N_BUCKETS
+    assert lineage.where("cpu_ms < 0").count() == 0
+
+
+def test_job_resume_is_noop_when_committed(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, corpus_path, out, n_buckets=N_BUCKETS, waves=2)
+    stats = run_extraction_job(
+        spark, corpus_path, out, n_buckets=N_BUCKETS, waves=2
+    )
+    assert stats["buckets_skipped"] == N_BUCKETS
+    assert stats["docs_processed"] == 0
+
+
+def test_kill_and_resume_produces_identical_table(spark, corpus_path, tmp_path):
+    """Simulated mid-job death: half the buckets committed, output for
+    the rest partially written without lineage → resume must re-run only
+    uncommitted buckets and converge to the uninterrupted result."""
+    out_full = str(tmp_path / "full")
+    out_resume = str(tmp_path / "resumed")
+
+    run_extraction_job(spark, corpus_path, out_full, n_buckets=N_BUCKETS, waves=1)
+
+    # "killed" first run: waves=8 → each wave is one bucket; run via the
+    # public API but only over half the corpus (as if the job died after
+    # committing those buckets)...
+    half = spark.read.parquet(corpus_path).where(F.col("bucket") < N_BUCKETS // 2)
+    run_extraction_job(
+        spark, half, out_resume, n_buckets=N_BUCKETS, waves=1, resume=False
+    )
+    # ...plus an uncommitted partial write for one more bucket (data
+    # landed, lineage did not)
+    orphan = spark.read.parquet(corpus_path).where(
+        F.col("bucket") == N_BUCKETS // 2
+    )
+    orphan_out = extract_articles(render_spans_to_html(orphan))
+    orphan_out = tableio.with_bucket(orphan_out, "doc_id", N_BUCKETS)
+    # truncate to simulate a partial task write
+    tableio.write_bucketed(orphan_out.limit(3), out_resume, dynamic=True)
+
+    committed_before = tableio.read_committed_buckets(spark, out_resume)
+    assert committed_before == set(range(N_BUCKETS // 2))
+
+    stats = run_extraction_job(
+        spark, corpus_path, out_resume, n_buckets=N_BUCKETS, waves=2
+    )
+    assert stats["buckets_skipped"] == N_BUCKETS // 2
+
+    full = spark.read.parquet(out_full)
+    resumed = spark.read.parquet(out_resume)
+    assert resumed.count() == N_DOCS
+    # content equality, order-insensitive (resume overwrote the orphan)
+    cols = ["doc_id", "title", "word_count", "success", "spans_emitted"]
+    assert (
+        full.select(cols).exceptAll(resumed.select(cols)).count() == 0
+        and resumed.select(cols).exceptAll(full.select(cols)).count() == 0
+    )
+    # span-level equality via hash of the span structs
+    h = lambda df: df.select(
+        "doc_id", F.xxhash64(F.to_json("spans")).alias("h")
+    )
+    assert h(full).exceptAll(h(resumed)).count() == 0
+
+
+def test_render_spans_is_jvm_side(spark):
+    """The spans→html bridge must not contain a Python UDF (north rule:
+    no per-row Python outside the one vectorized extraction stage)."""
+    df = corpus_dataframe(spark, 5, seed=1, partitions=1)
+    rendered = render_spans_to_html(df)
+    plan = rendered._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_failure_rows_not_task_death(spark):
+    """Garbage documents become success=false rows; the stage completes."""
+    rows = [
+        ("bad-1", "https://x.com/a", ""),
+        ("bad-2", "https://x.com/b", "<div"),
+        ("good-1", "https://x.com/c",
+         "<body><main><article>" + "<p>Plenty of words, with commas, fill "
+         "the paragraph for scoring purposes nicely.</p>" * 10
+         + "</article></main></body>"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "html"])
+    out = extract_articles(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert not by_id["bad-1"]["success"] and by_id["bad-1"]["error"]
+    assert by_id["good-1"]["success"]
+    assert len(out) == 3
