@@ -1,0 +1,195 @@
+"""Deduplication operators for the documents table.
+
+Exact dedup, MinHash+LSH near-dup candidate pairs, SimHash, and n-gram
+Jaccard — all expressed as built-in Column expressions (JVM-side,
+whole-stage codegen; per-doc shingling/hashing happens inside array
+lambdas, so no Python ever touches rows and no shuffle happens before
+the band-bucket join).
+
+Determinism contract: every hash bottoms out in ``md5`` (identical
+across Spark and DuckDB), so each operator has an exact SQL oracle in
+``article_extractor_spark.queries``.
+
+Scale notes (100 TB corpus):
+- exact dedup is one hash-aggregate on a 16-byte key — AQE handles skew.
+- minhash: signatures are computed map-side; the only shuffle is the
+  groupBy/self-join on (band, band_hash), whose fan-in LSH keeps small.
+- pair emission dedupes with doc_a < doc_b so each pair shuffles once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_int, ws_tokens
+
+# MinHash configuration: 12 hash functions → 4 bands × 3 rows.
+MINHASH_H = 12
+LSH_BANDS = 4
+LSH_ROWS = 3
+_MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: lowercase + collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns (content_key, canonical_id, n_docs); canonical = min doc_id.
+    One hash-aggregate; partial aggregation map-side, tiny shuffle.
+    """
+    keyed = docs.select(
+        F.md5(normalized_text(F.col(text_col))).alias("content_key"),
+        F.col("doc_id"),
+    )
+    return keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles; documents shorter than k words get the
+    whole normalized text as their single shingle."""
+    toks = ws_tokens(normalized_text(col))
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(
+        F.size(toks) < k, F.array(normalized_text(col))
+    ).otherwise(F.array_distinct(joined))
+
+
+def _hash_params(j: int) -> tuple[int, int]:
+    """Deterministic per-function coefficients (shared with oracles)."""
+    return 1000003 + 7919 * j, 17 + 999983 * j
+
+
+def minhash_signature(col: Column, h: int = MINHASH_H) -> Column:
+    """Array of ``h`` min-hashes over the document's word shingles.
+
+    Base hash: md5 → 60-bit int → mod (2^31-1); permutations are
+    (a_j * base + c_j) mod (2^31-1) — all int64-safe, no overflow.
+    """
+    shingles = word_shingles(col)
+    bases = F.transform(shingles, lambda s: F.pmod(md5_int(s), F.lit(_MERSENNE31)))
+    mins = []
+    for j in range(h):
+        a, c = _hash_params(j)
+        mins.append(
+            F.array_min(
+                F.transform(
+                    bases,
+                    lambda b: F.pmod(F.lit(a) * b + F.lit(c), F.lit(_MERSENNE31)),
+                )
+            ).alias(f"mh{j}")
+        )
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    signature → LSH_BANDS band hashes → explode → self-join on
+    (band, band_hash) → distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    sig = docs.select(
+        F.col("doc_id"),
+        minhash_signature(F.col(text_col)).alias("sig"),
+    )
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [
+            F.element_at(F.col("sig"), b * LSH_ROWS + r + 1).cast("string")
+            for r in range(LSH_ROWS)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_int(F.concat_ws(",", *parts)).alias("band_hash"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+SIMHASH_BITS = 16
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over whitespace tokens (frequency-weighted).
+
+    Per token: 16-bit md5-derived hash; per bit: majority vote
+    (+1 if set, −1 if clear); output bit set iff vote > 0.
+    """
+    toks = ws_tokens(normalized_text(col))
+    hashes = F.transform(toks, lambda t: F.pmod(md5_int(t), F.lit(65536)))
+    n = F.size(hashes)
+    total = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
+        )
+        bit_set = (ones * 2) > n
+        total = total + F.when(bit_set, F.lit(1 << i)).otherwise(F.lit(0))
+    return total
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col("doc_id"), simhash16(F.col(text_col)).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", stride: int = 1
+) -> DataFrame:
+    """Word-set Jaccard similarity between deterministically paired
+    documents (doc_id, doc_id + stride) — the verification primitive the
+    LSH candidates feed at scale (a co-partitioned equi-join, no
+    cross product)."""
+    words = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(ws_tokens(normalized_text(F.col(text_col)))).alias(
+            "wordset"
+        ),
+    )
+    a = words.alias("a")
+    b = words.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") + stride == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.wordset", "b.wordset")).cast("double")
+                / F.size(F.array_union("a.wordset", "b.wordset")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -112,6 +112,9 @@ def extract_articles(
     before the Arrow exchange so giant non-consumed columns never cross
     the JVM→Python boundary.
     """
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     pruned = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.col(url_col).cast("string").alias("url"),

@@ -1,0 +1,631 @@
+"""Query registry: named Spark queries + their exact DuckDB SQL oracles.
+
+Each entry is a named operator demonstration from SURVEY.md §2 (the
+reference's dataflow operators re-expressed Spark-first) or a
+training-data pipeline operator (dedup / similarity / text analysis /
+multimodal).  The driver runs the Spark query and the oracle SQL
+side-by-side on the same parquet tables and compares row count, schema,
+and value hash — so every computed column here is aliased identically on
+both sides, and all float-order-sensitive arithmetic is made exact
+(decimal sums, integer-quantized vectors, md5-derived integer hashes).
+
+Reference parity notes cite /root/reference file:line in each docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dedup as D
+from .functions import multimodal as M
+from .functions import similarity as S
+from .functions import text as X
+from .operators.extraction import extract_articles, render_spans_to_html
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Dataflow operators (SURVEY.md §2.2) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_manifest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 manifest fold (crawler.py:549-571): per-status counts + sums.
+
+    Exact decimal sum (map-side partial agg), cast back to double so the
+    value is bit-identical regardless of partition order."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 last-write-wins merge (storage_queue.py:224): row_number over
+    (key, ts desc) keeps the newest record per key."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        .alias("rn")
+    )
+    return (
+        ev.select("user_id", "event_id", "event_type", w)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 rank-candidates analog as a relational top-k per group."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+def q_region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 allowed-hosts semi-join analog: customer ⋈ nation ⋈ region
+    with both dims broadcast (no shuffle of the big side)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+def q_prefix_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 allow/deny prefix filter — pushed to the parquet scan."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            F.col("o_orderpriority").startswith("1")
+            & ~F.col("o_orderpriority").startswith("5")
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_dedup_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 visited-set dedup as a distinct aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/D7 frontier anti-join: rows not in the visited set."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 word count (utils.py:10-19) + BPE-ish subword token count."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_ws_tokens"),
+        X.bpe_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.langid(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_table(load(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload feature extraction)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return M.media_features(M.documents_as_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Extraction engine end-to-end (the flagship)
+# ---------------------------------------------------------------------------
+
+_CLOSING_P = "End of synthetic document body."
+
+
+def documents_as_interleaved_corpus(docs: DataFrame) -> DataFrame:
+    """Build the input_hint span shape (doc_id, url, spans) from the
+    documents table — all JVM-side concat expressions, no UDF: each doc
+    becomes [text(head+h1+p), media(img), text(closing p + footer)]."""
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    head = F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit(
+            ' - Synth</title></head><body>'
+            '<header class="site-header"><nav>'
+            '<a href="/">Home</a> <a href="/about">About</a></nav></header>'
+            '<main><article class="post-content"><h1>'
+        ),
+        title,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+    )
+    media_ref = F.concat(
+        F.lit("https://cdn.example/img-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".jpg"),
+    )
+    tail = F.lit(
+        f"<p>{_CLOSING_P}</p></article></main>"
+        '<footer class="site-footer"><p>Copyright 2026.</p></footer>'
+        "</body></html>"
+    )
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("https://synth.example/docs/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.array(
+            span("text", head, F.lit(""), 0),
+            span("media", F.lit(""), media_ref, 1),
+            span("text", tail, F.lit(""), 2),
+        ).alias("spans"),
+    )
+
+
+def q_extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction over an interleaved (text+media) span corpus:
+    spans → HTML (JVM-side) → single mapInPandas extraction stage →
+    per-doc summary.  Oracle predicts title / word count / media count
+    from the source text analytically."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
+    result = extract_articles(corpus, min_word_count=10)
+    return result.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "title",
+        "word_count",
+        F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "media")).alias(
+            "n_media"
+        ),
+        "success",
+    )
+
+
+def q_extract_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw flagship: full span output (non-SQL-expressible; the
+    driver records a rows-only check — fixture-level span equality is
+    covered by tests/test_golden_corpus.py)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
+    return extract_articles(corpus, min_word_count=10)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect == ANSI subset shared with Spark SQL)
+# ---------------------------------------------------------------------------
+
+_STOP_EN = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+_STOP_ES = ", ".join(f"'{w}'" for w in X.ES_MARKERS)
+
+# md5-derived 60-bit integer (DuckDB spelling; Spark uses conv()).
+_MD5INT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+_NORM = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+_TOKS = (
+    "CASE WHEN trim({c}) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim({c}), '\\s+') END"
+)
+
+
+def _minhash_sql() -> str:
+    mins = []
+    for j in range(D.MINHASH_H):
+        a, c = D._hash_params(j)
+        mins.append(
+            f"list_aggregate(list_transform(b, x -> ({a} * x + {c}) % "
+            f"{2147483647}), 'min') AS mh{j}"
+        )
+    band_rows = []
+    for bidx in range(D.LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(mh{bidx * D.LSH_ROWS + r} AS VARCHAR)"
+            for r in range(D.LSH_ROWS)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {bidx} AS band, "
+            + _MD5INT.format(expr=parts)
+            + " AS band_hash FROM sig"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    norm = _NORM.format(c="text")
+    toks = _TOKS.format(c=norm)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {norm} AS t, {toks} AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) < 3 THEN [t]
+    ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS shingles
+  FROM toks
+), bases AS (
+  SELECT doc_id,
+    list_transform(shingles, s -> {_MD5INT.format(expr='s')} % 2147483647) AS b
+  FROM sh
+), sig AS (
+  SELECT doc_id, {', '.join(mins)} FROM bases
+), banded AS (
+  {banded}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    norm = _NORM.format(c="text")
+    toks = _TOKS.format(c=norm)
+    bit_terms = []
+    for i in range(D.SIMHASH_BITS):
+        bit_terms.append(
+            f"CASE WHEN 2 * len(list_filter(h, x -> (x & {1 << i}) != 0)) "
+            f"> len(h) THEN {1 << i} ELSE 0 END"
+        )
+    total = " + ".join(bit_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS w FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(w, t -> {_MD5INT.format(expr='t')} % 65536) AS h
+  FROM toks
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM hashed
+"""
+
+
+def _quality_sql() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS w,
+    length(text) AS n,
+    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    least(n / 2000.0, 1.0) AS length_c,
+    least((CASE WHEN len(w) = 0 THEN 0.0
+      ELSE CAST(len(list_filter(w, x -> list_contains([{_STOP_EN}], x))) AS DOUBLE)
+           / len(w) END) / 0.4, 1.0) AS stop_c,
+    least((CASE WHEN n = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / n END) / 0.05,
+          1.0) AS punct_c
+  FROM t
+)
+SELECT doc_id,
+  round(0.4 * length_c + 0.3 * stop_c + 0.3 * punct_c, 6) AS quality
+FROM r
+"""
+
+
+def _langid_sql() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS w FROM documents
+), c AS (
+  SELECT doc_id,
+    len(list_filter(w, x -> list_contains([{_STOP_EN}], x))) AS en,
+    len(list_filter(w, x -> list_contains([{_STOP_ES}], x))) AS es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN en = 0 AND es = 0 THEN 'und'
+       WHEN en >= es THEN 'en' ELSE 'es' END AS lang_pred
+FROM c
+"""
+
+
+_QUANT = (
+    "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000)"
+    " AS BIGINT))"
+)
+_IDOT = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {b}[i]), 'sum')"
+)
+
+
+def _cosine_topk_sql() -> str:
+    dot = _IDOT.format(a="e.q", b="e.q2")
+    na = _IDOT.format(a="e.q", b="e.q")
+    nb = _IDOT.format(a="e.q2", b="e.q2")
+    return f"""
+WITH qv AS (
+  SELECT {_QUANT} AS q2 FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, {_QUANT} AS q, qv.q2 AS q2
+  FROM embeddings, qv WHERE vec_id != 0
+)
+SELECT vec_id,
+  round(CAST({dot} AS DOUBLE) /
+        (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6) AS cosine
+FROM e
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _lsh_ann_sql() -> str:
+    plane_projs = []
+    for j in range(S.N_PLANES):
+        proj = (
+            "list_aggregate(list_transform(range(1, len(q) + 1), "
+            f"i -> q[i] * (((i - 1) * 31 + {j * 17}) % 7 - 3)), 'sum')"
+        )
+        plane_projs.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(plane_projs)
+    dot = _IDOT.format(a="e.q", b="e.q2")
+    na = _IDOT.format(a="e.q", b="e.q")
+    nb = _IDOT.format(a="e.q2", b="e.q2")
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS q FROM embeddings
+), bucketed AS (
+  SELECT vec_id, q, CAST({bucket} AS INT) AS bucket FROM base
+), qv AS (
+  SELECT q AS q2, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+), e AS (
+  SELECT b.vec_id, b.q, b.bucket, qv.q2
+  FROM bucketed b, qv WHERE b.bucket = qv.qbucket AND b.vec_id != 0
+)
+SELECT vec_id, bucket,
+  round(CAST({dot} AS DOUBLE) /
+        (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6) AS cosine
+FROM e
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _extract_interleaved_sql() -> str:
+    n_closing = len(_CLOSING_P.split())
+    toks = _TOKS.format(c="text")
+    return f"""
+SELECT doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  CAST(2 + len({toks}) + {n_closing} AS INT) AS word_count,
+  1 AS n_media,
+  TRUE AS success
+FROM documents
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "manifest_fold": """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    "latest_event_per_user": """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    "top_orders_per_priority": """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 5
+""",
+    "region_customer_rollup": """
+SELECT n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    "prefix_filter_orders": """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderpriority LIKE '1%' AND o_orderpriority NOT LIKE '5%'
+GROUP BY o_orderstatus
+""",
+    "dedup_visited": """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""",
+    "customers_without_orders": """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+    "token_counts": f"""
+SELECT doc_id,
+  CAST(len({_TOKS.format(c='text')}) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text,
+       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+""",
+    "quality_scores": _quality_sql(),
+    "langid": _langid_sql(),
+    "fingerprints": f"""
+SELECT doc_id,
+  {_MD5INT.format(expr=_NORM.format(c='text'))} AS fingerprint
+FROM documents
+""",
+    "exact_dedup": f"""
+SELECT md5({_NORM.format(c='text')}) AS content_key,
+  MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+    "minhash_pairs": _minhash_sql(),
+    "simhash": _simhash_sql(),
+    "jaccard_pairs": f"""
+WITH w AS (
+  SELECT doc_id,
+    list_distinct({_TOKS.format(c=_NORM.format(c='text'))}) AS wordset
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.wordset, b.wordset)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.wordset, b.wordset))), 6) AS jaccard
+FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
+""",
+    "cosine_topk": _cosine_topk_sql(),
+    "lsh_ann_topk": _lsh_ann_sql(),
+    "media_features": """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  md5(text) AS digest,
+  CAST(1 + octet_length(encode(text)) % 640 AS INT) AS width,
+  CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height
+FROM documents
+""",
+    "extract_interleaved": _extract_interleaved_sql(),
+    # extract_spans_full: intentionally no oracle (non-SQL-expressible;
+    # rows-only check) — span-level correctness is pinned by the golden
+    # fixture corpus tests.
+}
+
+QUERY_FNS: dict[str, Query] = {
+    "manifest_fold": q_manifest_fold,
+    "latest_event_per_user": q_latest_event_per_user,
+    "top_orders_per_priority": q_top_orders_per_priority,
+    "region_customer_rollup": q_region_customer_rollup,
+    "prefix_filter_orders": q_prefix_filter_orders,
+    "dedup_visited": q_dedup_visited,
+    "customers_without_orders": q_customers_without_orders,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "langid": q_langid,
+    "fingerprints": q_fingerprints,
+    "exact_dedup": q_exact_dedup,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "media_features": q_media_features,
+    "extract_interleaved": q_extract_interleaved,
+    "extract_spans_full": q_extract_spans_full,
+}

@@ -283,6 +283,9 @@ def corpus_dataframe(spark, n: int, seed: int = 42, partitions: int | None = Non
     from pyspark.sql import types as T
 
     from ..operators.extraction import SPAN_TYPE
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(spark)
 
     schema = T.StructType(
         [

@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query is forced with a noop sink (full computation, no driver
+collect).  The headline extraction stage also reports docs/sec — the
+north-rule metric (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from article_extractor_spark.queries import QUERY_FNS  # noqa: E402
+from article_extractor_spark.session import build_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "extract_spans_full",
+    "extract_interleaved",
+    "minhash_pairs",
+    "simhash",
+    "exact_dedup",
+    "jaccard_pairs",
+    "token_counts",
+    "quality_scores",
+    "langid",
+    "fingerprints",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "media_features",
+    "manifest_fold",
+    "latest_event_per_user",
+    "top_orders_per_priority",
+    "region_customer_rollup",
+    "customers_without_orders",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="aes-bench")
+
+    # warm the JVM/Python workers so per-query timings measure the plan,
+    # not executor startup
+    force(QUERY_FNS["token_counts"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(QUERY_FNS[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    extract_sec = timings["extract_spans_full"]
+    result = {
+        "metric": "total bench seconds (headline queries)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extraction_docs_per_sec": round(n_docs / extract_sec, 1)
+        if extract_sec
+        else None,
+        "cores": spark.sparkContext.defaultParallelism,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

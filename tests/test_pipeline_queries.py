@@ -1,0 +1,98 @@
+"""Tests for the training-data pipeline operators and the query
+registry: every registered query runs, matches its DuckDB oracle at
+sf0.001 (the same comparison the driver performs at sf0.01), and the
+physical plans have the scale-critical properties (broadcast joins,
+pruned scans)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from article_extractor_spark.queries import ORACLE_SQL, QUERY_FNS
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(repr)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_registry_consistency():
+    # every oracle refers to a registered query
+    assert set(ORACLE_SQL) <= set(QUERY_FNS)
+    # the flagship rows-only query is registered
+    assert "extract_spans_full" in QUERY_FNS
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(spark, oracle_con, name):
+    got = _normalize(QUERY_FNS[name](spark, SF_DIR).toPandas())
+    want = _normalize(oracle_con.execute(ORACLE_SQL[name]).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_extract_spans_full_shape(spark):
+    df = QUERY_FNS["extract_spans_full"](spark, SF_DIR)
+    rows = df.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r.success
+        kinds = [s.kind for s in r.spans]
+        assert "media" in kinds and "text" in kinds
+        # interleaving preserved: offsets strictly increasing
+        offsets = [s.offset for s in r.spans]
+        assert offsets == sorted(offsets)
+
+
+def test_broadcast_join_in_rollup_plan(spark):
+    plan = QUERY_FNS["region_customer_rollup"](
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extraction_scan_prunes_columns(spark):
+    """Only (doc_id, text) may reach the parquet scan feeding the
+    extraction stage — giant unused columns must be pruned."""
+    plan = (
+        QUERY_FNS["extract_spans_full"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_media_features_deterministic(spark):
+    a = QUERY_FNS["media_features"](spark, SF_DIR).toPandas()
+    b = QUERY_FNS["media_features"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_multimodal_stubs_raise():
+    from article_extractor_spark.functions import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(None)
