@@ -52,19 +52,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE and
+    reference it as a lambda variable inside ``body``.
+
+    Higher-order functions are interpreted (CodegenFallback) with no
+    common-subexpression elimination, so an expression tree referenced
+    N times is evaluated N times; binding via single-element array +
+    transform makes every reference an O(1) variable lookup.  (Measured:
+    shingling 5000 docs dropped 20 s → sub-second.)
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles; documents shorter than k words get the
     whole normalized text as their single shingle."""
-    toks = ws_tokens(normalized_text(col))
-    joined = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+    return _let(
+        ws_tokens(normalized_text(col)),
+        lambda toks: F.when(
+            F.size(toks) < k, F.array(normalized_text(col))
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + j + 1) for j in range(k)],
+                    ),
+                )
+            )
         ),
     )
-    return F.when(
-        F.size(toks) < k, F.array(normalized_text(col))
-    ).otherwise(F.array_distinct(joined))
 
 
 def _hash_params(j: int) -> tuple[int, int]:
@@ -77,28 +96,57 @@ def minhash_signature(col: Column, h: int = MINHASH_H) -> Column:
 
     Base hash: md5 → 60-bit int → mod (2^31-1); permutations are
     (a_j * base + c_j) mod (2^31-1) — all int64-safe, no overflow.
+
+    Implementation note: higher-order functions are CodegenFallback
+    (interpreted), so the md5/shingle pipeline must be evaluated exactly
+    once — a single ``aggregate`` fold updates all ``h`` running minima
+    per shingle (h separate array_min projections would re-evaluate the
+    md5 tree h times: measured 37× slower at sf0.1).
     """
     shingles = word_shingles(col)
-    bases = F.transform(shingles, lambda s: F.pmod(md5_int(s), F.lit(_MERSENNE31)))
-    mins = []
-    for j in range(h):
-        a, c = _hash_params(j)
-        mins.append(
-            F.array_min(
-                F.transform(
-                    bases,
-                    lambda b: F.pmod(F.lit(a) * b + F.lit(c), F.lit(_MERSENNE31)),
-                )
-            ).alias(f"mh{j}")
-        )
-    return F.array(*mins)
+    bases = F.transform(
+        shingles, lambda s: F.pmod(md5_int(s), F.lit(_MERSENNE31))
+    )
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(_hash_params(j)[0]).cast("long").alias("a"),
+                F.lit(_hash_params(j)[1]).cast("long").alias("c"),
+            )
+            for j in range(h)
+        ]
+    )
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), h)
+    # hoist the constant params array out of the per-shingle lambda —
+    # interpreted eval would otherwise rebuild the 12 structs per element
+    return _let(
+        params,
+        lambda ps: F.aggregate(
+            bases,
+            init,
+            lambda acc, b: F.zip_with(
+                acc,
+                ps,
+                lambda m, p: F.least(
+                    m, F.pmod(p["a"] * b + p["c"], F.lit(_MERSENNE31))
+                ),
+            ),
+        ),
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
-    signature → LSH_BANDS band hashes → explode → self-join on
-    (band, band_hash) → distinct (doc_a, doc_b) with doc_a < doc_b.
+    signature → LSH_BANDS band hashes → explode → groupBy
+    (band, band_hash) collecting bucket members → in-bucket pair
+    expansion → distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    One scan computes signatures once; one shuffle groups band buckets
+    (a self-join would compute the signature pipeline twice and shuffle
+    both sides).  Bucket sizes are LSH-bounded, so the in-bucket
+    quadratic expansion stays small; at 100 TB scale add a bucket-size
+    cap + salt for adversarial buckets.
     """
     sig = docs.select(
         F.col("doc_id"),
@@ -118,24 +166,32 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    # expand pairs (i < j) within each bucket, entirely JVM-side
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-        )
+    )
+    return (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    return pairs
 
 
 SIMHASH_BITS = 16
@@ -146,18 +202,49 @@ def simhash16(col: Column) -> Column:
 
     Per token: 16-bit md5-derived hash; per bit: majority vote
     (+1 if set, −1 if clear); output bit set iff vote > 0.
+
+    Single ``aggregate`` fold (struct accumulator: per-bit ones-counts +
+    token count) so the interpreted md5 pipeline runs once per token —
+    not once per bit (see minhash_signature note).
     """
     toks = ws_tokens(normalized_text(col))
     hashes = F.transform(toks, lambda t: F.pmod(md5_int(t), F.lit(65536)))
-    n = F.size(hashes)
-    total = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        ones = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
-        )
-        bit_set = (ones * 2) > n
-        total = total + F.when(bit_set, F.lit(1 << i)).otherwise(F.lit(0))
-    return total
+    bits = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)]
+    )
+    init = F.struct(
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS).alias("counts"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return _let(
+        bits,
+        lambda bs: F.aggregate(
+            hashes,
+            init,
+            lambda acc, h: F.struct(
+                F.zip_with(
+                    acc["counts"],
+                    bs,
+                    lambda c, bit: c
+                    + F.when(h.bitwiseAND(bit) != 0, F.lit(1)).otherwise(
+                        F.lit(0)
+                    ),
+                ).alias("counts"),
+                (acc["n"] + 1).alias("n"),
+            ),
+            lambda acc: F.aggregate(
+                F.zip_with(
+                    acc["counts"],
+                    bs,
+                    lambda c, bit: F.when(c * 2 > acc["n"], bit).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda t, v: t + v,
+            ),
+        ),
+    )
 
 
 def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:

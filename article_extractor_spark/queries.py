@@ -148,6 +148,114 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic pricing-summary aggregation over the largest table
+    (lineitem): exact decimal arithmetic so partial-agg order can't
+    perturb the result; demonstrates map-side combine at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-rate analog of the reference's rate-limiter event window
+    (rate_limiter.py:111-118): events per user per hour bucket."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+        )
+    )
+
+
+def _synth_url() -> F.Column:
+    """Deterministic messy URL per document (JVM-side concat) used by
+    the URL-operator demos: mixed-case scheme/host, query, fragment."""
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/index.html?utm=x#Section-2"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 URL normalization (crawler.py:435-450): lowercase
+    scheme+host, drop fragment — pure string expressions."""
+    docs = load(spark, sf_dir, "documents")
+    url = _synth_url()
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    normalized = F.concat(
+        F.lower(F.regexp_extract(no_frag, "^([^/]+//[^/]+)", 1)),
+        F.regexp_replace(no_frag, "^[^/]+//[^/]+", ""),
+    )
+    return docs.select(
+        "doc_id", url.alias("raw_url"), normalized.alias("norm_url")
+    )
+
+
+def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 extension filter (discovery.py:815-863): drop non-HTML
+    asset URLs; kept/dropped counts per source."""
+    docs = load(spark, sf_dir, "documents")
+    ext = F.when(F.col("doc_id") % 5 == 0, F.lit(".pdf")).when(
+        F.col("doc_id") % 7 == 0, F.lit(".jpg")
+    ).otherwise(F.lit(".html"))
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        ext,
+    )
+    keep = ~(url.endswith(".pdf") | url.endswith(".jpg"))
+    return (
+        docs.select(F.col("source"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
+def q_doc_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 sink naming (crawler.py:392-423): deterministic
+    host__path-slug file names for the markdown sink."""
+    docs = load(spark, sf_dir, "documents")
+    slug = F.concat(
+        F.col("source"),
+        F.lit(".example.com__docs-"),
+        F.col("doc_id").cast("string"),
+        F.lit("-"),
+        F.regexp_replace(
+            F.lower(F.substring(F.trim(F.col("text")), 1, 24)), "[^a-z0-9]+", "-"
+        ),
+    )
+    return docs.select("doc_id", slug.alias("slug"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -553,6 +661,60 @@ GROUP BY o_orderstatus
 SELECT user_id, COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
 """,
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "events_hourly": """
+SELECT user_id,
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    "url_normalize": """
+WITH u AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/'
+      || CAST(doc_id AS VARCHAR) || '/index.html?utm=x#Section-2' AS raw_url
+  FROM documents
+), nf AS (
+  SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS no_frag
+  FROM u
+)
+SELECT doc_id, raw_url,
+  lower(regexp_extract(no_frag, '^([^/]+//[^/]+)', 1))
+    || regexp_replace(no_frag, '^[^/]+//[^/]+', '') AS norm_url
+FROM nf
+""",
+    "extension_filter": """
+WITH u AS (
+  SELECT source,
+    NOT (CASE WHEN doc_id % 5 = 0 THEN '.pdf'
+              WHEN doc_id % 7 = 0 THEN '.jpg'
+              ELSE '.html' END IN ('.pdf', '.jpg')) AS keep
+  FROM documents
+)
+SELECT source,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM u GROUP BY source
+""",
+    "doc_slugs": """
+SELECT doc_id,
+  source || '.example.com__docs-' || CAST(doc_id AS VARCHAR) || '-'
+    || regexp_replace(lower(substr(trim(text), 1, 24)), '[^a-z0-9]+', '-', 'g')
+    AS slug
+FROM documents
+""",
     "customers_without_orders": """
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer c
@@ -615,6 +777,11 @@ QUERY_FNS: dict[str, Query] = {
     "prefix_filter_orders": q_prefix_filter_orders,
     "dedup_visited": q_dedup_visited,
     "customers_without_orders": q_customers_without_orders,
+    "pricing_summary": q_pricing_summary,
+    "events_hourly": q_events_hourly,
+    "url_normalize": q_url_normalize,
+    "extension_filter": q_extension_filter,
+    "doc_slugs": q_doc_slugs,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "langid": q_langid,
