@@ -47,6 +47,18 @@ def run_extraction_job(
     Returns job stats: buckets processed/skipped, docs, wall seconds.
     """
     if isinstance(corpus, str):
+        # CPU-bound UDF stage: size scan partitions for compute, not IO.
+        # With the default 128m maxPartitionBytes a small corpus
+        # collapses to a handful of map tasks and extra cores idle
+        # (measured: local[32] no faster than local[8] on 240 MB).
+        # Target ~6 waves of tasks per core (fine-grained enough that
+        # giant-document skew can't leave a long straggler tail),
+        # clamped to [1m, 256m]; at 100 TB the clamp leaves the normal
+        # large-scan behavior.
+        total_bytes = tableio.dir_size_bytes(spark, corpus)
+        cores = spark.sparkContext.defaultParallelism
+        target = min(max(total_bytes // (cores * 6), 1 << 20), 256 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
         corpus = tableio.read_table(spark, corpus)
 
     if "bucket" not in corpus.columns:
@@ -76,12 +88,18 @@ def run_extraction_job(
         tableio.write_bucketed(
             extracted, output_path, mode="overwrite", dynamic=True
         )
+        # one scan of the written output feeds both the lineage commit
+        # and the progress count (lineage is N_buckets rows — tiny)
         result = tableio.read_table(spark, output_path).where(
             F.col("bucket").isin(wave_buckets)
         )
         lineage = tableio.build_lineage(result, run_id)
-        tableio.append_lineage(lineage, output_path)
-        docs_done += result.count()
+        lineage_rows = lineage.collect()
+        tableio.append_lineage(
+            spark.createDataFrame(lineage_rows, tableio.LINEAGE_SCHEMA),
+            output_path,
+        )
+        docs_done += sum(r["docs_in"] for r in lineage_rows)
 
     return {
         "run_id": run_id,
@@ -102,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
     p_synth.add_argument("--docs", type=int, default=10000)
     p_synth.add_argument("--seed", type=int, default=42)
     p_synth.add_argument("--buckets", type=int, default=tableio.DEFAULT_BUCKETS)
+    p_synth.add_argument(
+        "--files-per-bucket",
+        type=int,
+        default=1,
+        help="output files per bucket dir (Iceberg-like layout)",
+    )
 
     p_run = sub.add_parser("extract", help="run the extraction job")
     p_run.add_argument("--corpus", required=True)
@@ -117,7 +141,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "synth":
         df = corpus_dataframe(spark, args.docs, seed=args.seed)
         df = tableio.with_bucket(df, "doc_id", args.buckets)
-        tableio.write_bucketed(df, args.out, dynamic=False)
+        tableio.write_bucketed(
+            df, args.out, dynamic=False,
+            files_per_bucket=args.files_per_bucket,
+        )
         print(f"wrote {args.docs} docs to {args.out}")
         return 0
 

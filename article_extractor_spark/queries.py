@@ -240,6 +240,39 @@ def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 link extraction (crawler.py:635-670): pull every href out of
+    the rendered corpus HTML and explode to one row per link — all
+    JVM-side regex, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
+    links = corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit('href="([^"]*)"'), F.lit(1)
+            )
+        ).alias("href"),
+    )
+    return links.groupBy("href").agg(F.count(F.lit(1)).alias("n_refs"))
+
+
+def q_url_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D22 stable URL hash (observability.py:95-102): sha256 prefix as
+    the privacy-safe request-log identifier."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(F.sha2(url, 256), 1, 16).alias("url_hash"),
+    )
+
+
 def q_doc_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 sink naming (crawler.py:392-423): deterministic
     host__path-slug file names for the markdown sink."""
@@ -708,6 +741,17 @@ SELECT source,
   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
 FROM u GROUP BY source
 """,
+    "link_extraction": """
+SELECT '/' AS href, COUNT(*) AS n_refs FROM documents
+UNION ALL
+SELECT '/about' AS href, COUNT(*) AS n_refs FROM documents
+""",
+    "url_hashes": """
+SELECT doc_id,
+  substr(sha256('https://' || source || '.example.com/docs/'
+                || CAST(doc_id AS VARCHAR)), 1, 16) AS url_hash
+FROM documents
+""",
     "doc_slugs": """
 SELECT doc_id,
   source || '.example.com__docs-' || CAST(doc_id AS VARCHAR) || '-'
@@ -780,6 +824,8 @@ QUERY_FNS: dict[str, Query] = {
     "pricing_summary": q_pricing_summary,
     "events_hourly": q_events_hourly,
     "url_normalize": q_url_normalize,
+    "link_extraction": q_link_extraction,
+    "url_hashes": q_url_hashes,
     "extension_filter": q_extension_filter,
     "doc_slugs": q_doc_slugs,
     "token_counts": q_token_counts,

@@ -49,14 +49,26 @@ def with_bucket(
 
 
 def write_bucketed(
-    df: DataFrame, path: str, *, mode: str = "overwrite", dynamic: bool = True
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    dynamic: bool = True,
+    files_per_bucket: int = 1,
 ) -> None:
     """Write a table partitioned by ``bucket``.
 
     ``dynamic=True`` only rewrites the bucket directories present in
     ``df`` (partitionOverwriteMode=dynamic) — the resume path re-writes
     only uncommitted buckets.
+
+    The frame is re-shuffled onto the bucket key first so each bucket
+    directory gets ``files_per_bucket`` files instead of one file per
+    upstream task (without this, N_tasks × N_buckets small files make
+    the driver-side dynamic-overwrite commit the job bottleneck —
+    measured: it erased all >8-core scaling at 240k docs).
     """
+    df = df.repartition(max(files_per_bucket, 1) * DEFAULT_BUCKETS, "bucket")
     writer = df.write.mode(mode)
     if dynamic:
         writer = writer.option("partitionOverwriteMode", "dynamic")
@@ -77,6 +89,16 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(jpath))
+
+
+def dir_size_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a table path (driver-side FS metadata call)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getContentSummary(jpath).getLength())
 
 
 def read_committed_buckets(spark: SparkSession, output_path: str) -> set[int]:
