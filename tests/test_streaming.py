@@ -1,0 +1,98 @@
+"""Structured Streaming surfaces: incremental extraction with
+checkpointed resume, and watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from article_extractor_spark.sources import tableio
+from article_extractor_spark.sources.synth import corpus_dataframe
+from article_extractor_spark.streaming.ingest import (
+    streaming_extraction,
+    windowed_event_rates,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_corpus(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "corpus")
+    df = corpus_dataframe(spark, 60, seed=7, partitions=4)
+    df = tableio.with_bucket(df, "doc_id", 4)
+    tableio.write_bucketed(df, path, dynamic=False)
+    return path
+
+
+def test_streaming_extraction_drains_backlog(spark, stream_corpus, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_extraction(
+        spark, stream_corpus, out, ckpt, min_word_count=10
+    )
+    q.awaitTermination(120)
+    result = spark.read.parquet(out)
+    assert result.count() == 60
+    assert result.where(~F.col("success")).count() == 0
+
+    # resume: no new files → a second AvailableNow run adds nothing
+    q2 = streaming_extraction(
+        spark, stream_corpus, out, ckpt, min_word_count=10
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 60
+
+
+def test_streaming_extraction_picks_up_new_files(
+    spark, stream_corpus, tmp_path
+):
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    streaming_extraction(
+        spark, stream_corpus, out, ckpt, min_word_count=10
+    ).awaitTermination(120)
+
+    # land a new batch of corpus files, re-trigger
+    more = corpus_dataframe(spark, 20, seed=11, partitions=2)
+    more = tableio.with_bucket(more, "doc_id", 4)
+    more.write.mode("append").partitionBy("bucket").parquet(stream_corpus)
+
+    streaming_extraction(
+        spark, stream_corpus, out, ckpt, min_word_count=10
+    ).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 80
+
+
+def test_windowed_event_rates_matches_batch_semantics(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rates = windowed_event_rates(events)
+    total = rates.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    # window starts are hour-aligned
+    misaligned = rates.where(
+        (F.minute("window_start") != 0) | (F.second("window_start") != 0)
+    ).count()
+    assert misaligned == 0
+
+
+def test_windowed_event_rates_runs_as_stream(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_event_rates(stream)
+        .writeStream.format("memory")
+        .queryName("rates_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows closed by the watermark; with a
+    # single micro-batch the final watermark hasn't advanced past the
+    # last windows, so just assert the stream ran and produced a table
+    assert spark.table("rates_mem").columns == [
+        "window_start",
+        "user_id",
+        "n_events",
+    ]
