@@ -89,6 +89,62 @@ def lsh_bucket(col: Column) -> Column:
     return bucket
 
 
+N_CENTROIDS = 8
+
+
+def ivf_ann_topk(
+    emb: DataFrame, query_id: int = 0, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (deterministic "codebook": the first N_CENTROIDS vectors), then
+    search only the query's cell with exact cosine.
+
+    Relational argmin (cross join the tiny broadcast codebook → squared
+    integer L2 → row_number) keeps everything exact and oracle-able; at
+    scale the cell id is a partition column, so probing = partition
+    pruning.  A trained codebook (k-means) drops in without changing the
+    dataflow.
+    """
+    from pyspark.sql.window import Window
+
+    cents = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), quantized(F.col(vec_col)).alias("cvec")
+    )
+    qe = emb.select(F.col("vec_id"), quantized(F.col(vec_col)).alias("qv"))
+    sqdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        qe.join(F.broadcast(cents))
+        .select("vec_id", "qv", "cid", sqdist.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.asc("d2"), F.asc("cid")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "qv", F.col("cid").alias("cell"))
+    )
+    q = assigned.where(F.col("vec_id") == query_id).select(
+        F.col("qv").alias("qvec"), F.col("cell").alias("qcell")
+    )
+    scored = (
+        assigned.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .where(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.col("cell"),
+            cosine_sim(F.col("qv"), F.col("qvec")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
 def lsh_ann_topk(
     emb: DataFrame, query_id: int = 0, k: int = 10, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -138,12 +138,23 @@ def extract_articles(
     html_col: str = "html",
     min_word_count: int = 150,
     safe_output: bool = True,
+    giant_threshold: int | None = None,
 ) -> DataFrame:
     """Run main-content extraction over a corpus DataFrame.
 
     Input needs (id, url, html) columns; everything else is pruned
     before the Arrow exchange so giant non-consumed columns never cross
     the JVM→Python boundary.
+
+    Skew handling: the default strategy is fine-grained input partitions
+    (the job sizes scans to ~6 task waves per core, so one
+    giant-document partition cannot stall the stage).  When the corpus
+    has a heavy giant tail (multi-MB documents), pass ``giant_threshold``
+    (bytes of HTML) to route giants through a separate salted branch:
+    they are re-shuffled round-robin across all cores so no single task
+    accumulates several of them.  Tradeoff: the split predicate cannot be
+    pushed to parquet, so the scan runs twice — only worth it when the
+    giant tail dominates the straggler profile (SURVEY.md §4 item 3).
     """
     from ..shipping import ensure_shipped
 
@@ -157,7 +168,18 @@ def extract_articles(
     def runner(batches):
         return _batch_extract(batches, min_word_count, safe_output)
 
-    return pruned.mapInArrow(runner, schema=ARTICLE_SCHEMA)
+    if giant_threshold is None:
+        return pruned.mapInArrow(runner, schema=ARTICLE_SCHEMA)
+
+    is_giant = F.length(F.col("html")) >= giant_threshold
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    normal = pruned.where(~is_giant).mapInArrow(runner, schema=ARTICLE_SCHEMA)
+    giants = (
+        pruned.where(is_giant)
+        .repartition(cores * 2)  # round-robin: giants spread evenly
+        .mapInArrow(runner, schema=ARTICLE_SCHEMA)
+    )
+    return normal.unionByName(giants)
 
 
 def render_spans_to_html(df: DataFrame, spans_col: str = "spans") -> DataFrame:

@@ -349,6 +349,41 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 BFS crawl frontier (crawler.py:754-834): iterative per-depth
+    expansion with a broadcast frontier and a left-anti visited join —
+    the distributed form of the reference's queue-based crawler.  Link
+    graph is synthesized deterministically from the documents table
+    (doc i → (2i+1) mod N, (3i+7) mod N)."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id")
+    edges = docs.select(
+        src.alias("src"), ((src * 2 + 1) % n).alias("dst")
+    ).unionByName(
+        docs.select(src.alias("src"), ((src * 3 + 7) % n).alias("dst"))
+    )
+    visited = spark.createDataFrame([(0, 0)], "doc_id long, depth int")
+    frontier = visited.select("doc_id")
+    for depth in range(1, 4):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier), edges.src == frontier.doc_id
+            )
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+            .withColumn("depth", F.lit(depth))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("doc_id")
+    return visited
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
@@ -639,6 +674,61 @@ LIMIT 10
 """
 
 
+def _ivf_ann_sql() -> str:
+    sq = (
+        "list_aggregate(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    ).format(a="e.qv", b="c.cvec")
+    dot = _IDOT.format(a="s.qv", b="s.qvec")
+    na = _IDOT.format(a="s.qv", b="s.qv")
+    nb = _IDOT.format(a="s.qvec", b="s.qvec")
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, qv AS cvec FROM base WHERE vec_id < {S.N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT e.vec_id, e.qv, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {sq} ASC, c.cid ASC) AS rn
+    FROM base e, cents c
+  ) WHERE rn = 1
+), qv AS (
+  SELECT qv AS qvec, cell AS qcell FROM assigned WHERE vec_id = 0
+), s AS (
+  SELECT a.vec_id, a.cell, a.qv, q.qvec
+  FROM assigned a, qv q WHERE a.cell = q.qcell AND a.vec_id != 0
+)
+SELECT vec_id, cell,
+  round(CAST({dot} AS DOUBLE) /
+        (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6) AS cosine
+FROM s
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+_CRAWL_FRONTIER_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS src,
+    (doc_id * 2 + 1) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id AS src,
+    (doc_id * 3 + 7) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents
+), reach(doc_id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+  WHERE r.depth < 3
+)
+SELECT doc_id, CAST(MIN(depth) AS INT) AS depth FROM reach GROUP BY doc_id
+"""
+
+
 def _extract_interleaved_sql() -> str:
     n_closing = len(_CLOSING_P.split())
     toks = _TOKS.format(c="text")
@@ -799,6 +889,8 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
 """,
     "cosine_topk": _cosine_topk_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
+    "ivf_ann_topk": _ivf_ann_sql(),
+    "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "media_features": """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -838,6 +930,8 @@ QUERY_FNS: dict[str, Query] = {
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "crawl_frontier": q_crawl_frontier,
     "media_features": q_media_features,
     "extract_interleaved": q_extract_interleaved,
     "extract_spans_full": q_extract_spans_full,

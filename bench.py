@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "fingerprints",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "crawl_frontier",
     "media_features",
     "manifest_fold",
     "latest_event_per_user",

@@ -96,3 +96,27 @@ def test_multimodal_stubs_raise():
 
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(None)
+
+
+def test_giant_split_branch_matches_default(spark):
+    """extract_articles(giant_threshold=...) must produce identical
+    results to the single-branch path — only the physical routing of
+    giant documents differs."""
+    from article_extractor_spark.operators.extraction import (
+        extract_articles,
+        render_spans_to_html,
+    )
+    from article_extractor_spark.sources import tableio
+    from article_extractor_spark.sources.synth import corpus_dataframe
+
+    corpus = corpus_dataframe(spark, 80, seed=3, partitions=4)
+    corpus = render_spans_to_html(corpus)
+    base = extract_articles(corpus, min_word_count=10).toPandas()
+    split = extract_articles(
+        corpus, min_word_count=10, giant_threshold=50_000
+    ).toPandas()
+    assert len(base) == len(split) == 80
+    base = base.sort_values("doc_id").reset_index(drop=True)
+    split = split.sort_values("doc_id").reset_index(drop=True)
+    assert (base["word_count"] == split["word_count"]).all()
+    assert (base["spans_emitted"] == split["spans_emitted"]).all()
