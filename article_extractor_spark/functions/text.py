@@ -90,6 +90,26 @@ def md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def token_count_pudf():
+    """Vectorized scalar pandas UDF equivalent of ``token_count``.
+
+    The JVM expression is the hot-path choice; this Arrow-batched form
+    exists for pipelines that need Python-side tokenizers (e.g. a real
+    BPE vocabulary) — swap the kernel, keep the call site.  Never
+    row-at-a-time.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _count(texts):
+        return texts.fillna("").str.split().str.len().astype("int32")
+
+    # real-object annotations (module uses `from __future__ import
+    # annotations`, whose string hints pandas_udf cannot resolve)
+    _count.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("int")(_count)
+
+
 def fingerprint(col: Column) -> Column:
     """Whole-document fingerprint (rolling-hash analog): md5-derived
     60-bit integer over whitespace-normalized text."""

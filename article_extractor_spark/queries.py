@@ -402,6 +402,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_features(M.documents_as_media(docs))
 
 
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.grouped import source_stats
+
+    return source_stats(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Extraction engine end-to-end (the flagship)
 # ---------------------------------------------------------------------------
@@ -891,6 +897,18 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     "lsh_ann_topk": _lsh_ann_sql(),
     "ivf_ann_topk": _ivf_ann_sql(),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
+    "source_stats": f"""
+WITH slim AS (
+  SELECT source,
+    CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+  round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
+  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM slim GROUP BY source
+""",
     "media_features": """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -933,6 +951,7 @@ QUERY_FNS: dict[str, Query] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "crawl_frontier": q_crawl_frontier,
     "media_features": q_media_features,
+    "source_stats": q_source_stats,
     "extract_interleaved": q_extract_interleaved,
     "extract_spans_full": q_extract_spans_full,
 }

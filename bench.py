@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "crawl_frontier",
     "media_features",
+    "source_stats",
     "manifest_fold",
     "latest_event_per_user",
     "top_orders_per_priority",

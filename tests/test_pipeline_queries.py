@@ -120,3 +120,21 @@ def test_giant_split_branch_matches_default(spark):
     split = split.sort_values("doc_id").reset_index(drop=True)
     assert (base["word_count"] == split["word_count"]).all()
     assert (base["spans_emitted"] == split["spans_emitted"]).all()
+
+
+def test_pandas_udf_token_count_matches_jvm_expr(spark):
+    from article_extractor_spark.functions.text import (
+        token_count,
+        token_count_pudf,
+    )
+    from article_extractor_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    both = docs.select(
+        token_count(F.col("text")).alias("jvm"),
+        token_count_pudf()(F.col("text")).alias("pudf"),
+    )
+    assert both.where(F.col("jvm") != F.col("pudf")).count() == 0
