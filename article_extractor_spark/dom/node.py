@@ -125,14 +125,36 @@ class Node:
         ``.class``, ``[attr]``, ``[attr="v"]``, ``[attr^="v"]``,
         ``[attr*="v"]`` — the full grammar the reference uses
         (SURVEY.md §1.1).
+
+        Inlined iterative walk (no generator) — query() dominates the
+        per-document CPU profile after parsing, and the generator resume
+        cost per node was measurable at corpus scale.
         """
         matchers = compile_selector(selector)
         out: list[Node] = []
-        for node in self.iter_elements():
-            for m in matchers:
-                if m(node):
-                    out.append(node)
-                    break
+        stack = self.children[::-1]
+        pop = stack.pop
+        extend = stack.extend
+        append = out.append
+        if len(matchers) == 1:
+            m = matchers[0]
+            while stack:
+                node = pop()
+                if node.name != TEXT:
+                    if m(node):
+                        append(node)
+                    if node.children:
+                        extend(node.children[::-1])
+            return out
+        while stack:
+            node = pop()
+            if node.name != TEXT:
+                for m in matchers:
+                    if m(node):
+                        append(node)
+                        break
+                if node.children:
+                    extend(node.children[::-1])
         return out
 
     def matches(self, selector: str) -> bool:

@@ -482,6 +482,34 @@ def q_extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transient_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30 transient-404 salvage heuristic (extractor.py:434-455) as a
+    pushed-down pre-filter: documents worth extracting have ≥500 chars
+    of HTML and an article marker."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
+    keep = (F.length("html") >= 500) & (
+        F.col("html").contains("<article")
+        | F.col("html").contains("<main")
+        | F.col("html").contains("</p>")
+    )
+    return corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id"), keep.alias("extractable")
+    )
+
+
+def q_extract_excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28 excerpt through the full engine: run extraction, return the
+    excerpt column; the oracle recomputes the excerpt rule (≤200 chars,
+    word-boundary ≥140, '...') directly from the source text in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
+    result = extract_articles(corpus, min_word_count=10)
+    return result.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "excerpt"
+    )
+
+
 def q_extract_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw flagship: full span output (non-SQL-expressible; the
     driver records a rows-only check — fixture-level span equality is
@@ -748,7 +776,58 @@ FROM documents
 """
 
 
+# The exact page string documents_as_interleaved_corpus + render build
+# (span0 \n <img .../> \n span2) — reconstructed in SQL so extraction-
+# adjacent oracles can predict engine outputs analytically.
+_SQL_PAGE = """
+  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+  || ' - Synth</title></head><body><header class="site-header"><nav>'
+  || '<a href="/">Home</a> <a href="/about">About</a></nav></header>'
+  || '<main><article class="post-content"><h1>Doc ' || CAST(doc_id AS VARCHAR)
+  || '</h1><p>' || text || '</p>' || chr(10)
+  || '<img src="https://cdn.example/img-' || CAST(doc_id AS VARCHAR)
+  || '.jpg" />' || chr(10)
+  || '<p>End of synthetic document body.</p></article></main>'
+  || '<footer class="site-footer"><p>Copyright 2026.</p></footer>'
+  || '</body></html>'
+"""
+
+_TRANSIENT_PREFILTER_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_SQL_PAGE} AS html FROM documents
+)
+SELECT doc_id,
+  (length(html) >= 500 AND (
+     strpos(html, '<article') > 0 OR strpos(html, '<main') > 0
+     OR strpos(html, '</p>') > 0)) AS extractable
+FROM h
+"""
+
+_EXTRACT_EXCERPT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+      || regexp_replace(trim(text), '\\s+', ' ', 'g')
+      || ' End of synthetic document body.' AS ftxt
+  FROM documents
+), c AS (
+  SELECT doc_id, ftxt, substr(ftxt, 1, 200) AS cut FROM t
+), p AS (
+  SELECT doc_id, ftxt, cut,
+    CASE WHEN strpos(reverse(cut), ' ') = 0 THEN 0
+         ELSE length(cut) - strpos(reverse(cut), ' ') + 1 END AS lp
+  FROM c
+)
+SELECT doc_id,
+  CASE WHEN length(ftxt) <= 200 THEN ftxt
+       ELSE rtrim(CASE WHEN lp >= 142 THEN substr(cut, 1, lp - 1)
+                       ELSE cut END) || '...' END AS excerpt
+FROM p
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "transient_prefilter": _TRANSIENT_PREFILTER_SQL,
+    "extract_excerpt": _EXTRACT_EXCERPT_SQL,
     "manifest_fold": """
 SELECT event_type, COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -952,6 +1031,8 @@ QUERY_FNS: dict[str, Query] = {
     "crawl_frontier": q_crawl_frontier,
     "media_features": q_media_features,
     "source_stats": q_source_stats,
+    "transient_prefilter": q_transient_prefilter,
+    "extract_excerpt": q_extract_excerpt,
     "extract_interleaved": q_extract_interleaved,
     "extract_spans_full": q_extract_spans_full,
 }
