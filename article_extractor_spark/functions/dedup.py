@@ -194,6 +194,43 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.2
+) -> DataFrame:
+    """The full near-dup pipeline: LSH candidate pairs → exact word-set
+    Jaccard verification → keep pairs ≥ threshold.
+
+    The candidate step bounds the quadratic work (LSH buckets), the
+    verify step joins each candidate pair against the two word sets —
+    this candidates-then-verify shape is the one that survives 100 TB.
+    """
+    pairs = minhash_lsh_pairs(docs, text_col)
+    words = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(ws_tokens(normalized_text(F.col(text_col)))).alias(
+            "wordset"
+        ),
+    )
+    wa = words.alias("wa")
+    wb = words.alias("wb")
+    return (
+        pairs.join(wa, pairs.doc_a == F.col("wa.doc_id"))
+        .join(wb, pairs.doc_b == F.col("wb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("wa.wordset", "wb.wordset")).cast(
+                    "double"
+                )
+                / F.size(F.array_union("wa.wordset", "wb.wordset")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 SIMHASH_BITS = 16
 
 

@@ -89,6 +89,39 @@ def lsh_bucket(col: Column) -> Column:
     return bucket
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.95, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Vectors are bucketed by random-hyperplane LSH first so the pairwise
+    cosine runs only within buckets (near-identical vectors land in the
+    same bucket with high probability); pairs with cosine ≥ threshold
+    survive.  The bucket join shuffles each vector once — never the
+    full cross product.
+    """
+    with_bucket = emb.select(
+        F.col("vec_id"),
+        quantized(F.col(vec_col)).alias("qv"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_sim(F.col("a.qv"), F.col("b.qv")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 N_CENTROIDS = 8
 
 

@@ -336,6 +336,16 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_verified_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load(spark, sf_dir, "documents"))
 
@@ -558,8 +568,7 @@ def _minhash_sql() -> str:
     banded = " UNION ALL ".join(band_rows)
     norm = _NORM.format(c="text")
     toks = _TOKS.format(c=norm)
-    return f"""
-WITH toks AS (
+    ctes = f"""toks AS (
   SELECT doc_id, {norm} AS t, {toks} AS w FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -575,10 +584,33 @@ WITH toks AS (
   SELECT doc_id, {', '.join(mins)} FROM bases
 ), banded AS (
   {banded}
+), mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)"""
+    return ctes
+
+
+def _minhash_pairs_sql() -> str:
+    return f"WITH {_minhash_sql()}\nSELECT doc_a, doc_b FROM mh_pairs"
+
+
+def _minhash_verified_sql(threshold: float = 0.2) -> str:
+    wordset = f"list_distinct({_TOKS.format(c=_NORM.format(c='text'))})"
+    return f"""
+WITH {_minhash_sql()}, words AS (
+  SELECT doc_id, {wordset} AS wordset FROM documents
+), verified AS (
+  SELECT p.doc_a, p.doc_b,
+    round(CAST(len(list_intersect(wa.wordset, wb.wordset)) AS DOUBLE)
+          / len(list_distinct(list_concat(wa.wordset, wb.wordset))),
+          6) AS jaccard
+  FROM mh_pairs p
+  JOIN words wa ON p.doc_a = wa.doc_id
+  JOIN words wb ON p.doc_b = wb.doc_id
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
@@ -760,6 +792,38 @@ WITH RECURSIVE edges AS (
   WHERE r.depth < 3
 )
 SELECT doc_id, CAST(MIN(depth) AS INT) AS depth FROM reach GROUP BY doc_id
+"""
+
+
+def _embedding_neardup_sql(threshold: float = 0.3) -> str:
+    plane_projs = []
+    for j in range(S.N_PLANES):
+        proj = (
+            "list_aggregate(list_transform(range(1, len(q) + 1), "
+            f"i -> q[i] * (((i - 1) * 31 + {j * 17}) % 7 - 3)), 'sum')"
+        )
+        plane_projs.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    bucket = " + ".join(plane_projs)
+    dot = _IDOT.format(a="p.qa", b="p.qb")
+    na = _IDOT.format(a="p.qa", b="p.qa")
+    nb = _IDOT.format(a="p.qb", b="p.qb")
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS q FROM embeddings
+), bucketed AS (
+  SELECT vec_id, q, CAST({bucket} AS INT) AS bucket FROM base
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.q AS qa, b.q AS qb
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT vec_a, vec_b,
+    round(CAST({dot} AS DOUBLE) /
+          (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6)
+      AS cosine
+  FROM p
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
@@ -959,7 +1023,9 @@ SELECT md5({_NORM.format(c='text')}) AS content_key,
   MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
 FROM documents GROUP BY 1
 """,
-    "minhash_pairs": _minhash_sql(),
+    "minhash_pairs": _minhash_pairs_sql(),
+    "minhash_verified_pairs": _minhash_verified_sql(),
+    "embedding_neardup": _embedding_neardup_sql(),
     "simhash": _simhash_sql(),
     "jaccard_pairs": f"""
 WITH w AS (
@@ -1023,6 +1089,8 @@ QUERY_FNS: dict[str, Query] = {
     "fingerprints": q_fingerprints,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
+    "embedding_neardup": q_embedding_neardup,
     "simhash": q_simhash,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
