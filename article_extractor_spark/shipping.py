@@ -42,5 +42,11 @@ def ensure_shipped(spark) -> None:
     key = sc.applicationId
     if key in _SHIPPED_APPS:
         return
+    pkg_dir = Path(__file__).resolve().parent
+    if not pkg_dir.is_dir():
+        # already running from a --py-files zip (spark-submit path):
+        # workers received the same zip from the submit command
+        _SHIPPED_APPS.add(key)
+        return
     sc.addPyFile(str(_build_zip()))
     _SHIPPED_APPS.add(key)

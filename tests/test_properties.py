@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the extraction kernel.
+
+The reference has no property tests (SURVEY.md §5); these pin the
+engine's robustness invariants: extraction never raises, outputs are
+structurally valid, spans are ordered and round-trip stable, and the
+kernel is deterministic.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from article_extractor_spark.extract.pipeline import (
+    ExtractOptions,
+    extract_document,
+)
+
+OPTS = ExtractOptions(min_word_count=5)
+
+# HTML-ish soup: tags from a small alphabet, text chunks, entities,
+# broken fragments — deliberately malformed
+_tag = st.sampled_from(
+    ["div", "p", "article", "main", "span", "a", "img", "script", "nav",
+     "li", "ul", "table", "h1", "style", "figure"]
+)
+_chunk = st.one_of(
+    st.text(max_size=40),
+    _tag.map(lambda t: f"<{t}>"),
+    _tag.map(lambda t: f"</{t}>"),
+    _tag.map(lambda t: f'<{t} class="c{hash(t) % 7}">'),
+    st.sampled_from(["&amp;", "&#65;", "&nbsp;", "<!--x-->", "<!DOCTYPE html>",
+                     '<img src="https://h/a.jpg">', "<p", "</", ">>"]),
+)
+_soup = st.lists(_chunk, max_size=60).map("".join)
+
+
+@given(_soup)
+@settings(max_examples=150, deadline=None)
+def test_extract_never_raises_and_output_is_well_formed(html):
+    result = extract_document(html, url="https://example.com/x", options=OPTS)
+    assert isinstance(result["success"], bool)
+    assert isinstance(result["title"], str)
+    assert result["word_count"] >= 0
+    offsets = [s["offset"] for s in result["spans"]]
+    assert offsets == sorted(offsets) == list(range(len(offsets)))
+    for s in result["spans"]:
+        assert s["kind"] in ("text", "media")
+        if s["kind"] == "media":
+            assert s["media_ref"]
+
+
+@given(_soup)
+@settings(max_examples=50, deadline=None)
+def test_extract_is_deterministic(html):
+    a = extract_document(html, url="https://example.com/x", options=OPTS)
+    b = extract_document(html, url="https://example.com/x", options=OPTS)
+    assert a == b
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_extract_accepts_arbitrary_bytes(data):
+    result = extract_document(data, url="https://example.com/x", options=OPTS)
+    assert isinstance(result["success"], bool)
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_excerpt_invariants(text):
+    from article_extractor_spark.extract.pipeline import _excerpt
+
+    out = _excerpt(text)
+    assert len(out) <= 204  # 200 + "..."
+    # whitespace-normalized prefix relationship
+    normalized = " ".join(text.split())
+    if len(normalized) <= 200:
+        assert out == normalized
+    else:
+        assert out.endswith("...")
