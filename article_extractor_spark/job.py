@@ -75,12 +75,24 @@ def run_extraction_job(
 
     t0 = time.time()
     docs_done = 0
+    observed: list[dict] = []
     waves = max(1, min(waves, len(todo))) if todo else 0
     for wave_idx in range(waves):
         wave_buckets = todo[wave_idx::waves]
         wave_df = corpus.where(F.col("bucket").isin(wave_buckets))
         extracted = extract_articles(
             wave_df, min_word_count=min_word_count
+        )
+        # free metrics piggybacked on the write action (D21 analog:
+        # observability.py counters) — no extra pass over the data
+        from pyspark.sql import Observation
+
+        obs = Observation(f"wave-{wave_idx}")
+        extracted = extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum((~F.col("success")).cast("long")).alias("failures"),
+            F.sum("spans_emitted").alias("spans"),
         )
         # re-derive bucket from doc_id (mapInPandas output dropped it);
         # same hash → same bucket, no join needed
@@ -100,8 +112,10 @@ def run_extraction_job(
             output_path,
         )
         docs_done += sum(r["docs_in"] for r in lineage_rows)
+        observed.append({"wave": wave_idx, **obs.get})
 
     return {
+        "observed_metrics": observed,
         "run_id": run_id,
         "buckets_total": n_buckets,
         "buckets_skipped": len(committed),
