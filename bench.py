@@ -64,16 +64,39 @@ def main() -> int:
         force(QUERY_FNS[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    extract_sec = timings["extract_spans_full"]
+    # sustained extraction throughput: replicate the documents table 10×
+    # so the measurement is compute-bound, not fixed-cost-bound
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.operators.extraction import extract_articles
+    from article_extractor_spark.queries import (
+        documents_as_interleaved_corpus,
+        render_spans_to_html,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    rep = 10
+    replicated = (
+        docs.crossJoin(spark.range(rep).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.col("doc_id") * rep + F.col("rep"))
+        .drop("rep")
+        .repartition(spark.sparkContext.defaultParallelism * 4)
+    )
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(replicated))
+    t0 = time.time()
+    force(extract_articles(corpus, min_word_count=10))
+    sustained_sec = time.time() - t0
+    timings["extract_sustained"] = round(sustained_sec, 3)
+
     result = {
         "metric": "total bench seconds (headline queries)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "extraction_docs_per_sec": round(n_docs / extract_sec, 1)
-        if extract_sec
+        "extraction_docs_per_sec": round(n_docs * rep / sustained_sec, 1)
+        if sustained_sec
         else None,
         "cores": spark.sparkContext.defaultParallelism,
     }
