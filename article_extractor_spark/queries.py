@@ -188,6 +188,23 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming module's watermarked tumbling-window aggregation
+    run in batch (identical plan; see streaming/ingest.py) — hour
+    windows per user."""
+    from .streaming.ingest import windowed_event_rates
+
+    ev = load(spark, sf_dir, "events")
+    rates = windowed_event_rates(ev)
+    return rates.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "user_id",
+        "n_events",
+    )
+
+
 def _synth_url() -> F.Column:
     """Deterministic messy URL per document (JVM-side concat) used by
     the URL-operator demos: mixed-case scheme/host, query, fragment."""
@@ -952,6 +969,11 @@ SELECT user_id,
   COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 """,
+    "windowed_event_rates": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  user_id, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
     "url_normalize": """
 WITH u AS (
   SELECT doc_id,
@@ -1078,6 +1100,7 @@ QUERY_FNS: dict[str, Query] = {
     "customers_without_orders": q_customers_without_orders,
     "pricing_summary": q_pricing_summary,
     "events_hourly": q_events_hourly,
+    "windowed_event_rates": q_windowed_event_rates,
     "url_normalize": q_url_normalize,
     "link_extraction": q_link_extraction,
     "url_hashes": q_url_hashes,
