@@ -17,13 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from article_extractor_spark.queries import ORACLE_SQL, QUERY_FNS  # noqa: E402
+from article_extractor_spark.queries import (  # noqa: E402
+    ORACLE_SQL,
+    QUERY_FNS,
+    extract_spans_raw,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction over an interleaved text+media span
-    corpus built from /root/testdata/sf0.001/documents.parquet."""
-    return QUERY_FNS["extract_spans_full"](spark, "/root/testdata/sf0.001")
+    corpus built from /root/testdata/sf0.001/documents.parquet.
+    Returns the raw nested span output; the registered
+    ``extract_spans_full`` query serializes the nested columns for the
+    driver's canonicalization."""
+    return extract_spans_raw(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -122,6 +122,9 @@ def _failure(url: str, title: str, error: str, nodes_scored: int = 0) -> dict:
         "nodes_scored": nodes_scored,
         "content_html": "",
         "markdown": "",
+        "author": None,
+        "date_published": None,
+        "language": None,
     }
 
 
@@ -237,4 +240,9 @@ def _extract_inner(
         "nodes_scored": nodes_scored,
         "content_html": content_html,
         "markdown": markdown,
+        # Declared by the reference's ArticleResult (types.py:28-30) but
+        # never populated there either — schema parity, default None.
+        "author": None,
+        "date_published": None,
+        "language": None,
     }

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hof import let as _hof_let
 from .text import md5_int, ws_tokens
 
 # MinHash configuration: 12 hash functions → 4 bands × 3 rows.
@@ -52,17 +53,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _let(value: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate ``value`` ONCE and
-    reference it as a lambda variable inside ``body``.
-
-    Higher-order functions are interpreted (CodegenFallback) with no
-    common-subexpression elimination, so an expression tree referenced
-    N times is evaluated N times; binding via single-element array +
-    transform makes every reference an O(1) variable lookup.  (Measured:
-    shingling 5000 docs dropped 20 s → sub-second.)
-    """
-    return F.element_at(F.transform(F.array(value), body), 1)
+# Let-binding for Column expressions (see functions/hof.py for why this
+# matters inside interpreted higher-order functions).
+_let = _hof_let
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
@@ -135,19 +128,38 @@ def minhash_signature(col: Column, h: int = MINHASH_H) -> Column:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+BUCKET_CAP = 64
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
-    signature → LSH_BANDS band hashes → explode → groupBy
-    (band, band_hash) collecting bucket members → in-bucket pair
-    expansion → distinct (doc_a, doc_b) with doc_a < doc_b.
+    signature → LSH_BANDS band hashes → explode → cap bucket membership
+    at ``bucket_cap`` → groupBy (band, band_hash) collecting members →
+    in-bucket pair expansion → distinct (doc_a, doc_b) with
+    doc_a < doc_b.
 
     One scan computes signatures once; one shuffle groups band buckets
     (a self-join would compute the signature pipeline twice and shuffle
-    both sides).  Bucket sizes are LSH-bounded, so the in-bucket
-    quadratic expansion stays small; at 100 TB scale add a bucket-size
-    cap + salt for adversarial buckets.
+    both sides).
+
+    Adversarial-bucket guard (the 100 TB failure mode): a corpus with
+    millions of identical documents puts them all in one band bucket,
+    making the in-bucket expansion quadratic and the collected member
+    list unbounded.  The ``row_number`` cap keeps only the first
+    ``bucket_cap`` members per bucket (deterministic: smallest doc_ids)
+    BEFORE any list is collected, bounding per-bucket state at
+    C(cap, 2) pairs.  The cap ranking shuffles on the same
+    (band, band_hash) key the groupBy needs, so Spark reuses the
+    exchange — the cap costs one spillable in-partition sort, not a
+    second shuffle.  Members beyond the cap are dropped; at that bucket
+    density the documents are near-identical and exact_dedup already
+    collapses them.
     """
+    from pyspark.sql.window import Window
+
     sig = docs.select(
         F.col("doc_id"),
         minhash_signature(F.col(text_col)).alias("sig"),
@@ -172,8 +184,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("bb.band_hash").alias("band_hash"),
     )
 
+    capped = banded.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("band", "band_hash").orderBy("doc_id")
+        ),
+    ).where(F.col("rn") <= bucket_cap)
     buckets = (
-        banded.groupBy("band", "band_hash")
+        capped.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )

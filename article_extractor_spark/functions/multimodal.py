@@ -86,18 +86,74 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — requires an image codec library (not in this
-    container). The mapInPandas plumbing is the same as
-    ``media_features``; only the kernel differs."""
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def has_image_codec() -> bool:
+    """Capability probe: True when Pillow is importable.  The decode
+    kernel activates automatically when a codec lib is dropped into the
+    environment — no code change needed (tests skip-unless-codec)."""
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
+
+        return True
+    except ImportError:  # pragma: no cover - environment-dependent
+        return False
+
+
+def _decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:  # pragma: no cover - needs codec lib
+    import io
+
+    from PIL import Image
+
+    for batch in batches:
+        rows = []
+        for payload in batch["payload"]:
+            try:
+                img = Image.open(io.BytesIO(payload or b""))
+                rows.append((img.width, img.height, img.mode, True))
+            except Exception:  # noqa: BLE001 - bad bytes → row, not crash
+                rows.append((None, None, None, False))
+        out = pd.DataFrame(
+            rows, columns=["width", "height", "mode", "decode_ok"]
+        )
+        out.insert(0, "doc_id", batch["doc_id"].values)
+        yield out
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real image decode (Pillow kernel), gated on ``has_image_codec``.
+
+    Identical Spark plumbing to ``media_features`` — prune to
+    (doc_id, payload), one Arrow-batched mapInPandas stage, bad bytes
+    become ``decode_ok=false`` rows instead of task deaths.  This
+    container ships no codec libs, so the call raises
+    ``NotImplementedError`` here; installing Pillow activates it with
+    no code change (tests/test_pipeline_queries.py documents the gate).
+    """
+    if not has_image_codec():
         raise NotImplementedError(
             "image decode requires Pillow; container has no codec libs — "
             "use media_features() for the tested plumbing"
-        ) from exc
-    raise NotImplementedError("real decode kernel lands with codec libs")
+        )
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    pruned = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+    return pruned.mapInPandas(_decode_batches, schema=DECODED_IMAGE_SCHEMA)
 
 
 def sample_frames(

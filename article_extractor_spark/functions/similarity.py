@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hof import let
+
 N_PLANES = 8
 QUANT = 1000
 
@@ -40,11 +42,21 @@ def int_dot(a: Column, b: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine over quantized vectors, rounded to 6 decimals."""
-    dot = int_dot(a, b).cast("double")
-    na = F.sqrt(int_dot(a, a).cast("double"))
-    nb = F.sqrt(int_dot(b, b).cast("double"))
-    return F.round(dot / (na * nb), 6)
+    """Cosine over quantized vectors, rounded to 6 decimals.
+
+    Both inputs are let-bound first: the dot + two norms reference each
+    vector three times, and HOFs are interpreted with no CSE — an
+    unbound ``quantized(col)`` argument would be re-evaluated per
+    reference (and Catalyst's CollapseProject re-inlines projected
+    columns, so pre-projecting doesn't protect either)."""
+
+    def _scored(av: Column, bv: Column) -> Column:
+        dot = int_dot(av, bv).cast("double")
+        na = F.sqrt(int_dot(av, av).cast("double"))
+        nb = F.sqrt(int_dot(bv, bv).cast("double"))
+        return F.round(dot / (na * nb), 6)
+
+    return let(a, lambda av: let(b, lambda bv: _scored(av, bv)))
 
 
 def cosine_topk(
@@ -70,23 +82,51 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
-def plane_weight(i: Column, j: int) -> Column:
+def plane_weight(i: Column, j: Column | int) -> Column:
     """Deterministic pseudo-random hyperplane weights in [-3, 3]:
-    w(i, j) = ((i*31 + j*17) % 7) - 3 (shared with SQL oracles)."""
-    return F.pmod(i * 31 + F.lit(j * 17), F.lit(7)) - 3
+    w(i, j) = ((i*31 + j*17) % 7) - 3 (shared with SQL oracles).
+    ``j`` may be a Python int or a lambda-variable Column (plane index
+    inside the single-fold ``lsh_bucket``)."""
+    return F.pmod(i * 31 + j * 17, F.lit(7)) - 3
 
 
 def lsh_bucket(col: Column) -> Column:
     """Sign-of-projection LSH bucket id over N_PLANES hyperplanes,
-    computed on the quantized vector (exact integer dot)."""
-    qv = quantized(col)
-    idx = F.sequence(F.lit(0), F.size(qv) - 1)
-    bucket = F.lit(0)
-    for j in range(N_PLANES):
-        plane = F.transform(idx, lambda i: plane_weight(i, j))
-        proj = int_dot(qv, plane)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+    computed on the quantized vector (exact integer dot).
+
+    Single-pass fold: one aggregate over the vector updates all
+    N_PLANES running projections per element, then the finish lambda
+    converts signs to the bucket bitmask.  (Round 1 computed each
+    plane's projection as a separate ``int_dot``, re-evaluating the
+    interpreted ``quantized`` transform 8× per row — the exact HOF
+    pitfall ``functions/hof.py`` documents; hoisting made this the
+    cheapest ANN stage instead of the slowest.)"""
+    bits = F.array(*[F.lit(1 << j).cast("long") for j in range(N_PLANES)])
+    return let(
+        quantized(col),
+        lambda qv: F.aggregate(
+            F.zip_with(
+                qv,
+                F.sequence(F.lit(0), F.size(qv) - 1),
+                lambda v, i: F.struct(v.alias("v"), i.alias("i")),
+            ),
+            F.array_repeat(F.lit(0).cast("long"), N_PLANES),
+            lambda acc, p: F.transform(
+                acc, lambda d, j: d + p["v"] * plane_weight(p["i"], j)
+            ),
+            lambda acc: F.aggregate(
+                F.zip_with(
+                    acc,
+                    bits,
+                    lambda d, bit: F.when(d > 0, bit).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            ).cast("int"),
+        ),
+    )
 
 
 def embedding_neardup_pairs(

@@ -41,11 +41,17 @@ def run_extraction_job(
     waves: int = 4,
     min_word_count: int = 150,
     resume: bool = True,
+    audit_readback: bool = False,
 ) -> dict:
     """Run (or resume) extraction over a corpus table.
 
     Returns job stats: buckets processed/skipped, docs, wall seconds.
+    ``audit_readback=True`` re-reads each wave's written output to build
+    lineage from the files on disk (verifying the write) instead of the
+    free write-side observation — an audit mode, not the default, since
+    it costs a second pass over the output bytes.
     """
+    prev_mpb: str | None = None
     if isinstance(corpus, str):
         # CPU-bound UDF stage: size scan partitions for compute, not IO.
         # With the default 128m maxPartitionBytes a small corpus
@@ -54,13 +60,125 @@ def run_extraction_job(
         # Target ~6 waves of tasks per core (fine-grained enough that
         # giant-document skew can't leave a long straggler tail),
         # clamped to [1m, 256m]; at 100 TB the clamp leaves the normal
-        # large-scan behavior.
+        # large-scan behavior.  The session-global override is restored
+        # on exit (try/finally below) so later reads on a shared session
+        # don't inherit tiny scan partitions.
         total_bytes = tableio.dir_size_bytes(spark, corpus)
         cores = spark.sparkContext.defaultParallelism
         target = min(max(total_bytes // (cores * 6), 1 << 20), 256 << 20)
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
         corpus = tableio.read_table(spark, corpus)
 
+    try:
+        return _run_waves(
+            spark,
+            corpus,
+            output_path,
+            run_id=run_id,
+            n_buckets=n_buckets,
+            waves=waves,
+            min_word_count=min_word_count,
+            resume=resume,
+            audit_readback=audit_readback,
+        )
+    finally:
+        if prev_mpb is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+_METRIC_COLS = (
+    "docs_in",
+    "docs_ok",
+    "parse_failures",
+    "nodes_scored",
+    "spans_emitted",
+    "proc_us",
+)
+
+
+def _bucket_metrics(wave_buckets: list[int]) -> list:
+    """Per-bucket conditional aggregates for one wave's Observation —
+    lineage metrics ride the write action for free (D21 analog:
+    observability.py counters), no second pass over the output."""
+    metrics = []
+    for b in wave_buckets:
+        cond = F.col("bucket") == b
+        metrics.extend(
+            [
+                F.sum(cond.cast("long")).alias(f"b{b}_docs_in"),
+                F.sum(
+                    F.when(cond, F.col("success").cast("long")).otherwise(0)
+                ).alias(f"b{b}_docs_ok"),
+                F.sum(
+                    F.when(cond, (~F.col("success")).cast("long")).otherwise(0)
+                ).alias(f"b{b}_parse_failures"),
+                F.sum(F.when(cond, F.col("nodes_scored")).otherwise(0)).alias(
+                    f"b{b}_nodes_scored"
+                ),
+                F.sum(F.when(cond, F.col("spans_emitted")).otherwise(0)).alias(
+                    f"b{b}_spans_emitted"
+                ),
+                F.sum(F.when(cond, F.col("proc_us")).otherwise(0)).alias(
+                    f"b{b}_proc_us"
+                ),
+                F.min(F.when(cond, F.col("doc_id"))).alias(
+                    f"b{b}_doc_id_min"
+                ),
+                F.max(F.when(cond, F.col("doc_id"))).alias(
+                    f"b{b}_doc_id_max"
+                ),
+            ]
+        )
+    return metrics
+
+
+def _lineage_rows_from_observation(
+    vals: dict, wave_buckets: list[int], run_id: str
+) -> list[tuple]:
+    from datetime import datetime, timezone
+
+    now = datetime.now(timezone.utc)
+    rows = []
+    for b in wave_buckets:
+        if not vals[f"b{b}_docs_in"]:
+            # no docs seen for this bucket: do NOT commit it.  The wave
+            # filter can't distinguish "bucket genuinely empty" from
+            # "bucket missing from a partial/filtered corpus" (e.g. a
+            # killed job's remnant), so an absent bucket stays
+            # uncommitted and resume re-examines it — same contract as
+            # the read-back path, which only saw written buckets.
+            continue
+        rows.append(
+            (
+                run_id,
+                b,
+                vals[f"b{b}_doc_id_min"],
+                vals[f"b{b}_doc_id_max"],
+                int(vals[f"b{b}_docs_in"] or 0),
+                int(vals[f"b{b}_docs_ok"] or 0),
+                int(vals[f"b{b}_parse_failures"] or 0),
+                int(vals[f"b{b}_nodes_scored"] or 0),
+                int(vals[f"b{b}_spans_emitted"] or 0),
+                int(vals[f"b{b}_proc_us"] or 0) // 1000,
+                now,
+            )
+        )
+    return rows
+
+
+def _run_waves(
+    spark: SparkSession,
+    corpus: DataFrame,
+    output_path: str,
+    *,
+    run_id: str,
+    n_buckets: int,
+    waves: int,
+    min_word_count: int,
+    resume: bool,
+    audit_readback: bool,
+) -> dict:
     if "bucket" not in corpus.columns:
         corpus = tableio.with_bucket(corpus, "doc_id", n_buckets)
     if "html" not in corpus.columns:
@@ -83,36 +201,54 @@ def run_extraction_job(
         extracted = extract_articles(
             wave_df, min_word_count=min_word_count
         )
-        # free metrics piggybacked on the write action (D21 analog:
-        # observability.py counters) — no extra pass over the data
-        from pyspark.sql import Observation
-
-        obs = Observation(f"wave-{wave_idx}")
-        extracted = extracted.observe(
-            obs,
-            F.count(F.lit(1)).alias("docs"),
-            F.sum((~F.col("success")).cast("long")).alias("failures"),
-            F.sum("spans_emitted").alias("spans"),
-        )
         # re-derive bucket from doc_id (mapInPandas output dropped it);
         # same hash → same bucket, no join needed
         extracted = tableio.with_bucket(extracted, "doc_id", n_buckets)
+        # lineage metrics piggyback on the write action via per-bucket
+        # conditional aggregates — the job does exactly ONE pass over
+        # each wave's output bytes (round 1 re-read the written parquet
+        # to build lineage: a full second output pass at 100 TB)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"wave-{wave_idx}")
+        extracted = extracted.observe(obs, *_bucket_metrics(wave_buckets))
         tableio.write_bucketed(
-            extracted, output_path, mode="overwrite", dynamic=True
+            extracted,
+            output_path,
+            mode="overwrite",
+            dynamic=True,
+            n_buckets=n_buckets,
         )
-        # one scan of the written output feeds both the lineage commit
-        # and the progress count (lineage is N_buckets rows — tiny)
-        result = tableio.read_table(spark, output_path).where(
-            F.col("bucket").isin(wave_buckets)
-        )
-        lineage = tableio.build_lineage(result, run_id)
-        lineage_rows = lineage.collect()
+        vals = obs.get
+        if audit_readback:
+            # optional audit mode: re-derive lineage from the written
+            # output and prefer it (verifies the write landed complete)
+            result = tableio.read_table(spark, output_path).where(
+                F.col("bucket").isin(wave_buckets)
+            )
+            audit_rows = tableio.build_lineage(result, run_id).collect()
+            lineage_rows = [tuple(r) for r in audit_rows]
+        else:
+            lineage_rows = _lineage_rows_from_observation(
+                vals, wave_buckets, run_id
+            )
         tableio.append_lineage(
             spark.createDataFrame(lineage_rows, tableio.LINEAGE_SCHEMA),
             output_path,
         )
-        docs_done += sum(r["docs_in"] for r in lineage_rows)
-        observed.append({"wave": wave_idx, **obs.get})
+        docs_done += sum(r[4] for r in lineage_rows)  # docs_in ordinal
+        observed.append(
+            {
+                "wave": wave_idx,
+                "docs": sum(int(vals[f"b{b}_docs_in"] or 0) for b in wave_buckets),
+                "failures": sum(
+                    int(vals[f"b{b}_parse_failures"] or 0) for b in wave_buckets
+                ),
+                "spans": sum(
+                    int(vals[f"b{b}_spans_emitted"] or 0) for b in wave_buckets
+                ),
+            }
+        )
 
     return {
         "observed_metrics": observed,
@@ -158,6 +294,7 @@ def main(argv: list[str] | None = None) -> int:
         tableio.write_bucketed(
             df, args.out, dynamic=False,
             files_per_bucket=args.files_per_bucket,
+            n_buckets=args.buckets,
         )
         print(f"wrote {args.docs} docs to {args.out}")
         return 0

@@ -33,12 +33,22 @@ ARTICLE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType()),
         T.StructField("url", T.StringType()),
         T.StructField("title", T.StringType()),
+        # reference ArticleResult metadata (types.py:28-30) — declared
+        # there and never populated; schema parity, nullable strings
+        T.StructField("author", T.StringType()),
+        T.StructField("date_published", T.StringType()),
+        T.StructField("language", T.StringType()),
         T.StructField("spans", SPAN_TYPE),
         T.StructField("word_count", T.IntegerType()),
         T.StructField("excerpt", T.StringType()),
         T.StructField("success", T.BooleanType()),
         T.StructField("error", T.StringType()),
         T.StructField("warnings", T.ArrayType(T.StringType())),
+        # rendered outputs (reference extractor.py:344-346); empty
+        # unless emit_html / emit_markdown is set — giant strings only
+        # cross the Arrow boundary when a sink actually wants them
+        T.StructField("content_html", T.StringType()),
+        T.StructField("markdown", T.StringType()),
         T.StructField("nodes_scored", T.IntegerType()),
         T.StructField("spans_emitted", T.IntegerType()),
         # per-document extraction CPU time (µs) — feeds per-partition
@@ -69,12 +79,17 @@ def _arrow_schema():
             ("doc_id", pa.string()),
             ("url", pa.string()),
             ("title", pa.string()),
+            ("author", pa.string()),
+            ("date_published", pa.string()),
+            ("language", pa.string()),
             ("spans", span),
             ("word_count", pa.int32()),
             ("excerpt", pa.string()),
             ("success", pa.bool_()),
             ("error", pa.string()),
             ("warnings", pa.list_(pa.string())),
+            ("content_html", pa.string()),
+            ("markdown", pa.string()),
             ("nodes_scored", pa.int32()),
             ("spans_emitted", pa.int32()),
             ("proc_us", pa.int64()),
@@ -82,7 +97,13 @@ def _arrow_schema():
     )
 
 
-def _batch_extract(batches, min_word_count: int, safe_output: bool):
+def _batch_extract(
+    batches,
+    min_word_count: int,
+    safe_output: bool,
+    emit_html: bool,
+    emit_markdown: bool,
+):
     """Executor-side Arrow batch function (mapInArrow: no pandas object
     inference on the nested span structs — measured ~40% of stage time).
     Imports resolve on the worker; regexes in extract.rules compile once
@@ -93,13 +114,19 @@ def _batch_extract(batches, min_word_count: int, safe_output: bool):
 
     from ..extract.pipeline import ExtractOptions, extract_document
 
-    opts = ExtractOptions(min_word_count=min_word_count, safe_output=safe_output)
+    opts = ExtractOptions(
+        min_word_count=min_word_count,
+        safe_output=safe_output,
+        emit_html=emit_html,
+        emit_markdown=emit_markdown,
+    )
     schema = _arrow_schema()
+    n_fields = len(schema) - 2  # all but doc_id/url come from the result
     for batch in batches:
         doc_ids = batch.column("doc_id").to_pylist()
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
-        cols: list[list] = [[] for _ in range(10)]
+        cols: list[list] = [[] for _ in range(n_fields)]
         for url, html in zip(urls, htmls):
             t0 = perf_counter()
             result = extract_document(html or "", url=url or "", options=opts)
@@ -108,12 +135,17 @@ def _batch_extract(batches, min_word_count: int, safe_output: bool):
             for idx, val in enumerate(
                 (
                     result["title"],
+                    result["author"],
+                    result["date_published"],
+                    result["language"],
                     spans,
                     result["word_count"],
                     result["excerpt"],
                     result["success"],
                     result["error"],
                     result["warnings"],
+                    result["content_html"],
+                    result["markdown"],
                     result["nodes_scored"],
                     len(spans),
                     elapsed_us,
@@ -138,6 +170,8 @@ def extract_articles(
     html_col: str = "html",
     min_word_count: int = 150,
     safe_output: bool = True,
+    emit_html: bool = False,
+    emit_markdown: bool = False,
     giant_threshold: int | None = None,
 ) -> DataFrame:
     """Run main-content extraction over a corpus DataFrame.
@@ -166,7 +200,9 @@ def extract_articles(
     )
 
     def runner(batches):
-        return _batch_extract(batches, min_word_count, safe_output)
+        return _batch_extract(
+            batches, min_word_count, safe_output, emit_html, emit_markdown
+        )
 
     if giant_threshold is None:
         return pruned.mapInArrow(runner, schema=ARTICLE_SCHEMA)
@@ -180,6 +216,31 @@ def extract_articles(
         .mapInArrow(runner, schema=ARTICLE_SCHEMA)
     )
     return normal.unionByName(giants)
+
+
+def to_server_response(articles: DataFrame) -> DataFrame:
+    """readability-js-server wire-model view (reference server.py:399-411
+    ExtractionResponse): pure column mapping over the extraction output —
+    run ``extract_articles(..., emit_html=True, emit_markdown=True)``
+    upstream so ``content``/``markdown`` are populated.
+
+    Field mapping mirrors the reference exactly: byline=author,
+    dir='ltr' (hardcoded there too), length=len(content),
+    siteName=None (never populated there either).
+    """
+    return articles.select(
+        "url",
+        "title",
+        F.col("author").alias("byline"),
+        F.lit("ltr").alias("dir"),
+        F.col("content_html").alias("content"),
+        F.length("content_html").alias("length"),
+        "excerpt",
+        F.lit(None).cast("string").alias("siteName"),
+        "markdown",
+        "word_count",
+        "success",
+    )
 
 
 def render_spans_to_html(df: DataFrame, spans_col: str = "spans") -> DataFrame:

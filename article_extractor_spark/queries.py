@@ -23,7 +23,11 @@ from .functions import dedup as D
 from .functions import multimodal as M
 from .functions import similarity as S
 from .functions import text as X
-from .operators.extraction import extract_articles, render_spans_to_html
+from .operators.extraction import (
+    extract_articles,
+    render_spans_to_html,
+    to_server_response,
+)
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -376,23 +380,35 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _crawl_frontier(
+    spark: SparkSession, sf_dir: str, max_depth: int
+) -> DataFrame:
     """D6 BFS crawl frontier (crawler.py:754-834): iterative per-depth
     expansion with a broadcast frontier and a left-anti visited join —
     the distributed form of the reference's queue-based crawler.  Link
     graph is synthesized deterministically from the documents table
-    (doc i → (2i+1) mod N, (3i+7) mod N)."""
+    (doc i → (2i+1) mod N, (3i+7) mod N).
+
+    Iterative-plan scale hygiene (round-1 weak spot): the two edges per
+    document come from ONE scan (explode, not a union of two scans);
+    the corpus count runs once and parameterizes every depth; and each
+    depth's new frontier is ``localCheckpoint``-ed so the lineage is
+    truncated — without it the union plan tree and the recomputed
+    frontier chain grow super-linearly with depth (each iteration
+    re-derives all prior ones), which is fatal at real crawl depths.
+    """
     docs = load(spark, sf_dir, "documents")
-    n = docs.count()
+    n = docs.count()  # one action; parameterizes the modular edge graph
     src = F.col("doc_id")
     edges = docs.select(
-        src.alias("src"), ((src * 2 + 1) % n).alias("dst")
-    ).unionByName(
-        docs.select(src.alias("src"), ((src * 3 + 7) % n).alias("dst"))
+        src.alias("src"),
+        F.explode(F.array((src * 2 + 1) % n, (src * 3 + 7) % n)).alias(
+            "dst"
+        ),
     )
     visited = spark.createDataFrame([(0, 0)], "doc_id long, depth int")
     frontier = visited.select("doc_id")
-    for depth in range(1, 4):
+    for depth in range(1, max_depth + 1):
         nxt = (
             edges.join(
                 F.broadcast(frontier), edges.src == frontier.doc_id
@@ -401,10 +417,20 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited, "doc_id", "left_anti")
             .withColumn("depth", F.lit(depth))
-        )
+        ).localCheckpoint(eager=True)
         visited = visited.unionByName(nxt)
         frontier = nxt.select("doc_id")
     return visited
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _crawl_frontier(spark, sf_dir, max_depth=3)
+
+
+def q_crawl_frontier_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-8 BFS — evidence that per-iteration checkpointing keeps
+    cost linear in depth (see _crawl_frontier)."""
+    return _crawl_frontier(spark, sf_dir, max_depth=8)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,7 +471,18 @@ _CLOSING_P = "End of synthetic document body."
 def documents_as_interleaved_corpus(docs: DataFrame) -> DataFrame:
     """Build the input_hint span shape (doc_id, url, spans) from the
     documents table — all JVM-side concat expressions, no UDF: each doc
-    becomes [text(head+h1+p), media(img), text(closing p + footer)]."""
+    becomes [text(head+h1+p), media(img), text(closing p + footer)].
+
+    Corpus-purity assumption (shared by every extraction-adjacent
+    oracle: extract_interleaved / extract_excerpt / extract_markdown /
+    server_response): the driver's document text contains no
+    HTML-special characters ('<', '>', '&'), so embedding it verbatim
+    in the page cannot introduce parse failures or entity-escaping
+    divergence, and the oracles may predict engine outputs analytically
+    (e.g. ``TRUE AS success``).  tests/test_pipeline_queries.py::
+    test_corpus_purity_assumption asserts this holds for the test data;
+    if a future corpus violates it, escape the text here and update the
+    oracles together."""
     title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
     head = F.concat(
         F.lit("<html><head><title>"),
@@ -537,13 +574,183 @@ def q_extract_excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_extract_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The raw flagship: full span output (non-SQL-expressible; the
-    driver records a rows-only check — fixture-level span equality is
-    covered by tests/test_golden_corpus.py)."""
+def extract_spans_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw flagship DataFrame: full nested span output
+    (array<struct>), the shape downstream consumers read.  Used by
+    ``entry()`` and the job path; the driver-facing query below
+    serializes the nested columns so they canonicalize."""
     docs = load(spark, sf_dir, "documents")
     corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
     return extract_articles(corpus, min_word_count=10)
+
+
+def q_extract_spans_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship, driver-facing: same extraction as
+    ``extract_spans_raw`` with the nested ``spans``/``warnings`` columns
+    serialized to JSON — the driver's rows-only canonicalization sorts
+    and hashes cell values, and pandas cannot sort/hash list cells
+    (round-1 red row: TypeError unhashable type 'list').  Span-level
+    value correctness is pinned by the golden fixture corpus
+    (tests/test_golden_corpus.py, span-sequence equality vs reference
+    fixtures, reference contract types.py:16-31)."""
+    result = extract_spans_raw(spark, sf_dir)
+    return result.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "title",
+        "word_count",
+        F.size("spans").alias("n_spans"),
+        F.to_json("spans").alias("spans_json"),
+        F.to_json("warnings").alias("warnings_json"),
+        "success",
+    )
+
+
+RATE_LIMIT_DELAY_US = 1_500_000  # 1.5 s — reference's max backoff
+# (crawler.py:102-131 caps retry delay at 1.5 s; default per-host
+# delay is 1.0 s, docs/reference.md:33-35)
+
+
+def q_rate_limit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 per-host rate limit (crawler.py:45-53, 235-247), replayed in
+    batch with a closed form instead of the reference's sequential
+    next-available loop.
+
+    The limiter dispatches each host's request at
+    ``s_i = max(ts_i, s_{i-1} + D)`` (min spacing D, never before
+    arrival).  Unrolled: ``s_i = max_{j<=i}(ts_j + (i-j)·D)
+    = running_max(ts_j − j·D) + i·D`` — a per-host running window max,
+    fully parallel across hosts (one shuffle on host, no iteration, no
+    UDF).  Output is each request's computed throttle wait in µs."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t = ev.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "base", F.col("ts_us") - F.col("rn") * RATE_LIMIT_DELAY_US
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sched = F.max("base").over(w_run) + F.col("rn") * RATE_LIMIT_DELAY_US
+    return t.select(
+        "user_id",
+        "event_id",
+        (sched - F.col("ts_us")).cast("long").alias("wait_us"),
+    )
+
+
+def q_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over per-(source, bucket) corpus metrics —
+    the one classic aggregation family the reference lacks entirely
+    (SURVEY.md §2.3 "no grouping sets/cube/rollup"); closes the classic
+    operator checklist.  Subtotal rows carry NULL group keys, exactly as
+    ANSI ROLLUP defines them."""
+    docs = load(spark, sf_dir, "documents")
+    slim = docs.select(
+        "source",
+        (F.col("doc_id") % 4).cast("int").alias("bucket"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return slim.rollup("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 sitemap source, batch analog (sitemap_parser.py:19-127): build
+    one urlset XML document per source, then recover every ``<loc>``
+    entry with JVM-side ``regexp_extract_all`` + explode — the
+    distributed form of sitemap URL discovery (network fetch is out of
+    scope; the XML column stands in for the fetched sitemap body)."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    sitemaps = (
+        docs.groupBy("source")
+        .agg(F.array_sort(F.collect_list(url)).alias("urls"))
+        .select(
+            "source",
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.col("urls"),
+                        lambda u: F.concat(
+                            F.lit("<loc>"), u, F.lit("</loc>")
+                        ),
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    locs = sitemaps.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit("<loc>([^<]*)</loc>"), F.lit(1)
+            )
+        ).alias("loc"),
+    )
+    return locs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"), F.min("loc").alias("first_loc")
+    )
+
+
+_EPOCH_ISO = "1970-01-01T00:00:00+00:00"
+
+
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 markdown artifact through the full engine: extraction with
+    ``emit_html``/``emit_markdown`` on, plus the sink's filename +
+    frontmatter document (reference crawler.py:354-423).  The oracle
+    reconstructs every string byte-for-byte from the source text —
+    exact-match evidence that the renderers and the sink template are
+    deterministic."""
+    from .sinks.markdown_sink import markdown_document, markdown_filename
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
+    result = extract_articles(
+        corpus, min_word_count=10, emit_html=True, emit_markdown=True
+    )
+    return result.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "markdown",
+        "content_html",
+        markdown_filename(F.col("url")).alias("md_file"),
+        markdown_document(
+            F.col("url"),
+            F.col("title"),
+            F.col("markdown"),
+            F.col("word_count"),
+            _EPOCH_ISO,
+        ).alias("md_doc"),
+    )
+
+
+def q_server_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-js-server wire view (server.py:399-411): the full
+    extraction mapped onto the server's JSON field names — byline/dir/
+    content/length/siteName — checked field-by-field by the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
+    result = extract_articles(
+        corpus, min_word_count=10, emit_html=True, emit_markdown=True
+    )
+    return to_server_response(result)
 
 
 # ---------------------------------------------------------------------------
@@ -601,10 +808,15 @@ def _minhash_sql() -> str:
   SELECT doc_id, {', '.join(mins)} FROM bases
 ), banded AS (
   {banded}
+), mh_capped AS (
+  SELECT doc_id, band, band_hash,
+    row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+  FROM banded
 ), mh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM mh_capped a JOIN mh_capped b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  WHERE a.rn <= {D.BUCKET_CAP} AND b.rn <= {D.BUCKET_CAP}
 )"""
     return ctes
 
@@ -792,7 +1004,8 @@ LIMIT 10
 """
 
 
-_CRAWL_FRONTIER_SQL = """
+def _crawl_frontier_sql(max_depth: int) -> str:
+    return f"""
 WITH RECURSIVE edges AS (
   SELECT doc_id AS src,
     (doc_id * 2 + 1) % (SELECT COUNT(*) FROM documents) AS dst
@@ -806,10 +1019,13 @@ WITH RECURSIVE edges AS (
   UNION ALL
   SELECT e.dst, r.depth + 1
   FROM reach r JOIN edges e ON e.src = r.doc_id
-  WHERE r.depth < 3
+  WHERE r.depth < {max_depth}
 )
 SELECT doc_id, CAST(MIN(depth) AS INT) AS depth FROM reach GROUP BY doc_id
 """
+
+
+_CRAWL_FRONTIER_SQL = _crawl_frontier_sql(3)
 
 
 def _embedding_neardup_sql(threshold: float = 0.3) -> str:
@@ -906,7 +1122,122 @@ SELECT doc_id,
 FROM p
 """
 
+# Byte-exact reconstructions of the engine's rendered outputs for the
+# synthetic interleaved corpus.  Corpus-purity assumption (shared with
+# _extract_interleaved_sql): the driver's document text contains no
+# HTML-special characters ('<', '>', '&'), so the engine's entity
+# escaping is the identity and these concatenations reproduce the
+# renderer output exactly.
+_WTRIM = (
+    "regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', '')"
+)
+
+# markdown renderer output (dom/node.py to_markdown): h1 + stripped
+# paragraph + image + closing paragraph with the renderer's exact
+# newline runs, outer-stripped.
+_MD_SQL = (
+    "'# Doc ' || CAST(doc_id AS VARCHAR) || repeat(chr(10), 4) || "
+    + _WTRIM
+    + " || repeat(chr(10), 3) || '![](https://cdn.example/img-'"
+    " || CAST(doc_id AS VARCHAR) || '.jpg)'"
+    " || repeat(chr(10), 3) || 'End of synthetic document body.'"
+)
+
+_CONTENT_HTML_SQL = (
+    "'<article class=\"post-content\"><h1>Doc ' || CAST(doc_id AS VARCHAR)"
+    " || '</h1><p>' || text || '</p>' || chr(10)"
+    " || '<img src=\"https://cdn.example/img-' || CAST(doc_id AS VARCHAR)"
+    " || '.jpg\" />' || chr(10)"
+    " || '<p>End of synthetic document body.</p></article>'"
+)
+
+_WC_SQL = (
+    f"CAST(2 + len({_TOKS.format(c='text')})"
+    f" + {len(_CLOSING_P.split())} AS INT)"
+)
+
+_EXCERPT_EXPR = """
+  CASE WHEN length(ftxt) <= 200 THEN ftxt
+       ELSE rtrim(CASE WHEN lp >= 142 THEN substr(cut, 1, lp - 1)
+                       ELSE cut END) || '...' END
+"""
+
+_EXTRACT_MARKDOWN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_MD_SQL} AS markdown,
+    {_CONTENT_HTML_SQL} AS content_html, {_WC_SQL} AS wc
+  FROM documents
+)
+SELECT doc_id, markdown, content_html,
+  'synth.example__docs__' || CAST(doc_id AS VARCHAR) || '.md' AS md_file,
+  '---' || chr(10) || 'url: https://synth.example/docs/'
+    || CAST(doc_id AS VARCHAR)
+    || chr(10) || 'title: "Doc ' || CAST(doc_id AS VARCHAR) || '"'
+    || chr(10) || 'extracted_at: {_EPOCH_ISO}'
+    || chr(10) || 'word_count: ' || CAST(wc AS VARCHAR)
+    || chr(10) || '---' || chr(10) || chr(10) || markdown AS md_doc
+FROM t
+"""
+
+_SERVER_RESPONSE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    'https://synth.example/docs/' || CAST(doc_id AS VARCHAR) AS url,
+    'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+    {_CONTENT_HTML_SQL} AS content,
+    {_MD_SQL} AS markdown,
+    {_WC_SQL} AS word_count,
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+      || regexp_replace(trim(text), '\\s+', ' ', 'g')
+      || ' End of synthetic document body.' AS ftxt
+  FROM documents
+), c AS (
+  SELECT *, substr(ftxt, 1, 200) AS cut FROM t
+), p AS (
+  SELECT *,
+    CASE WHEN strpos(reverse(cut), ' ') = 0 THEN 0
+         ELSE length(cut) - strpos(reverse(cut), ' ') + 1 END AS lp
+  FROM c
+)
+SELECT url, title, CAST(NULL AS VARCHAR) AS byline, 'ltr' AS "dir",
+  content, CAST(length(content) AS INT) AS "length",
+  {_EXCERPT_EXPR} AS excerpt,
+  CAST(NULL AS VARCHAR) AS "siteName",
+  markdown, word_count, TRUE AS success
+FROM p
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "extract_markdown": _EXTRACT_MARKDOWN_SQL,
+    "server_response": _SERVER_RESPONSE_SQL,
+    "lineage_rollup": f"""
+SELECT source, CAST(doc_id % 4 AS INT) AS bucket,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len({_TOKS.format(c='text')})) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY ROLLUP(source, CAST(doc_id % 4 AS INT))
+""",
+    "sitemap_locs": """
+SELECT source, COUNT(*) AS n_urls,
+  MIN('https://' || source || '.example.com/docs/'
+      || CAST(doc_id AS VARCHAR)) AS first_loc
+FROM documents GROUP BY source
+""",
+    "rate_limit_schedule": f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) - 1 AS rn
+  FROM events
+), b AS (
+  SELECT *, ts_us - rn * {RATE_LIMIT_DELAY_US} AS base FROM t
+)
+SELECT user_id, event_id,
+  CAST(max(base) OVER (PARTITION BY user_id ORDER BY rn
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       + rn * {RATE_LIMIT_DELAY_US} - ts_us AS BIGINT) AS wait_us
+FROM b
+""",
     "transient_prefilter": _TRANSIENT_PREFILTER_SQL,
     "extract_excerpt": _EXTRACT_EXCERPT_SQL,
     "manifest_fold": """
@@ -1064,6 +1395,7 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     "lsh_ann_topk": _lsh_ann_sql(),
     "ivf_ann_topk": _ivf_ann_sql(),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
+    "crawl_frontier_deep": _crawl_frontier_sql(8),
     "source_stats": f"""
 WITH slim AS (
   SELECT source,
@@ -1120,10 +1452,16 @@ QUERY_FNS: dict[str, Query] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "crawl_frontier": q_crawl_frontier,
+    "crawl_frontier_deep": q_crawl_frontier_deep,
     "media_features": q_media_features,
     "source_stats": q_source_stats,
     "transient_prefilter": q_transient_prefilter,
     "extract_excerpt": q_extract_excerpt,
     "extract_interleaved": q_extract_interleaved,
+    "extract_markdown": q_extract_markdown,
+    "server_response": q_server_response,
+    "lineage_rollup": q_lineage_rollup,
+    "sitemap_locs": q_sitemap_locs,
+    "rate_limit_schedule": q_rate_limit_schedule,
     "extract_spans_full": q_extract_spans_full,
 }

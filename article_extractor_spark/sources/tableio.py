@@ -55,6 +55,7 @@ def write_bucketed(
     mode: str = "overwrite",
     dynamic: bool = True,
     files_per_bucket: int = 1,
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
     """Write a table partitioned by ``bucket``.
 
@@ -67,8 +68,29 @@ def write_bucketed(
     upstream task (without this, N_tasks × N_buckets small files make
     the driver-side dynamic-overwrite commit the job bottleneck —
     measured: it erased all >8-core scaling at 240k docs).
+
+    ``files_per_bucket > 1`` adds a doc_id-derived salt to the
+    repartition key: hashing on the bucket value alone puts each
+    bucket's rows in exactly one task regardless of the partition
+    count, so without the salt a bucket could never produce more than
+    one file (and hash collisions could fold several buckets into one
+    straggler task).
     """
-    df = df.repartition(max(files_per_bucket, 1) * DEFAULT_BUCKETS, "bucket")
+    files_per_bucket = max(files_per_bucket, 1)
+    if files_per_bucket > 1 and "doc_id" in df.columns:
+        # salt must be decorrelated from the bucket hash — bucket is
+        # pmod(xxhash64(doc_id), N), so a bare xxhash64(doc_id) salt is
+        # a function of the bucket for N | files_per_bucket; the extra
+        # literal input gives an independent hash
+        salt = F.pmod(
+            F.xxhash64(F.col("doc_id"), F.lit("file-salt")),
+            F.lit(files_per_bucket),
+        )
+        df = df.repartition(
+            files_per_bucket * n_buckets, F.col("bucket"), salt
+        )
+    else:
+        df = df.repartition(n_buckets, "bucket")
     writer = df.write.mode(mode)
     if dynamic:
         writer = writer.option("partitionOverwriteMode", "dynamic")

@@ -23,6 +23,8 @@ from article_extractor_spark.session import build_session  # noqa: E402
 BENCH_QUERIES = [
     "extract_spans_full",
     "extract_interleaved",
+    "extract_markdown",
+    "server_response",
     "minhash_pairs",
     "simhash",
     "exact_dedup",
@@ -35,8 +37,12 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "crawl_frontier",
+    "crawl_frontier_deep",
     "media_features",
     "source_stats",
+    "lineage_rollup",
+    "sitemap_locs",
+    "rate_limit_schedule",
     "manifest_fold",
     "latest_event_per_user",
     "top_orders_per_priority",

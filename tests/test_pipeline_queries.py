@@ -51,7 +51,9 @@ def test_query_matches_oracle(spark, oracle_con, name):
 
 
 def test_extract_spans_full_shape(spark):
-    df = QUERY_FNS["extract_spans_full"](spark, SF_DIR)
+    from article_extractor_spark.queries import extract_spans_raw
+
+    df = extract_spans_raw(spark, SF_DIR)
     rows = df.limit(5).collect()
     assert rows
     for r in rows:
@@ -61,6 +63,24 @@ def test_extract_spans_full_shape(spark):
         # interleaving preserved: offsets strictly increasing
         offsets = [s.offset for s in r.spans]
         assert offsets == sorted(offsets)
+
+
+def test_extract_spans_full_is_driver_canonicalizable(spark):
+    """The registered flagship query must survive the driver's
+    canonicalization (sort_values + hash over object columns): every
+    cell scalar, nested spans serialized to JSON (round-1 red row)."""
+    import json
+
+    pdf = QUERY_FNS["extract_spans_full"](spark, SF_DIR).limit(20).toPandas()
+    assert not pdf.empty
+    # this is exactly what died in round 1 on list-valued cells
+    pdf_sorted = pdf[sorted(pdf.columns)].sort_values(
+        list(sorted(pdf.columns))
+    )
+    assert len(pdf_sorted) == len(pdf)
+    spans = json.loads(pdf.iloc[0]["spans_json"])
+    assert pdf.iloc[0]["n_spans"] == len(spans)
+    assert {"kind", "text", "offset"} <= set(spans[0].keys())
 
 
 def test_broadcast_join_in_rollup_plan(spark):
@@ -96,6 +116,28 @@ def test_multimodal_stubs_raise():
 
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(None)
+    if not multimodal.has_image_codec():
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(None)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "article_extractor_spark.functions.multimodal",
+        fromlist=["has_image_codec"],
+    ).has_image_codec(),
+    reason="no image codec lib in this container (capability-gated)",
+)
+def test_decode_image_with_codec(spark):
+    """Runs only when Pillow is present: the real decode kernel over
+    binary payloads — garbage bytes become decode_ok=false rows."""
+    from article_extractor_spark.functions import multimodal
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    out = multimodal.decode_image(multimodal.documents_as_media(docs))
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["decode_ok"] is False for r in rows)  # text ≠ image bytes
 
 
 def test_giant_split_branch_matches_default(spark):
@@ -120,6 +162,45 @@ def test_giant_split_branch_matches_default(spark):
     split = split.sort_values("doc_id").reset_index(drop=True)
     assert (base["word_count"] == split["word_count"]).all()
     assert (base["spans_emitted"] == split["spans_emitted"]).all()
+
+
+def test_corpus_purity_assumption(spark):
+    """The extraction oracles predict engine outputs analytically under
+    the assumption that document text carries no HTML-special chars
+    (see documents_as_interleaved_corpus docstring) — pin it so a
+    corpus change breaks loudly here instead of silently in oracles."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dirty = docs.where(
+        F.col("text").contains("<")
+        | F.col("text").contains(">")
+        | F.col("text").contains("&")
+    )
+    assert dirty.count() == 0
+
+
+def test_minhash_adversarial_bucket_capped(spark):
+    """An all-identical corpus puts every document in the same LSH
+    bucket in every band; the bucket-size cap must bound the pair
+    expansion at C(cap, 2) instead of C(n_docs, 2)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import dedup as D
+
+    n_docs, cap = 400, 16
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same adversarial document text repeated everywhere"
+        ).alias("text"),
+    )
+    pairs = D.minhash_lsh_pairs(docs, bucket_cap=cap).toPandas()
+    expected = cap * (cap - 1) // 2  # same ids survive in every band
+    assert len(pairs) == expected
+    # deterministic truncation: the smallest doc_ids are kept
+    assert pairs["doc_a"].max() <= cap - 1
+    assert pairs["doc_b"].max() <= cap - 1
 
 
 def test_pandas_udf_token_count_matches_jvm_expr(spark):

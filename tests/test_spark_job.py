@@ -129,6 +129,122 @@ def test_kill_and_resume_produces_identical_table(spark, corpus_path, tmp_path):
     assert h(full).exceptAll(h(resumed)).count() == 0
 
 
+def test_lineage_from_observation_matches_audit_readback(
+    spark, corpus_path, tmp_path
+):
+    """The default lineage path (free write-side observation) must agree
+    with the audit mode (re-reading the written output) on every metric
+    except wall-clock cpu_ms."""
+    out_a = str(tmp_path / "obs")
+    out_b = str(tmp_path / "audit")
+    run_extraction_job(spark, corpus_path, out_a, n_buckets=N_BUCKETS, waves=2)
+    run_extraction_job(
+        spark,
+        corpus_path,
+        out_b,
+        n_buckets=N_BUCKETS,
+        waves=2,
+        audit_readback=True,
+    )
+    cols = [
+        "bucket",
+        "doc_id_min",
+        "doc_id_max",
+        "docs_in",
+        "docs_ok",
+        "parse_failures",
+        "nodes_scored",
+        "spans_emitted",
+    ]
+    a = (
+        spark.read.parquet(tableio.lineage_path(out_a))
+        .select(cols)
+        .orderBy("bucket")
+        .collect()
+    )
+    b = (
+        spark.read.parquet(tableio.lineage_path(out_b))
+        .select(cols)
+        .orderBy("bucket")
+        .collect()
+    )
+    assert a == b
+
+
+def test_files_per_bucket_salt_splits_buckets(spark, tmp_path):
+    """files_per_bucket > 1 must actually produce multiple files per
+    bucket directory (round-1 bug: repartition on the bucket value alone
+    made it a no-op)."""
+    import glob
+
+    df = corpus_dataframe(spark, 200, seed=5, partitions=4)
+    df = tableio.with_bucket(df, "doc_id", 4)
+    out = str(tmp_path / "t")
+    tableio.write_bucketed(
+        df, out, dynamic=False, files_per_bucket=4, n_buckets=4
+    )
+    per_bucket = [
+        len(glob.glob(f"{out}/bucket={b}/*.parquet")) for b in range(4)
+    ]
+    assert all(n >= 1 for n in per_bucket)
+    assert sum(per_bucket) > 4  # salt actually split bucket output
+    assert max(per_bucket) > 1
+
+
+def test_markdown_sink_writes_frontmatter_files(spark, tmp_path):
+    """D4 sink e2e (reference crawler.py:354-423): extraction with
+    emit_markdown → one .md file per doc, YAML frontmatter header,
+    deterministic flat filenames; manifest rows match the files."""
+    import os
+
+    from article_extractor_spark.sinks import write_markdown_files
+
+    out_dir = str(tmp_path / "md")
+    corpus = render_spans_to_html(corpus_dataframe(spark, 30, seed=7))
+    articles = extract_articles(corpus, min_word_count=10, emit_markdown=True)
+    manifest = write_markdown_files(
+        articles, out_dir, extracted_at="2026-01-01T00:00:00+00:00"
+    ).collect()
+    ok = [r for r in articles.collect() if r["success"]]
+    assert len(manifest) == len(ok) > 0
+
+    files = sorted(os.listdir(out_dir))
+    assert files == sorted(r["md_file"] for r in manifest)
+    for row in manifest[:5]:
+        path = os.path.join(out_dir, row["md_file"])
+        content = open(path, encoding="utf-8").read()
+        assert content.startswith("---\nurl: https://synth.example/")
+        assert "\nextracted_at: 2026-01-01T00:00:00+00:00\n" in content
+        assert "\nword_count: " in content
+        assert content.split("---\n\n", 1)[1] != ""
+        assert os.path.getsize(path) == row["n_bytes"]
+        assert row["md_file"].startswith("synth.example__")
+        assert row["md_file"].endswith(".md")
+
+
+def test_markdown_filename_matches_reference_rules(spark):
+    """Column-expression filename vs the reference's _url_to_filepath
+    semantics (crawler.py:392-423) on edge cases."""
+    from article_extractor_spark.sinks import markdown_filename
+
+    cases = [
+        ("https://example.com/blog/post-1", "example.com__blog__post-1.md"),
+        ("https://Example.COM:8080/", "example.com_8080__index.md"),
+        ("https://example.com", "example.com__index.md"),
+        ("https://example.com/a/b/?q=1&r=2", "example.com__a__b_q_1_r_2.md"),
+        (
+            "https://example.com/weird path/(x)!",
+            "example.com__weird_path__x.md",
+        ),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [
+        r["f"]
+        for r in df.select(markdown_filename(F.col("url")).alias("f")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
 def test_render_spans_is_jvm_side(spark):
     """The spans→html bridge must not contain a Python UDF (north rule:
     no per-row Python outside the one vectorized extraction stage)."""
