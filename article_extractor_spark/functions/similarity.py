@@ -100,8 +100,22 @@ def lsh_bucket(col: Column) -> Column:
     plane's projection as a separate ``int_dot``, re-evaluating the
     interpreted ``quantized`` transform 8× per row — the exact HOF
     pitfall ``functions/hof.py`` documents; hoisting made this the
-    cheapest ANN stage instead of the slowest.)"""
+    cheapest ANN stage instead of the slowest.)
+
+    The result is wrapped in ``coalesce(expr, -1)`` to make it
+    statically non-nullable: joining on a nullable computed key makes
+    Catalyst infer an ``isnotnull(<key>)`` predicate that inlines the
+    ENTIRE interpreted expression into a Filter below the join —
+    evaluating the fold twice per row (measured: the whole ANN query
+    ~2× slower).  With a non-nullable key the constraint folds away at
+    plan time.  (-1 can never collide: real buckets are in [0, 255].)"""
     bits = F.array(*[F.lit(1 << j).cast("long") for j in range(N_PLANES)])
+    return F.coalesce(
+        _lsh_bucket_fold(col, bits), F.lit(-1).cast("int")
+    )
+
+
+def _lsh_bucket_fold(col: Column, bits: Column) -> Column:
     return let(
         quantized(col),
         lambda qv: F.aggregate(
@@ -127,6 +141,57 @@ def lsh_bucket(col: Column) -> Column:
             ).cast("int"),
         ),
     )
+
+
+def write_bucket_partitioned(
+    emb: DataFrame, path: str, vec_col: str = "embedding"
+) -> None:
+    """Materialize the embeddings table physically partitioned by LSH
+    bucket — the storage layout ``lsh_ann_topk_pruned`` probes.  At
+    scale this is the Iceberg table's declared partitioning
+    (``PARTITIONED BY (bucket)``); vectors are bucketed once at write
+    time, not per query."""
+    emb.select(
+        F.col("vec_id"),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_ann_topk_pruned(
+    spark,
+    table_path: str,
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100-TB shape of ``lsh_ann_topk``: the table is STORED
+    partitioned by bucket (``write_bucket_partitioned``), so the probe
+    is (1) an O(1) index lookup computing the query vector's bucket,
+    then (2) a partition-PRUNED scan of that single bucket + exact
+    cosine + top-k.  The scan never touches the other 255 buckets —
+    check ``PartitionFilters`` in the plan.  The driver-side lookup is
+    one scalar per query (the literal partition predicate is what makes
+    static pruning certain), not a per-row collect."""
+    qrow = (
+        emb.where(F.col("vec_id") == query_id)
+        .select(
+            lsh_bucket(F.col(vec_col)).alias("b"),
+            quantized(F.col(vec_col)).alias("qv"),
+        )
+        .collect()[0]
+    )
+    qvec = F.array(*[F.lit(int(v)).cast("long") for v in qrow["qv"]])
+    part = spark.read.parquet(table_path)
+    cand = part.where(
+        (F.col("bucket") == int(qrow["b"])) & (F.col("vec_id") != query_id)
+    )
+    scored = cand.select(
+        F.col("vec_id"),
+        cosine_sim(quantized(F.col(vec_col)), qvec).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
 def embedding_neardup_pairs(
@@ -240,8 +305,12 @@ def lsh_ann_topk(
         .where(F.col("vec_id") != query_id)
         .select(
             F.col("vec_id"),
-            F.col("bucket"),
             cosine_sim(quantized(F.col(vec_col)), F.col("qvec")).alias("cosine"),
         )
     )
+    # NB: the bucket id is deliberately NOT in the output — projecting
+    # it would re-evaluate the interpreted bucket expression a second
+    # time per row (CollapseProject inlines the projection into both the
+    # join key and the output, and CodegenFallback HOFs get no CSE);
+    # measured ~2× the whole query's scoring cost.
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

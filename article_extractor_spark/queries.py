@@ -445,6 +445,23 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_lsh_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-pruned ANN probe over the bucket-partitioned
+    storage layout (the at-scale path; see
+    similarity.lsh_ann_topk_pruned).  The partitioned table is
+    materialized once per sf under /tmp — at 100 TB it IS the stored
+    table (Iceberg bucket partitioning), not a per-query artifact."""
+    import hashlib
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/aes_cache/emb_bucketed_{tag}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        S.write_bucket_partitioned(emb, path)
+    return S.lsh_ann_topk_pruned(spark, path, emb, query_id=0, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary payload feature extraction)
 # ---------------------------------------------------------------------------
@@ -957,10 +974,10 @@ WITH base AS (
 ), qv AS (
   SELECT q AS q2, bucket AS qbucket FROM bucketed WHERE vec_id = 0
 ), e AS (
-  SELECT b.vec_id, b.q, b.bucket, qv.q2
+  SELECT b.vec_id, b.q, qv.q2
   FROM bucketed b, qv WHERE b.bucket = qv.qbucket AND b.vec_id != 0
 )
-SELECT vec_id, bucket,
+SELECT vec_id,
   round(CAST({dot} AS DOUBLE) /
         (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6) AS cosine
 FROM e
@@ -1393,6 +1410,7 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
 """,
     "cosine_topk": _cosine_topk_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
+    "lsh_ann_topk_pruned": _lsh_ann_sql(),
     "ivf_ann_topk": _ivf_ann_sql(),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "crawl_frontier_deep": _crawl_frontier_sql(8),
@@ -1450,6 +1468,7 @@ QUERY_FNS: dict[str, Query] = {
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "lsh_ann_topk_pruned": q_lsh_ann_topk_pruned,
     "ivf_ann_topk": q_ivf_ann_topk,
     "crawl_frontier": q_crawl_frontier,
     "crawl_frontier_deep": q_crawl_frontier_deep,

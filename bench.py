@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "fingerprints",
     "cosine_topk",
     "lsh_ann_topk",
+    "lsh_ann_topk_pruned",
     "ivf_ann_topk",
     "crawl_frontier",
     "crawl_frontier_deep",
