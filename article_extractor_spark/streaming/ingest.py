@@ -7,7 +7,7 @@ bucketed table and a `Trigger.AvailableNow` stream drains whatever is
 available, extracts it, and checkpoints — the streaming analog of the
 job's lineage/resume protocol (reference storage_queue.py:87-293).
 
-Two surfaces:
+Three surfaces:
 
 - ``streaming_extraction`` — readStream over the corpus table → the same
   mapInArrow extraction stage (DataFrame code is identical in batch and
@@ -18,12 +18,22 @@ Two surfaces:
   (the streaming form of the reference's rate-limiter event window,
   rate_limiter.py:111-118): late events beyond the watermark are
   dropped, state is bounded.
+- ``streaming_exact_dedup`` — custom stateful operator
+  (``applyInPandasWithState``): cross-micro-batch exact dedup on
+  ingest.  A stateless ``dropDuplicates`` only dedups within what it
+  has seen in the current query; the keyed GroupState persists the
+  content-key set across batches and restarts (checkpointed), so a
+  duplicate arriving days later is still dropped.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.extraction import extract_articles, render_spans_to_html
 
@@ -63,6 +73,74 @@ def streaming_extraction(
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+DEDUP_KEY_GROUPS = 64
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("content_key", T.StringType()),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.ArrayType(T.StringType()))]
+)
+
+
+def _dedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Runs once per (micro-batch, key-group): admit rows whose
+    content_key has never been seen in ANY batch; persist the key set."""
+    seen = set(state.get[0]) if state.exists else set()
+    out_ids: list[str] = []
+    out_keys: list[str] = []
+    for pdf in pdfs:
+        for doc_id, ck in zip(pdf["doc_id"], pdf["content_key"]):
+            if ck not in seen:
+                seen.add(ck)
+                out_ids.append(doc_id)
+                out_keys.append(ck)
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"doc_id": out_ids, "content_key": out_keys})
+
+
+def streaming_exact_dedup(
+    corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Cross-batch exact dedup on ingest (custom stateful operator).
+
+    Keyed by a bounded hash group of the content key so state shards
+    evenly across executors; each group's ``GroupState`` holds the set
+    of content keys it has admitted.  The first occurrence of a key
+    passes; every later occurrence — same batch, later batch, or after
+    a restart (state lives in the checkpoint) — is dropped.
+
+    Scale note (10^12 docs): an exact in-state key set grows with the
+    corpus; at that scale swap the set for a Bloom/quotient filter in
+    the same GroupState slot (false positives = rare over-dedup, often
+    acceptable for training corpora), or compact per-group keys into
+    sorted runs on state update.  The operator shape — bounded key
+    groups, per-group state, append output — is unchanged.
+    """
+    keyed = corpus.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+        ).alias("content_key"),
+    ).withColumn(
+        "kgroup",
+        F.pmod(F.xxhash64("content_key"), F.lit(DEDUP_KEY_GROUPS)).cast(
+            "int"
+        ),
+    )
+    return keyed.groupBy("kgroup").applyInPandasWithState(
+        _dedup_state_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
 
 

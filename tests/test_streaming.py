@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from article_extractor_spark.sources import tableio
 from article_extractor_spark.sources.synth import corpus_dataframe
 from article_extractor_spark.streaming.ingest import (
+    streaming_exact_dedup,
     streaming_extraction,
     windowed_event_rates,
 )
@@ -60,6 +61,55 @@ def test_streaming_extraction_picks_up_new_files(
         spark, stream_corpus, out, ckpt, min_word_count=10
     ).awaitTermination(120)
     assert spark.read.parquet(out).count() == 80
+
+
+def _run_dedup_stream(spark, src, ckpt, out):
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): a duplicate
+    arriving in a LATER micro-batch — or after a checkpointed restart —
+    is dropped; stateless dropDuplicates cannot do either."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [("a1", "hello world"), ("a2", "unique one")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("b1", "HELLO   world"), ("b2", "another text")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    got = _run_dedup_stream(spark, src, ckpt, str(tmp_path / "dout"))
+    # exactly one of the two normalized-identical docs was admitted
+    assert len({"a1", "b1"} & got) == 1
+    assert {"a2", "b2"} <= got
+
+    # restart from the checkpoint with one more file: the old key is
+    # STILL remembered (state survives the restart), new content passes
+    spark.createDataFrame(
+        [("c1", " hello  WORLD"), ("c2", "fresh content")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = _run_dedup_stream(spark, src, ckpt, str(tmp_path / "dout"))
+    assert "c2" in got2
+    assert "c1" not in got2
 
 
 def test_windowed_event_rates_matches_batch_semantics(spark):
