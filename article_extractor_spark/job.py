@@ -42,6 +42,9 @@ def run_extraction_job(
     min_word_count: int = 150,
     resume: bool = True,
     audit_readback: bool = False,
+    emit_html: bool = False,
+    emit_markdown: bool = False,
+    markdown_dir: str | None = None,
 ) -> dict:
     """Run (or resume) extraction over a corpus table.
 
@@ -50,7 +53,18 @@ def run_extraction_job(
     lineage from the files on disk (verifying the write) instead of the
     free write-side observation — an audit mode, not the default, since
     it costs a second pass over the output bytes.
+
+    ``emit_html`` / ``emit_markdown`` populate the rendered-output
+    columns in the result table.  ``markdown_dir`` additionally runs the
+    D4 markdown-file sink (reference crawler.py:354-423) per wave: one
+    frontmatter-headed ``.md`` file per successful document, fed from
+    the wave's WRITTEN output table (a cheap column-pruned re-read of
+    url/title/markdown/word_count — never a re-extraction), with the
+    file manifest appended under ``{markdown_dir}/_manifest``.  Implies
+    ``emit_markdown``.
     """
+    if markdown_dir:
+        emit_markdown = True
     prev_mpb: str | None = None
     if isinstance(corpus, str):
         # CPU-bound UDF stage: size scan partitions for compute, not IO.
@@ -81,6 +95,9 @@ def run_extraction_job(
             min_word_count=min_word_count,
             resume=resume,
             audit_readback=audit_readback,
+            emit_html=emit_html,
+            emit_markdown=emit_markdown,
+            markdown_dir=markdown_dir,
         )
     finally:
         if prev_mpb is not None:
@@ -178,6 +195,9 @@ def _run_waves(
     min_word_count: int,
     resume: bool,
     audit_readback: bool,
+    emit_html: bool = False,
+    emit_markdown: bool = False,
+    markdown_dir: str | None = None,
 ) -> dict:
     if "bucket" not in corpus.columns:
         corpus = tableio.with_bucket(corpus, "doc_id", n_buckets)
@@ -199,7 +219,10 @@ def _run_waves(
         wave_buckets = todo[wave_idx::waves]
         wave_df = corpus.where(F.col("bucket").isin(wave_buckets))
         extracted = extract_articles(
-            wave_df, min_word_count=min_word_count
+            wave_df,
+            min_word_count=min_word_count,
+            emit_html=emit_html,
+            emit_markdown=emit_markdown,
         )
         # re-derive bucket from doc_id (mapInPandas output dropped it);
         # same hash → same bucket, no join needed
@@ -236,6 +259,19 @@ def _run_waves(
             spark.createDataFrame(lineage_rows, tableio.LINEAGE_SCHEMA),
             output_path,
         )
+        if markdown_dir:
+            # D4 sink fed from the WRITTEN output (column-pruned read of
+            # url/title/markdown/word_count — parquet never materializes
+            # the span column here), not a second extraction pass
+            from .sinks.markdown_sink import write_markdown_files
+
+            wave_out = tableio.read_table(spark, output_path).where(
+                F.col("bucket").isin(wave_buckets)
+            )
+            manifest = write_markdown_files(wave_out, markdown_dir)
+            manifest.write.mode("append").parquet(
+                markdown_dir.rstrip("/") + "/_manifest"
+            )
         docs_done += sum(r[4] for r in lineage_rows)  # docs_in ordinal
         observed.append(
             {
@@ -284,6 +320,22 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--buckets", type=int, default=tableio.DEFAULT_BUCKETS)
     p_run.add_argument("--waves", type=int, default=4)
     p_run.add_argument("--no-resume", action="store_true")
+    p_run.add_argument(
+        "--emit-html",
+        action="store_true",
+        help="populate the content_html column in the output table",
+    )
+    p_run.add_argument(
+        "--emit-markdown",
+        action="store_true",
+        help="populate the markdown column in the output table",
+    )
+    p_run.add_argument(
+        "--markdown-dir",
+        default=None,
+        help="also write one frontmatter-headed .md file per document "
+        "here (implies --emit-markdown)",
+    )
 
     args = parser.parse_args(argv)
     spark = build_session(app_name=f"aes-{args.cmd}")
@@ -307,6 +359,9 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         waves=args.waves,
         resume=not args.no_resume,
+        emit_html=args.emit_html,
+        emit_markdown=args.emit_markdown,
+        markdown_dir=args.markdown_dir,
     )
     print(stats)
     return 0

@@ -191,6 +191,42 @@ def test_files_per_bucket_salt_splits_buckets(spark, tmp_path):
     assert max(per_bucket) > 1
 
 
+def test_job_with_markdown_dir_writes_files_and_manifest(
+    spark, corpus_path, tmp_path
+):
+    """The full job with --markdown-dir produces the reference
+    crawler's primary artifact — one .md per document — fed from the
+    written output table, plus a manifest."""
+    import glob
+
+    out = str(tmp_path / "out")
+    md_dir = str(tmp_path / "md")
+    stats = run_extraction_job(
+        spark,
+        corpus_path,
+        out,
+        n_buckets=N_BUCKETS,
+        waves=2,
+        min_word_count=10,
+        markdown_dir=md_dir,
+    )
+    n_ok = spark.read.parquet(out).where("success").count()
+    md_files = glob.glob(f"{md_dir}/*.md")
+    assert stats["docs_processed"] == N_DOCS
+    assert len(md_files) == n_ok > 0
+    manifest = spark.read.parquet(f"{md_dir}/_manifest")
+    assert manifest.count() == n_ok
+    body = open(md_files[0], encoding="utf-8").read()
+    assert body.startswith("---\nurl: ")
+    # markdown column landed in the output table too
+    assert (
+        spark.read.parquet(out)
+        .where("success AND length(markdown) = 0")
+        .count()
+        == 0
+    )
+
+
 def test_markdown_sink_writes_frontmatter_files(spark, tmp_path):
     """D4 sink e2e (reference crawler.py:354-423): extraction with
     emit_markdown → one .md file per doc, YAML frontmatter header,
