@@ -30,12 +30,36 @@ from ..dom.parser import parse_html
 
 @dataclass(frozen=True)
 class ExtractOptions:
-    """Extraction knobs (reference types.py:34-42 ExtractionOptions)."""
+    """Extraction knobs (reference types.py:34-42 ExtractionOptions).
+
+    ``min_char_threshold`` / ``include_images`` / ``include_code_blocks``
+    mirror the reference's declared options.  The reference itself never
+    consumes them in the extraction path (extractor.py reads only
+    ``safe_markdown`` and ``min_word_count``; the include_* flags reach
+    only the CLI arg parser and the response-cache key,
+    extraction_cache.py:48-50) — so here, as there, they are part of the
+    API surface and the cache identity, not the algorithm.  Implementing
+    them as behavior would diverge from what the reference computes.
+    """
 
     min_word_count: int = 150
+    min_char_threshold: int = 500
+    include_images: bool = True
+    include_code_blocks: bool = True
     safe_output: bool = True
     emit_html: bool = False
     emit_markdown: bool = False
+
+    def cache_key_fields(self) -> tuple:
+        """The option fields that participate in response-cache /
+        incremental-rerun identity (reference extraction_cache.py:40-52)."""
+        return (
+            self.min_word_count,
+            self.min_char_threshold,
+            self.include_images,
+            self.include_code_blocks,
+            self.safe_output,
+        )
 
 
 # Hosts where generic boilerplate pruning is skipped

@@ -363,3 +363,29 @@ def test_bytes_input():
     result = extract_document(html, url="https://x.com/b")
     assert result["success"]
     assert "café" in result["spans"][0]["text"]
+
+
+def test_extract_options_api_parity():
+    """Option-surface parity with the reference ExtractionOptions
+    (types.py:34-42): the declared-but-algorithm-inert knobs exist and
+    participate in cache identity (extraction_cache.py:40-52)."""
+    from article_extractor_spark.extract.pipeline import ExtractOptions
+
+    o = ExtractOptions()
+    assert o.min_word_count == 150  # server default (server.py:360-366)
+    assert o.min_char_threshold == 500
+    assert o.include_images is True
+    assert o.include_code_blocks is True
+    key_a = o.cache_key_fields()
+    key_b = ExtractOptions(include_images=False).cache_key_fields()
+    assert key_a != key_b  # include_* distinguishes cached responses
+
+    r = extract_document(
+        "<body><main><p>"
+        + "Words words, more words, for thresholds to pass easily. " * 10
+        + "</p></main></body>",
+        options=ExtractOptions(min_word_count=10),
+    )
+    assert r["success"]
+    assert r["author"] is None and r["date_published"] is None
+    assert r["language"] is None
