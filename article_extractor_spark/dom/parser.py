@@ -10,6 +10,7 @@ builder rather than a streaming scraper.
 
 from __future__ import annotations
 
+import os
 from html.parser import HTMLParser
 
 from .node import TEXT, VOID_TAGS, Node
@@ -168,6 +169,13 @@ class _TreeBuilder(HTMLParser):
             text_node.attrs = {}
             top.append_child(text_node)
 
+    def in_rawtext(self, tag: str) -> bool:
+        """Fast-tokenizer hook: did the just-handled start tag actually
+        enter rawtext (script/style) mode?  False when the style-in-p
+        rule swallowed the tag (its content must parse as normal
+        markup), mirroring the suppressed ``set_cdata_mode`` above."""
+        return self._stack[-1].name == tag
+
     # Comments, PIs, declarations: not part of the content model.
     def handle_comment(self, data: str) -> None:
         return
@@ -182,18 +190,41 @@ class _TreeBuilder(HTMLParser):
         return
 
 
+_USE_STDLIB_TOKENIZER = bool(os.environ.get("AES_STDLIB_PARSER"))
+
+
+def _decode(html: str | bytes) -> str:
+    if isinstance(html, bytes):
+        try:
+            return html.decode("utf-8")
+        except UnicodeDecodeError:
+            return html.decode("latin-1")
+    return html
+
+
+def parse_html_stdlib(html: str | bytes) -> Node:
+    """Parse via the stdlib ``html.parser`` tokenizer (the semantic
+    reference implementation; the fast tokenizer is differential-tested
+    against it)."""
+    builder = _TreeBuilder()
+    builder.feed(_decode(html))
+    builder.close()
+    return builder.root
+
+
 def parse_html(html: str | bytes) -> Node:
     """Parse HTML into a ``#document`` root node.
 
     Bytes are decoded UTF-8 with a latin-1 fallback, matching the
-    reference's input handling (extractor.py:279-283).
+    reference's input handling (extractor.py:279-283).  Tokenization
+    uses the fast scanner (dom/fast_parser.py, ~2× less CPU on the
+    50%-of-kernel parse stage) feeding this module's tree builder;
+    ``AES_STDLIB_PARSER=1`` selects the stdlib tokenizer instead.
     """
-    if isinstance(html, bytes):
-        try:
-            html = html.decode("utf-8")
-        except UnicodeDecodeError:
-            html = html.decode("latin-1")
+    if _USE_STDLIB_TOKENIZER:
+        return parse_html_stdlib(html)
+    from .fast_parser import feed_fast
+
     builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
+    feed_fast(builder, _decode(html))
     return builder.root

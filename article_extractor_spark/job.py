@@ -293,8 +293,31 @@ def _run_waves(
         "buckets_skipped": len(committed),
         "buckets_processed": len(todo),
         "docs_processed": docs_done,
+        "docs_failed": sum(w["failures"] for w in observed),
         "wall_sec": round(time.time() - t0, 2),
     }
+
+
+def write_manifest(stats: dict, path: str) -> None:
+    """D5 manifest.json sink (reference crawler.py:549-571): the job's
+    fold of per-page outcomes as a JSON file.  Counts come from the
+    write-side observation (the distributed fold); this is the
+    driver-side serialization of ~10 scalars, not a data pass."""
+    import json
+    import os
+
+    data = {
+        "job_id": stats["run_id"],
+        "total_pages": stats["docs_processed"],
+        "successful": stats["docs_processed"] - stats["docs_failed"],
+        "failed": stats["docs_failed"],
+        "skipped_buckets": stats["buckets_skipped"],
+        "duration_seconds": stats["wall_sec"],
+        "waves": stats["observed_metrics"],
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(data, indent=2))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -336,6 +359,11 @@ def main(argv: list[str] | None = None) -> int:
         help="also write one frontmatter-headed .md file per document "
         "here (implies --emit-markdown)",
     )
+    p_run.add_argument(
+        "--manifest-out",
+        default=None,
+        help="write the job manifest (crawler manifest.json analog) here",
+    )
 
     args = parser.parse_args(argv)
     spark = build_session(app_name=f"aes-{args.cmd}")
@@ -363,6 +391,8 @@ def main(argv: list[str] | None = None) -> int:
         emit_markdown=args.emit_markdown,
         markdown_dir=args.markdown_dir,
     )
+    if args.manifest_out:
+        write_manifest(stats, args.manifest_out)
     print(stats)
     return 0
 

@@ -130,3 +130,96 @@ def test_table_structure():
 def test_duplicate_attrs_first_wins():
     doc = parse_html('<div class="first" class="second">x</div>')
     assert doc.query("div")[0].attrs["class"] == "first"
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer (dom/fast_parser.py) fidelity vs the stdlib tokenizer
+# ---------------------------------------------------------------------------
+
+_DIFFERENTIAL_CASES = [
+    "", "<", "<div", "plain text only", "a < b and c > d",
+    "<div class='a'><p>x", "<p>a<p>b<p>c", "<b><i>x</b></i>",
+    "<div/><p/>text", "<a href=foo/>y</a>", '<a href="x>y">z</a>',
+    "<img src='a.png'/><br><hr/>", "<script>if (a<b) x();</script><p>t</p>",
+    "<style>p {color: red}</style><p>ok</p>",
+    "<p><style>.x{a:b}</style>css leak</p>",
+    "<!-- comment --><p>x</p>", "<!-- unterminated", "<!doctype html><p>x</p>",
+    "<?php echo ?><p>x</p>", "<![CDATA[ raw <b> ]]><p>x</p>",
+    "<p>&amp; &lt;tag&gt; &#65; &nbsp;</p>",
+    "<a title='it&apos;s'>q</a>", "<A HREF='X'>c</A>",
+    "<td>no table</td>", "<ul><li>a<li>b</ul>",
+    "<table><tr><td>1<td>2<tr><td>3</table>",
+    "<div a b=2 c='3' d=\"4\">x</div>", "<div a=>x</div>",
+    "<div  a = '1'  >x</div>", "</nothing><p>x</p>", "</ ><p>y</p>",
+    "<p>a</p junk><p>b</p>", "<select><option>a<option>b</select>",
+    "<dl><dt>t<dd>d<dt>t2</dl>", "<em>unclosed <p>para</p>",
+    "<script src='x'></script>after", "<script>no close",
+    "<style>@import 'x';", "<textarea><p>not parsed?</p></textarea>",
+    "<svg><circle/></svg>", "<math><mi>x</mi></math>",
+    "<div>" * 200 + "deep" + "</div>" * 200,
+    "<p>" + "é∂ƒ unicode ü " * 50 + "</p>",
+    "<div data-x='{\"a\": 1, \"b\": [2]}'>json attr</div>",
+    "< notatag>", "<1digit>", "<-dash>",
+    "text &notanentity; more", "&#x41;&#X41;&#65;",
+    "<br/></br><br>", "<p =weird>x</p>",
+    "<? unterminated", "<!x unterminated", "<![CDATA[ unterminated",
+    "<a href='x' href='y'>dup</a>", "<p class>bare</p>",
+    "<sCrIpT>a<b</ScRiPt>done", "<style >css</style >",
+    "<script type='t'>x</script><style media=print>y</style>z",
+]
+
+
+def test_fast_parser_differential_curated():
+    """The fast tokenizer must produce a byte-identical tree to the
+    stdlib tokenizer on every curated case (malformed nesting, EOF
+    truncation, rawtext, entity and attribute edge cases)."""
+    from article_extractor_spark.dom.parser import (
+        parse_html,
+        parse_html_stdlib,
+    )
+
+    for case in _DIFFERENTIAL_CASES:
+        assert (
+            parse_html(case).to_html() == parse_html_stdlib(case).to_html()
+        ), case[:80]
+
+
+def test_fast_parser_differential_fixtures():
+    """Byte-identical trees on all real golden-fixture pages."""
+    import glob
+
+    from article_extractor_spark.dom.parser import (
+        parse_html,
+        parse_html_stdlib,
+    )
+
+    raws = sorted(
+        glob.glob(
+            "/root/reference/tests/fixtures/fullpage_to_article_html/"
+            "*/*/raw.html"
+        )
+    )
+    assert len(raws) >= 27
+    for raw in raws:
+        html = open(raw, encoding="utf-8", errors="replace").read()
+        assert (
+            parse_html(html).to_html() == parse_html_stdlib(html).to_html()
+        ), raw
+
+
+def test_fast_parser_fuzz_never_crashes():
+    """Pathological tag soup may tokenize differently from stdlib (both
+    are garbage-in recoveries) but must never raise and must always
+    yield a tree."""
+    import random
+
+    from article_extractor_spark.dom.parser import parse_html
+
+    rng = random.Random(7)
+    alpha = "<>/ab c='\"&;!?-=p\n"
+    for _ in range(500):
+        s = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(1, 150))
+        )
+        root = parse_html(s)
+        assert root.name == "#document"

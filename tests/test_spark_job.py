@@ -191,6 +191,26 @@ def test_files_per_bucket_salt_splits_buckets(spark, tmp_path):
     assert max(per_bucket) > 1
 
 
+def test_manifest_json_sink(spark, corpus_path, tmp_path):
+    """D5 manifest.json analog: job stats fold serialized to a file."""
+    import json
+
+    from article_extractor_spark.job import write_manifest
+
+    out = str(tmp_path / "out")
+    stats = run_extraction_job(
+        spark, corpus_path, out, n_buckets=N_BUCKETS, waves=2,
+        min_word_count=10,
+    )
+    mpath = str(tmp_path / "manifest.json")
+    write_manifest(stats, mpath)
+    data = json.loads(open(mpath, encoding="utf-8").read())
+    assert data["total_pages"] == N_DOCS
+    assert data["successful"] + data["failed"] == N_DOCS
+    assert data["duration_seconds"] > 0
+    assert len(data["waves"]) == 2
+
+
 def test_job_with_markdown_dir_writes_files_and_manifest(
     spark, corpus_path, tmp_path
 ):
