@@ -10,9 +10,16 @@ or heap sizing inherited from the other configuration.  A warmup pass
 inside each run excludes Python-worker spawn + import cost from the
 timed window.
 
+CPU pinning: ``local[N]`` bounds Spark TASK SLOTS, not the JVM's
+scan/shuffle/GC threads or the OS — an unpinned "local[2]" run borrows
+extra physical cores for JVM work, inflating the low configuration's
+throughput and understating scaling efficiency.  A real N-core cluster
+node has exactly N cores for EVERYTHING, so each measured subprocess is
+pinned with ``taskset -c 0..N-1`` (disable with --no-pin).
+
 Usage:
     python scripts/scaling_bench.py [--docs 240000] [--low 8] [--high 32]
-        [--corpus PATH] [--trials 2]
+        [--corpus PATH] [--trials 2] [--no-pin]
 
 Prints one JSON line.
 """
@@ -74,11 +81,23 @@ def single_run(cores: int, corpus_path: str, out_path: str) -> None:
     )
 
 
-def run_config(cores: int, corpus_path: str, out_path: str, trials: int) -> dict:
+def run_config(
+    cores: int,
+    corpus_path: str,
+    out_path: str,
+    trials: int,
+    pin: bool = True,
+) -> dict:
     best: dict | None = None
+    pin_prefix = (
+        ["taskset", "-c", f"0-{cores - 1}"]
+        if pin and shutil.which("taskset")
+        else []
+    )
     for _ in range(trials):
         proc = subprocess.run(
-            [
+            pin_prefix
+            + [
                 sys.executable,
                 __file__,
                 "--single-cores",
@@ -112,6 +131,7 @@ def main() -> int:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--no-pin", action="store_true")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--single-cores", type=int, default=None)
@@ -137,10 +157,12 @@ def main() -> int:
             spark.stop()
 
         low = run_config(
-            args.low, corpus_path, f"{workdir}/out-low", args.trials
+            args.low, corpus_path, f"{workdir}/out-low", args.trials,
+            pin=not args.no_pin,
         )
         high = run_config(
-            args.high, corpus_path, f"{workdir}/out-high", args.trials
+            args.high, corpus_path, f"{workdir}/out-high", args.trials,
+            pin=not args.no_pin,
         )
 
         speedup = high["docs_per_sec"] / low["docs_per_sec"]
@@ -148,6 +170,7 @@ def main() -> int:
         eff = speedup / ratio
         result = {
             "docs": args.docs,
+            "pinned": not args.no_pin and bool(shutil.which("taskset")),
             "low": low,
             "high": high,
             "speedup": round(speedup, 3),
