@@ -78,3 +78,63 @@ def test_excerpt_invariants(text):
         assert out == normalized
     else:
         assert out.endswith("...")
+
+
+# -- fast tokenizer equivalence on structured HTML ---------------------
+
+_attr_name = st.sampled_from(["class", "id", "href", "src", "data-x", "role"])
+_attr_val = st.text(
+    alphabet=st.characters(
+        blacklist_characters='"<>&', blacklist_categories=("Cs",)
+    ),
+    max_size=12,
+)
+_text_chunk = st.text(
+    alphabet=st.characters(blacklist_characters="<&", blacklist_categories=("Cs",)),
+    max_size=30,
+)
+
+
+@st.composite
+def _well_formed_html(draw, depth=0):
+    """Recursively composed HTML with quoted attributes and clean text —
+    the structured subset on which the fast tokenizer guarantees
+    byte-identical trees vs stdlib."""
+    if depth >= 3:
+        return draw(_text_chunk)
+    n = draw(st.integers(0, 4))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            parts.append(draw(_text_chunk))
+        elif kind == 1:
+            parts.append(draw(st.sampled_from(
+                ["<br>", "<hr/>", '<img src="x.png">', "<!--c-->",
+                 "&amp;", "&#65;", "&nbsp;"]
+            )))
+        else:
+            tag = draw(st.sampled_from(
+                ["div", "p", "span", "article", "ul", "li", "a", "em",
+                 "h2", "table", "td", "script", "style"]
+            ))
+            attrs = ""
+            for _ in range(draw(st.integers(0, 2))):
+                attrs += f' {draw(_attr_name)}="{draw(_attr_val)}"'
+            if tag in ("script", "style"):
+                body = draw(_text_chunk).replace("<", "")
+            else:
+                body = draw(_well_formed_html(depth=depth + 1))
+            parts.append(f"<{tag}{attrs}>{body}</{tag}>")
+    return "".join(parts)
+
+
+@given(_well_formed_html())
+@settings(max_examples=150, deadline=None)
+def test_fast_tokenizer_matches_stdlib_on_structured_html(html):
+    from article_extractor_spark.dom.parser import (
+        parse_html,
+        parse_html_stdlib,
+    )
+
+    assert parse_html(html).to_html() == parse_html_stdlib(html).to_html()
