@@ -191,6 +191,19 @@ def test_files_per_bucket_salt_splits_buckets(spark, tmp_path):
     assert max(per_bucket) > 1
 
 
+def test_wave_filter_prunes_bucket_partitions(spark, corpus_path):
+    """Each wave reads ONLY its buckets' partition directories — the
+    wave predicate must land in PartitionFilters, not a post-scan
+    Filter.  At 100 TB, waves without pruning would rescan the full
+    corpus once per wave."""
+    corpus = tableio.read_table(spark, corpus_path)
+    wave = corpus.where(F.col("bucket").isin([0, 1]))
+    plan = wave._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan[:500]
+    assert "bucket" in pf[1][:120]
+
+
 def test_manifest_json_sink(spark, corpus_path, tmp_path):
     """D5 manifest.json analog: job stats fold serialized to a file."""
     import json
