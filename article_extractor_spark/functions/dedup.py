@@ -131,8 +131,91 @@ def minhash_signature(col: Column, h: int = MINHASH_H) -> Column:
 BUCKET_CAP = 64
 
 
+_JAVA_WS = None  # compiled lazily on the executor
+
+
+def _minhash_sig_kernel(texts, params, mersenne):
+    """Per-batch signature computation (executor-side): EXACTLY the
+    semantics of ``minhash_signature`` — Java-\\s whitespace collapse,
+    space-trim, lowercase, 3-word shingles (whole text when <3 words),
+    md5-hex[:15] → int mod 2^31-1, then per-function affine minima."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        # Java regex \s is ASCII-only: [ \t\n\x0B\f\r]
+        _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    A = params[:, 0][:, None]
+    C = params[:, 1][:, None]
+    out = []
+    for t in texts:
+        norm = _JAVA_WS.sub(" ", (t or "").strip(" ").lower())
+        trimmed = norm.strip(" ")
+        toks = trimmed.split(" ") if trimmed else []
+        if len(toks) < 3:
+            shingles = [norm]
+        else:
+            shingles = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + 3])
+                    for i in range(len(toks) - 2)
+                )
+            )
+        bases = np.fromiter(
+            (
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                % mersenne
+                for s in shingles
+            ),
+            dtype=np.int64,
+            count=len(shingles),
+        )
+        out.append(((A * bases + C) % mersenne).min(axis=1))
+    return pd.Series(out)
+
+
+def minhash_signature_pudf():
+    """Vectorized Arrow-batched twin of ``minhash_signature``.
+
+    Rationale (measured, not assumed): the Column-expression signature
+    is an interpreted HOF fold whose per-shingle md5 runs in the
+    CodegenFallback interpreter; hashlib's C md5 plus numpy affine
+    minima computes the IDENTICAL values at a fraction of the CPU.
+    "UDFs are the slow path" holds against codegen'd built-ins — not
+    against interpreted HOF chains.  Equality with the expression path
+    is pinned by tests/test_pipeline_queries.py and the shared DuckDB
+    oracle.  (Caveat: lowercase/whitespace semantics are matched to
+    Spark's for ASCII+Java-\\s inputs, which the oracle corpus
+    guarantees; exotic Unicode case-folding could differ between
+    Python and UTF8String lowercasing.)
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    params = np.array(
+        [_hash_params(j) for j in range(MINHASH_H)], dtype=np.int64
+    )
+
+    def kernel(texts):
+        return _minhash_sig_kernel(texts, params, _MERSENNE31)
+
+    # real-object annotations: string hints from `from __future__ import
+    # annotations` break pandas_udf type inference
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(kernel, ArrayType(LongType()))
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", bucket_cap: int = BUCKET_CAP
+    docs: DataFrame,
+    text_col: str = "text",
+    bucket_cap: int = BUCKET_CAP,
+    kernel: str = "pandas",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -160,10 +243,14 @@ def minhash_lsh_pairs(
     """
     from pyspark.sql.window import Window
 
-    sig = docs.select(
-        F.col("doc_id"),
-        minhash_signature(F.col(text_col)).alias("sig"),
-    )
+    if kernel == "pandas":
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(docs.sparkSession)
+        sig_col = minhash_signature_pudf()(F.col(text_col))
+    else:
+        sig_col = minhash_signature(F.col(text_col))
+    sig = docs.select(F.col("doc_id"), sig_col.alias("sig"))
     band_cols = []
     for b in range(LSH_BANDS):
         parts = [

@@ -180,6 +180,39 @@ def test_corpus_purity_assumption(spark):
     assert dirty.count() == 0
 
 
+def test_minhash_pandas_kernel_matches_jvm_expression(spark):
+    """The vectorized signature kernel must be value-identical to the
+    Column-expression path — same md5-derived integers, same shingles,
+    same Java-\\s whitespace semantics — on real corpus text and on an
+    adversarial whitespace/case battery."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import dedup as D
+    from article_extractor_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    battery = spark.createDataFrame(
+        [
+            ("1", ""), ("2", "   "), ("3", "\tOne\tTwo"), ("4", "a b"),
+            ("5", "x Y z x Y z"), ("6", "tab\tsep\nnl\x0bvt\x0cff\rcr"),
+            ("7", "ONE two THREE four five"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    for docs in (battery, corpus.select("doc_id", "text")):
+        both = docs.select(
+            D.minhash_signature(F.col("text")).alias("jvm"),
+            D.minhash_signature_pudf()(F.col("text")).alias("pd"),
+        )
+        assert both.where(F.col("jvm") != F.col("pd")).count() == 0
+    # full-pipeline equality: identical candidate pairs either way
+    a = D.minhash_lsh_pairs(corpus, kernel="jvm").toPandas()
+    b = D.minhash_lsh_pairs(corpus, kernel="pandas").toPandas()
+    key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
+    assert key(a) == key(b)
+
+
 def test_minhash_adversarial_bucket_capped(spark):
     """An all-identical corpus puts every document in the same LSH
     bucket in every band; the bucket-size cap must bound the pair
