@@ -389,10 +389,65 @@ def simhash16(col: Column) -> Column:
     )
 
 
-def simhash_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select(
-        F.col("doc_id"), simhash16(F.col(text_col)).alias("simhash")
-    )
+def _simhash_kernel(texts):
+    """Executor-side vectorized simhash16 twin: identical md5-derived
+    16-bit token hashes and majority bit votes (see simhash16)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    jws = re.compile(r"[ \t\n\x0b\x0c\r]+")
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    out = []
+    for t in texts:
+        norm = jws.sub(" ", (t or "").strip(" ").lower())
+        trimmed = norm.strip(" ")
+        toks = trimmed.split(" ") if trimmed else []
+        if not toks:
+            out.append(0)
+            continue
+        h = np.fromiter(
+            (
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                % 65536
+                for s in toks
+            ),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        counts = ((h[:, None] >> bit_idx) & 1).sum(axis=0)
+        bits = (2 * counts > len(toks)).astype(np.int64)
+        out.append(int((bits << bit_idx).sum()))
+    return pd.Series(out)
+
+
+def simhash16_pudf():
+    """Vectorized Arrow-batched twin of ``simhash16`` (same rationale
+    and caveats as ``minhash_signature_pudf``: C md5 + numpy bit votes
+    beat the interpreted HOF fold; equality pinned by tests and the
+    shared oracle)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    kernel = _simhash_kernel
+    kernel.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(kernel, LongType())
+
+
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", kernel: str = "pandas"
+) -> DataFrame:
+    if kernel == "pandas":
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(docs.sparkSession)
+        col = simhash16_pudf()(F.col(text_col))
+    else:
+        col = simhash16(F.col(text_col))
+    return docs.select(F.col("doc_id"), col.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

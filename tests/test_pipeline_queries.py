@@ -211,6 +211,13 @@ def test_minhash_pandas_kernel_matches_jvm_expression(spark):
     b = D.minhash_lsh_pairs(corpus, kernel="pandas").toPandas()
     key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
     assert key(a) == key(b)
+    # simhash kernels likewise value-identical
+    for docs in (battery, corpus.select("doc_id", "text")):
+        sboth = docs.select(
+            D.simhash16(F.col("text")).alias("jvm"),
+            D.simhash16_pudf()(F.col("text")).alias("pd"),
+        )
+        assert sboth.where(F.col("jvm") != F.col("pd")).count() == 0
 
 
 def test_minhash_adversarial_bucket_capped(spark):
