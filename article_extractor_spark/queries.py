@@ -236,6 +236,64 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_normalize_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 rich URL normalizer (discovery.py:787-813 _normalize_url):
+    drop fragment, lowercase the scheme (urlparse does), keep netloc
+    case AS-IS (this variant does not lowercase the host — the
+    crawler.py:435-450 variant in ``url_normalize`` does), strip the
+    query (allow_querystrings=False), default path '/', and return NULL
+    for non-http(s) schemes (the reference returns None)."""
+    docs = load(spark, sf_dir, "documents")
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://Host-"),
+                F.col("doc_id").cast("string"),
+                F.lit(".Example.COM"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://h.example.com/a/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?x=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("ftp://files.example.com/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("mailto:user-"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            )
+        )
+    )
+    no_frag = F.regexp_replace(raw, "#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(no_frag, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    )
+    netloc = F.regexp_extract(no_frag, "^[A-Za-z0-9+.-]+://([^/?#]*)", 1)
+    path = F.regexp_extract(
+        no_frag, "^[A-Za-z0-9+.-]+://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    keep = scheme.isin("http", "https")
+    norm = F.when(
+        keep, F.concat(scheme, F.lit("://"), netloc, path)
+    ).otherwise(F.lit(None).cast("string"))
+    return docs.select(
+        "doc_id", raw.alias("raw_url"), norm.alias("norm_url")
+    )
+
+
 def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12 extension filter (discovery.py:815-863): drop non-HTML
     asset URLs; kept/dropped counts per source."""
@@ -1337,6 +1395,39 @@ SELECT doc_id, raw_url,
     || regexp_replace(no_frag, '^[^/]+//[^/]+', '') AS norm_url
 FROM nf
 """,
+    "url_normalize_rich": """
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+           THEN 'HTTPS://Host-' || CAST(doc_id AS VARCHAR) || '.Example.COM'
+         WHEN doc_id % 4 = 1
+           THEN 'http://h.example.com/a/' || CAST(doc_id AS VARCHAR)
+                || '?x=1#frag'
+         WHEN doc_id % 4 = 2
+           THEN 'ftp://files.example.com/' || CAST(doc_id AS VARCHAR)
+         ELSE 'mailto:user-' || CAST(doc_id AS VARCHAR) || '@example.com'
+    END AS raw_url
+  FROM documents
+), nf AS (
+  SELECT doc_id, raw_url,
+    regexp_replace(raw_url, '#.*$', '') AS no_frag
+  FROM u
+), p AS (
+  SELECT doc_id, raw_url, no_frag,
+    lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+      AS scheme,
+    regexp_extract(no_frag, '^[A-Za-z0-9+.-]+://([^/?#]*)', 1) AS netloc,
+    regexp_extract(no_frag, '^[A-Za-z0-9+.-]+://[^/?#]*([^?#]*)', 1)
+      AS rawpath
+  FROM nf
+)
+SELECT doc_id, raw_url,
+  CASE WHEN scheme IN ('http', 'https')
+       THEN scheme || '://' || netloc
+            || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+       ELSE NULL END AS norm_url
+FROM p
+""",
     "extension_filter": """
 WITH u AS (
   SELECT source,
@@ -1452,6 +1543,7 @@ QUERY_FNS: dict[str, Query] = {
     "events_hourly": q_events_hourly,
     "windowed_event_rates": q_windowed_event_rates,
     "url_normalize": q_url_normalize,
+    "url_normalize_rich": q_url_normalize_rich,
     "link_extraction": q_link_extraction,
     "url_hashes": q_url_hashes,
     "extension_filter": q_extension_filter,
