@@ -514,7 +514,12 @@ def q_lsh_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/aes_cache/emb_bucketed_{tag}"
+    # bucketing params in the path: a stale layout from an older engine
+    # version must never satisfy a probe with different planes/quant
+    path = (
+        f"/tmp/aes_cache/emb_bucketed_{tag}"
+        f"_p{S.N_PLANES}q{S.QUANT}"
+    )
     if not os.path.exists(path + "/_SUCCESS"):
         S.write_bucket_partitioned(emb, path)
     return S.lsh_ann_topk_pruned(spark, path, emb, query_id=0, k=10)
