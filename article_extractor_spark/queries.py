@@ -458,26 +458,37 @@ def _crawl_frontier(
     docs = load(spark, sf_dir, "documents")
     n = docs.count()  # one action; parameterizes the modular edge graph
     src = F.col("doc_id")
+    # persist the edge list for the iteration — every depth probes it,
+    # and without caching each depth re-derives it from the source scan
+    # (at real scale the analog is edge storage bucketed on src; here
+    # MEMORY_AND_DISK holds it for the loop and is released after)
     edges = docs.select(
         src.alias("src"),
         F.explode(F.array((src * 2 + 1) % n, (src * 3 + 7) % n)).alias(
             "dst"
         ),
-    )
-    visited = spark.createDataFrame([(0, 0)], "doc_id long, depth int")
-    frontier = visited.select("doc_id")
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            edges.join(
-                F.broadcast(frontier), edges.src == frontier.doc_id
-            )
-            .select(F.col("dst").alias("doc_id"))
-            .distinct()
-            .join(visited, "doc_id", "left_anti")
-            .withColumn("depth", F.lit(depth))
-        ).localCheckpoint(eager=True)
-        visited = visited.unionByName(nxt)
-        frontier = nxt.select("doc_id")
+    ).persist()
+    try:
+        visited = spark.createDataFrame(
+            [(0, 0)], "doc_id long, depth int"
+        )
+        frontier = visited.select("doc_id")
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                edges.join(
+                    F.broadcast(frontier), edges.src == frontier.doc_id
+                )
+                .select(F.col("dst").alias("doc_id"))
+                .distinct()
+                .join(visited, "doc_id", "left_anti")
+                .withColumn("depth", F.lit(depth))
+            ).localCheckpoint(eager=True)
+            visited = visited.unionByName(nxt)
+            frontier = nxt.select("doc_id")
+    finally:
+        # the returned frame is a union of checkpointed frames — it no
+        # longer references edges, so the cache can be dropped now
+        edges.unpersist()
     return visited
 
 
