@@ -194,8 +194,14 @@ def lsh_ann_topk_pruned(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+NEARDUP_BUCKET_CAP = 256
+
+
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.95, vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    bucket_cap: int = NEARDUP_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -204,12 +210,27 @@ def embedding_neardup_pairs(
     same bucket with high probability); pairs with cosine ≥ threshold
     survive.  The bucket join shuffles each vector once — never the
     full cross product.
+
+    Adversarial-bucket guard (same failure mode as minhash_lsh_pairs):
+    a flood of identical/near-identical vectors lands in ONE bucket and
+    makes the in-bucket self-join quadratic.  A ``row_number`` over the
+    bucket caps membership at ``bucket_cap`` (deterministic: smallest
+    vec_ids) before the join; the ranking shuffles on the same bucket
+    key the join needs.  Beyond the cap the vectors are duplicates of
+    ones already paired — exact dedup is the right tool at that density.
     """
+    from pyspark.sql.window import Window
+
     with_bucket = emb.select(
         F.col("vec_id"),
         quantized(F.col(vec_col)).alias("qv"),
         lsh_bucket(F.col(vec_col)).alias("bucket"),
-    )
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("vec_id")
+        ),
+    ).where(F.col("rn") <= bucket_cap).drop("rn")
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     return (

@@ -1136,9 +1136,15 @@ WITH base AS (
   SELECT vec_id, {_QUANT} AS q FROM embeddings
 ), bucketed AS (
   SELECT vec_id, q, CAST({bucket} AS INT) AS bucket FROM base
+), capped AS (
+  SELECT vec_id, q, bucket FROM (
+    SELECT vec_id, q, bucket,
+      row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+    FROM bucketed
+  ) WHERE rn <= {S.NEARDUP_BUCKET_CAP}
 ), p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.q AS qa, b.q AS qb
-  FROM bucketed a JOIN bucketed b
+  FROM capped a JOIN capped b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), scored AS (
   SELECT vec_a, vec_b,

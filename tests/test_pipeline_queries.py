@@ -243,6 +243,25 @@ def test_minhash_adversarial_bucket_capped(spark):
     assert pairs["doc_b"].max() <= cap - 1
 
 
+def test_embedding_neardup_adversarial_bucket_capped(spark):
+    """An all-identical embedding flood lands in one LSH bucket; the
+    cap must bound the pairwise join at C(cap, 2)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import similarity as S
+
+    n, cap = 300, 12
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 8).alias("embedding"),
+    )
+    pairs = S.embedding_neardup_pairs(
+        emb, threshold=0.9, bucket_cap=cap
+    ).toPandas()
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert pairs["vec_b"].max() <= cap - 1
+
+
 def test_pandas_udf_token_count_matches_jvm_expr(spark):
     from article_extractor_spark.functions.text import (
         token_count,
