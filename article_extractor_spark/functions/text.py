@@ -112,6 +112,11 @@ def token_count_pudf():
 
 def fingerprint(col: Column) -> Column:
     """Whole-document fingerprint (rolling-hash analog): md5-derived
-    60-bit integer over whitespace-normalized text."""
-    normalized = F.regexp_replace(F.trim(col), "\\s+", " ")
+    60-bit integer over dedup-normalized text (lowercase + collapsed
+    whitespace — the same ``normalized_text`` the dedup family keys on,
+    so fingerprint equality and exact-dedup membership agree).  Mixed
+    case must NOT change the fingerprint; pinned by a unit-level oracle
+    test (round-2 verdict: the old case-preserving form diverged from
+    its lowercasing SQL oracle, masked by an all-lowercase corpus)."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
     return md5_int(normalized)

@@ -1276,6 +1276,47 @@ SELECT doc_id, markdown, content_html,
 FROM t
 """
 
+# Flagship oracle: byte-exact analytic reconstruction of the engine's
+# serialized span output for the synthetic interleaved corpus (same
+# technique as _EXTRACT_MARKDOWN_SQL).  Each synthetic doc extracts to
+# exactly 3 spans with fully predictable content: span0 = h1 title +
+# paragraph text joined with one space (dom_to_spans normalize_text is
+# the identity under corpus purity — no entities, no whitespace runs,
+# no space-before-punctuation, pinned by
+# test_corpus_purity_assumption), span1 = the one <img>, span2 = the
+# closing paragraph.  Spark's to_json escapes only '"', '\\' and
+# control chars — all absent from the corpus text (also pinned) — so
+# string concatenation reproduces the JSON byte-for-byte.  The warning
+# arm mirrors pipeline.py's exact message format for word_count <
+# min_word_count docs (none exist in the driver corpora, but the arm
+# keeps the oracle honest if the corpus changes).
+_SPAN0_SQL = (
+    "'Doc ' || CAST(doc_id AS VARCHAR) || ' '"
+    " || regexp_replace(trim(text), '\\s+', ' ', 'g')"
+)
+
+_EXTRACT_SPANS_FULL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SPAN0_SQL} AS span0, {_WC_SQL} AS wc FROM documents
+)
+SELECT doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  wc AS word_count,
+  3 AS n_spans,
+  '[{{"kind":"text","text":"' || span0
+    || '","media_ref":"","offset":0}},'
+    || '{{"kind":"media","text":"","media_ref":"https://cdn.example/img-'
+    || CAST(doc_id AS VARCHAR) || '.jpg","offset":1}},'
+    || '{{"kind":"text","text":"End of synthetic document body.",'
+    || '"media_ref":"","offset":2}}]' AS spans_json,
+  CASE WHEN wc < 10
+       THEN '["Content below minimum word count ('
+            || CAST(wc AS VARCHAR) || ' < 10)"]'
+       ELSE '[]' END AS warnings_json,
+  TRUE AS success
+FROM t
+"""
+
 _SERVER_RESPONSE_SQL = f"""
 WITH t AS (
   SELECT doc_id,
@@ -1548,9 +1589,7 @@ SELECT doc_id,
 FROM documents
 """,
     "extract_interleaved": _extract_interleaved_sql(),
-    # extract_spans_full: intentionally no oracle (non-SQL-expressible;
-    # rows-only check) — span-level correctness is pinned by the golden
-    # fixture corpus tests.
+    "extract_spans_full": _EXTRACT_SPANS_FULL_SQL,
 }
 
 QUERY_FNS: dict[str, Query] = {

@@ -176,8 +176,58 @@ def test_corpus_purity_assumption(spark):
         F.col("text").contains("<")
         | F.col("text").contains(">")
         | F.col("text").contains("&")
+        # JSON-escape must be the identity for the flagship spans_json
+        # oracle: no double quotes, backslashes, or control chars.
+        | F.col("text").contains('"')
+        | F.col("text").contains("\\")
+        # normalize_text must be the identity: no whitespace runs, no
+        # leading/trailing whitespace, no space-before-punctuation.
+        | F.col("text").rlike("\\s\\s|^\\s|\\s$|\\s[,.;:!?]")
     )
     assert dirty.count() == 0
+
+
+def test_fingerprint_is_case_insensitive_oracle(spark):
+    """Unit-level fingerprint oracle on a MIXED-CASE battery, computed
+    independently with hashlib — so a corpus property (the driver
+    corpus is all-lowercase) can never mask an engine/oracle case
+    divergence again (round-2 verdict item: the engine skipped
+    lowercasing and stayed green by luck)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import text as X
+
+    battery = [
+        "Hello World",
+        "HELLO   world",
+        "  MiXeD Case\ttext  ",
+        "already lowercase",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(battery)], "id int, text string"
+    )
+    got = {
+        r.id: r.fp
+        for r in df.select(
+            "id", X.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+
+    def expected(t: str) -> int:
+        # dedup normalization: ASCII-space trim, lowercase, collapse
+        # Java-\s whitespace runs — then md5 60-bit int.
+        import re
+
+        norm = re.sub("[ \t\n\x0b\f\r]+", " ", t.strip(" ").lower())
+        return int(hashlib.md5(norm.encode()).hexdigest()[:15], 16)
+
+    for i, t in enumerate(battery):
+        assert got[i] == expected(t), t
+    # case variants of the same text agree
+    assert got[0] == got[1]
 
 
 def test_minhash_pandas_kernel_matches_jvm_expression(spark):
