@@ -153,7 +153,14 @@ def _minhash_sig_kernel(texts, params, mersenne):
     C = params[:, 1][:, None]
     out = []
     for t in texts:
-        norm = _JAVA_WS.sub(" ", (t or "").strip(" ").lower())
+        if t is None:
+            # NULL in → NULL out, matching the Column-expression twin
+            # (minhash_signature propagates NULL through the fold);
+            # mapping None to the empty-string signature would give
+            # null-text docs a shared non-null band hash.
+            out.append(None)
+            continue
+        norm = _JAVA_WS.sub(" ", t.strip(" ").lower())
         trimmed = norm.strip(" ")
         toks = trimmed.split(" ") if trimmed else []
         if len(toks) < 3:
@@ -216,6 +223,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     bucket_cap: int = BUCKET_CAP,
     kernel: str = "pandas",
+    drop_metrics=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -237,9 +245,14 @@ def minhash_lsh_pairs(
     C(cap, 2) pairs.  The cap ranking shuffles on the same
     (band, band_hash) key the groupBy needs, so Spark reuses the
     exchange — the cap costs one spillable in-partition sort, not a
-    second shuffle.  Members beyond the cap are dropped; at that bucket
-    density the documents are near-identical and exact_dedup already
-    collapses them.
+    second shuffle.  Members beyond the cap are dropped; for identical
+    docs exact_dedup collapses them anyway, but near-but-not-exact
+    duplicates past the cap (templated pages) DO lose recall — so the
+    drop must be visible, not silent: pass a
+    ``pyspark.sql.Observation`` as ``drop_metrics`` and, after any
+    action on the result, read ``capped_out_members`` (band-bucket
+    memberships dropped by the cap) and ``bucket_members`` (total).
+    The metrics ride the existing job, zero extra passes.
     """
     from pyspark.sql.window import Window
 
@@ -271,12 +284,21 @@ def minhash_lsh_pairs(
         F.col("bb.band_hash").alias("band_hash"),
     )
 
-    capped = banded.withColumn(
+    ranked = banded.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("band", "band_hash").orderBy("doc_id")
         ),
-    ).where(F.col("rn") <= bucket_cap)
+    )
+    if drop_metrics is not None:
+        ranked = ranked.observe(
+            drop_metrics,
+            F.sum(
+                F.when(F.col("rn") > bucket_cap, 1).otherwise(0)
+            ).alias("capped_out_members"),
+            F.count(F.lit(1)).alias("bucket_members"),
+        )
+    capped = ranked.where(F.col("rn") <= bucket_cap)
     buckets = (
         capped.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -402,7 +424,11 @@ def _simhash_kernel(texts):
     bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
     out = []
     for t in texts:
-        norm = jws.sub(" ", (t or "").strip(" ").lower())
+        if t is None:
+            # NULL propagates (matches the simhash16 expression fold)
+            out.append(None)
+            continue
+        norm = jws.sub(" ", t.strip(" ").lower())
         trimmed = norm.strip(" ")
         toks = trimmed.split(" ") if trimmed else []
         if not toks:

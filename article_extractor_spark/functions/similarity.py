@@ -202,6 +202,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     bucket_cap: int = NEARDUP_BUCKET_CAP,
+    drop_metrics=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -217,11 +218,15 @@ def embedding_neardup_pairs(
     bucket caps membership at ``bucket_cap`` (deterministic: smallest
     vec_ids) before the join; the ranking shuffles on the same bucket
     key the join needs.  Beyond the cap the vectors are duplicates of
-    ones already paired — exact dedup is the right tool at that density.
+    ones already paired — exact dedup is the right tool at that
+    density; still, recall loss must be visible: pass an
+    ``Observation`` as ``drop_metrics`` to read ``capped_out_members``
+    / ``bucket_members`` after any action on the result (same contract
+    as ``dedup.minhash_lsh_pairs``).
     """
     from pyspark.sql.window import Window
 
-    with_bucket = emb.select(
+    ranked = emb.select(
         F.col("vec_id"),
         quantized(F.col(vec_col)).alias("qv"),
         lsh_bucket(F.col(vec_col)).alias("bucket"),
@@ -230,7 +235,16 @@ def embedding_neardup_pairs(
         F.row_number().over(
             Window.partitionBy("bucket").orderBy("vec_id")
         ),
-    ).where(F.col("rn") <= bucket_cap).drop("rn")
+    )
+    if drop_metrics is not None:
+        ranked = ranked.observe(
+            drop_metrics,
+            F.sum(
+                F.when(F.col("rn") > bucket_cap, 1).otherwise(0)
+            ).alias("capped_out_members"),
+            F.count(F.lit(1)).alias("bucket_members"),
+        )
+    with_bucket = ranked.where(F.col("rn") <= bucket_cap).drop("rn")
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
     return (

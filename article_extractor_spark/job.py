@@ -255,23 +255,37 @@ def _run_waves(
             lineage_rows = _lineage_rows_from_observation(
                 vals, wave_buckets, run_id
             )
-        tableio.append_lineage(
-            spark.createDataFrame(lineage_rows, tableio.LINEAGE_SCHEMA),
-            output_path,
-        )
         if markdown_dir:
             # D4 sink fed from the WRITTEN output (column-pruned read of
             # url/title/markdown/word_count — parquet never materializes
-            # the span column here), not a second extraction pass
+            # the span column here), not a second extraction pass.
+            # Runs BEFORE append_lineage: lineage is the commit record,
+            # and a crash between sink and commit must leave the bucket
+            # uncommitted so resume redoes it (md file writes are
+            # idempotent overwrites; the manifest partition is
+            # dynamically overwritten per bucket, so a redo converges
+            # instead of accumulating duplicate rows).
             from .sinks.markdown_sink import write_markdown_files
 
             wave_out = tableio.read_table(spark, output_path).where(
                 F.col("bucket").isin(wave_buckets)
             )
-            manifest = write_markdown_files(wave_out, markdown_dir)
-            manifest.write.mode("append").parquet(
-                markdown_dir.rstrip("/") + "/_manifest"
+            manifest = tableio.with_bucket(
+                write_markdown_files(wave_out, markdown_dir),
+                "doc_id",
+                n_buckets,
             )
+            (
+                manifest.repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(markdown_dir.rstrip("/") + "/_manifest")
+            )
+        tableio.append_lineage(
+            spark.createDataFrame(lineage_rows, tableio.LINEAGE_SCHEMA),
+            output_path,
+        )
         docs_done += sum(r[4] for r in lineage_rows)  # docs_in ordinal
         observed.append(
             {

@@ -294,13 +294,46 @@ def q_url_normalize_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's complete non-HTML asset-extension skip list
+# (discovery.py:819-855).  The values are the spec — parity with the
+# reference's URL filtering is impossible without them.  Shared by the
+# Spark query and its DuckDB oracle so the two can never drift.
+NON_HTML_EXTENSIONS: tuple[str, ...] = (
+    ".css", ".js", ".json", ".xml", ".txt", ".pdf", ".zip", ".tar",
+    ".gz", ".png", ".jpg", ".jpeg", ".gif", ".svg", ".ico", ".webp",
+    ".bmp", ".mp3", ".mp4", ".avi", ".mov", ".wav", ".flv", ".wmv",
+    ".doc", ".docx", ".xls", ".xlsx", ".ppt", ".pptx", ".woff",
+    ".woff2", ".ttf", ".eot", ".otf",
+)
+
+# Extensions cycled through the synthetic URL set: every skip-list
+# entry plus HTML-ish keepers, so each filter branch is exercised.
+_EXT_CYCLE: tuple[str, ...] = NON_HTML_EXTENSIONS + (
+    ".html", ".htm", "", ".php",
+)
+
+# Final dot-extension of a lowercased URL path.  Membership of this in
+# NON_HTML_EXTENSIONS is equivalent to the reference's
+# any(path.endswith(ext)) because every listed extension matches
+# \.[a-z0-9]+ and can therefore only be a path suffix as the final
+# dot-segment (e.g. "a.tar.gz" ends with ".gz" and its final segment
+# IS ".gz").  One codegen'd regex + set membership instead of 35
+# endswith calls per row.
+_FINAL_EXT_RE = "(\\.[a-z0-9]+)$"
+
+
 def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12 extension filter (discovery.py:815-863): drop non-HTML
-    asset URLs; kept/dropped counts per source."""
+    asset URLs using the reference's full 35-extension skip list.
+
+    A deterministic mixed-extension URL set (doc_id cycles through all
+    35 skip extensions + 4 keepers) exercises every branch; output is
+    the per-extension verdict + URL count."""
     docs = load(spark, sf_dir, "documents")
-    ext = F.when(F.col("doc_id") % 5 == 0, F.lit(".pdf")).when(
-        F.col("doc_id") % 7 == 0, F.lit(".jpg")
-    ).otherwise(F.lit(".html"))
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXT_CYCLE]),
+        (F.col("doc_id") % len(_EXT_CYCLE)).cast("int") + 1,
+    )
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
@@ -308,14 +341,13 @@ def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         ext,
     )
-    keep = ~(url.endswith(".pdf") | url.endswith(".jpg"))
+    path = F.lower(F.parse_url(url, F.lit("PATH")))
+    final_ext = F.regexp_extract(path, _FINAL_EXT_RE, 1)
+    keep = ~final_ext.isin(*NON_HTML_EXTENSIONS)
     return (
-        docs.select(F.col("source"), keep.alias("keep"))
-        .groupBy("source")
-        .agg(
-            F.sum(F.col("keep").cast("long")).alias("n_kept"),
-            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
-        )
+        docs.select(ext.alias("ext"), keep.alias("keep"))
+        .groupBy("ext", "keep")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
     )
 
 
@@ -524,7 +556,24 @@ def q_lsh_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     emb = load(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # Cache tag folds in a DATA fingerprint (mtime+size of the source
+    # parquet), not just the path: regenerated test data at the same
+    # path must invalidate the layout, or the probe silently reads
+    # stale vectors and returns wrong neighbors.
+    src = f"{sf_dir}/embeddings.parquet"
+    stat_sig = ""
+    if os.path.isdir(src):
+        parts = sorted(
+            e for e in os.listdir(src) if e.endswith(".parquet")
+        )
+        stat_sig = ";".join(
+            f"{e}:{os.path.getmtime(os.path.join(src, e))}"
+            f":{os.path.getsize(os.path.join(src, e))}"
+            for e in parts
+        )
+    elif os.path.exists(src):
+        stat_sig = f"{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    tag = hashlib.md5(f"{sf_dir}|{stat_sig}".encode()).hexdigest()[:10]
     # bucketing params in the path: a stale layout from an older engine
     # version must never satisfy a probe with different planes/quant
     path = (
@@ -788,6 +837,112 @@ def q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     locs = sitemaps.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit("<loc>([^<]*)</loc>"), F.lit(1)
+            )
+        ).alias("loc"),
+    )
+    return locs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"), F.min("loc").alias("first_loc")
+    )
+
+
+def q_sitemap_index_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 sitemap-index recursion (sitemap_parser.py:19-127): resolve a
+    ``<sitemapindex>`` whose ``<sitemap><loc>`` children point at
+    nested per-source urlsets, exactly as the reference's recursive
+    loader does — plus one urlset seeded directly, covering both input
+    kinds in one run.
+
+    The index deliberately references only the even-numbered sources
+    (and the direct seed is src1), so the output's source membership is
+    evidence the resolution really went through the index rather than
+    scanning all urlsets.  Scale shape: nested sitemap refs are tiny →
+    broadcast semi-join against the fetched-bodies table (no shuffle of
+    the bodies); loc recovery is JVM regexp + explode."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    sitemap_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/sitemap.xml")
+    )
+    urlsets = (
+        docs.groupBy("source")
+        .agg(F.array_sort(F.collect_list(url)).alias("urls"))
+        .select(
+            "source",
+            sitemap_url.alias("sitemap_url"),
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.col("urls"),
+                        lambda u: F.concat(
+                            F.lit("<loc>"), u, F.lit("</loc>")
+                        ),
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    src_num = F.regexp_extract(F.col("source"), "src([0-9]+)", 1).cast("int")
+    index_url = "https://hub.example.com/sitemap-index.xml"
+    index = (
+        urlsets.where(src_num % 2 == 0)
+        .agg(F.array_sort(F.collect_list("sitemap_url")).alias("children"))
+        .select(
+            F.lit("").alias("source"),
+            F.lit(index_url).alias("sitemap_url"),
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.col("children"),
+                        lambda u: F.concat(
+                            F.lit("<sitemap><loc>"), u, F.lit("</loc></sitemap>")
+                        ),
+                    ),
+                ),
+                F.lit("</sitemapindex>"),
+            ).alias("xml"),
+        )
+    )
+    fetched = urlsets.unionByName(index)
+    seeds = fetched.where(
+        F.col("sitemap_url").isin(
+            index_url, "https://src1.example.com/sitemap.xml"
+        )
+    )
+    is_index = F.col("xml").startswith("<sitemapindex")
+    direct = seeds.where(~is_index)
+    child_refs = (
+        seeds.where(is_index)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("xml"), F.lit("<loc>([^<]*)</loc>"), F.lit(1)
+                )
+            ).alias("sitemap_url")
+        )
+        .distinct()
+    )
+    child_bodies = fetched.join(
+        F.broadcast(child_refs), "sitemap_url", "leftsemi"
+    )
+    # visited-set dedup (a urlset both seeded and indexed parses once)
+    resolved = direct.unionByName(child_bodies).dropDuplicates(
+        ["sitemap_url"]
+    )
+    locs = resolved.select(
         "source",
         F.explode(
             F.regexp_extract_all(
@@ -1361,6 +1516,17 @@ SELECT source, COUNT(*) AS n_urls,
       || CAST(doc_id AS VARCHAR)) AS first_loc
 FROM documents GROUP BY source
 """,
+    # Only sources reachable through the sitemapindex (even-numbered)
+    # plus the directly-seeded src1 urlset may appear — the membership
+    # IS the recursion evidence.
+    "sitemap_index_locs": """
+SELECT source, COUNT(*) AS n_urls,
+  MIN('https://' || source || '.example.com/docs/'
+      || CAST(doc_id AS VARCHAR)) AS first_loc
+FROM documents
+WHERE CAST(substr(source, 4) AS INT) % 2 = 0 OR source = 'src1'
+GROUP BY source
+""",
     "rate_limit_schedule": f"""
 WITH t AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -1491,18 +1657,23 @@ SELECT doc_id, raw_url,
        ELSE NULL END AS norm_url
 FROM p
 """,
-    "extension_filter": """
+    "extension_filter": f"""
 WITH u AS (
-  SELECT source,
-    NOT (CASE WHEN doc_id % 5 = 0 THEN '.pdf'
-              WHEN doc_id % 7 = 0 THEN '.jpg'
-              ELSE '.html' END IN ('.pdf', '.jpg')) AS keep
+  SELECT ([{', '.join(repr(e) for e in _EXT_CYCLE)}])
+           [(doc_id % {len(_EXT_CYCLE)}) + 1] AS ext,
+    source, doc_id
   FROM documents
+), p AS (
+  SELECT ext,
+    lower('/p/' || CAST(doc_id AS VARCHAR) || ext) AS path
+  FROM u
+), v AS (
+  SELECT ext,
+    NOT (regexp_extract(path, '(\\.[a-z0-9]+)$', 1)
+         IN ({', '.join(repr(e) for e in NON_HTML_EXTENSIONS)})) AS keep
+  FROM p
 )
-SELECT source,
-  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-FROM u GROUP BY source
+SELECT ext, keep, COUNT(*) AS n_urls FROM v GROUP BY ext, keep
 """,
     "link_extraction": """
 SELECT '/' AS href, COUNT(*) AS n_refs FROM documents
@@ -1634,6 +1805,7 @@ QUERY_FNS: dict[str, Query] = {
     "server_response": q_server_response,
     "lineage_rollup": q_lineage_rollup,
     "sitemap_locs": q_sitemap_locs,
+    "sitemap_index_locs": q_sitemap_index_locs,
     "rate_limit_schedule": q_rate_limit_schedule,
     "extract_spans_full": q_extract_spans_full,
 }

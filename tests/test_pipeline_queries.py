@@ -246,8 +246,10 @@ def test_minhash_pandas_kernel_matches_jvm_expression(spark):
             ("1", ""), ("2", "   "), ("3", "\tOne\tTwo"), ("4", "a b"),
             ("5", "x Y z x Y z"), ("6", "tab\tsep\nnl\x0bvt\x0cff\rcr"),
             ("7", "ONE two THREE four five"),
+            ("8", None),  # NULL text: kernel must propagate NULL like
+            # the expression fold, not hash the empty string
         ],
-        ["doc_id", "text"],
+        "doc_id string, text string",
     )
     corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
     for docs in (battery, corpus.select("doc_id", "text")):
@@ -255,19 +257,28 @@ def test_minhash_pandas_kernel_matches_jvm_expression(spark):
             D.minhash_signature(F.col("text")).alias("jvm"),
             D.minhash_signature_pudf()(F.col("text")).alias("pd"),
         )
-        assert both.where(F.col("jvm") != F.col("pd")).count() == 0
+        # null-safe: jvm NULL vs pd non-NULL must count as a mismatch
+        assert (
+            both.where(~F.col("jvm").eqNullSafe(F.col("pd"))).count() == 0
+        )
+    null_sig = battery.where("doc_id = '8'").select(
+        D.minhash_signature_pudf()(F.col("text")).alias("pd")
+    ).collect()[0]
+    assert null_sig["pd"] is None
     # full-pipeline equality: identical candidate pairs either way
     a = D.minhash_lsh_pairs(corpus, kernel="jvm").toPandas()
     b = D.minhash_lsh_pairs(corpus, kernel="pandas").toPandas()
     key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
     assert key(a) == key(b)
-    # simhash kernels likewise value-identical
+    # simhash kernels likewise value-identical (null-safe compare)
     for docs in (battery, corpus.select("doc_id", "text")):
         sboth = docs.select(
             D.simhash16(F.col("text")).alias("jvm"),
             D.simhash16_pudf()(F.col("text")).alias("pd"),
         )
-        assert sboth.where(F.col("jvm") != F.col("pd")).count() == 0
+        assert (
+            sboth.where(~F.col("jvm").eqNullSafe(F.col("pd"))).count() == 0
+        )
 
 
 def test_minhash_adversarial_bucket_capped(spark):
@@ -278,6 +289,8 @@ def test_minhash_adversarial_bucket_capped(spark):
 
     from article_extractor_spark.functions import dedup as D
 
+    from pyspark.sql import Observation
+
     n_docs, cap = 400, 16
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
@@ -285,12 +298,20 @@ def test_minhash_adversarial_bucket_capped(spark):
             "the same adversarial document text repeated everywhere"
         ).alias("text"),
     )
-    pairs = D.minhash_lsh_pairs(docs, bucket_cap=cap).toPandas()
+    obs = Observation("minhash-cap")
+    pairs = D.minhash_lsh_pairs(
+        docs, bucket_cap=cap, drop_metrics=obs
+    ).toPandas()
     expected = cap * (cap - 1) // 2  # same ids survive in every band
     assert len(pairs) == expected
     # deterministic truncation: the smallest doc_ids are kept
     assert pairs["doc_a"].max() <= cap - 1
     assert pairs["doc_b"].max() <= cap - 1
+    # the recall loss is observable, not silent: every membership past
+    # the cap is counted (4 bands × (400 − 16) dropped memberships)
+    vals = obs.get
+    assert vals["capped_out_members"] == 4 * (n_docs - cap)
+    assert vals["bucket_members"] == 4 * n_docs
 
 
 def test_embedding_neardup_adversarial_bucket_capped(spark):
@@ -300,16 +321,22 @@ def test_embedding_neardup_adversarial_bucket_capped(spark):
 
     from article_extractor_spark.functions import similarity as S
 
+    from pyspark.sql import Observation
+
     n, cap = 300, 12
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.array(*[F.lit(0.5)] * 8).alias("embedding"),
     )
+    obs = Observation("neardup-cap")
     pairs = S.embedding_neardup_pairs(
-        emb, threshold=0.9, bucket_cap=cap
+        emb, threshold=0.9, bucket_cap=cap, drop_metrics=obs
     ).toPandas()
     assert len(pairs) == cap * (cap - 1) // 2
     assert pairs["vec_b"].max() <= cap - 1
+    vals = obs.get
+    assert vals["capped_out_members"] == n - cap
+    assert vals["bucket_members"] == n
 
 
 def test_pandas_udf_token_count_matches_jvm_expr(spark):

@@ -260,6 +260,65 @@ def test_job_with_markdown_dir_writes_files_and_manifest(
     )
 
 
+def test_markdown_sink_failure_leaves_bucket_uncommitted(
+    spark, corpus_path, tmp_path
+):
+    """Crash-safety ordering: the markdown sink runs BEFORE the lineage
+    commit, so a sink failure must leave every bucket uncommitted (a
+    resume redoes the wave and backfills the missing .md files).  The
+    old order committed lineage first — a crash in the sink silently
+    lost the wave's markdown artifacts forever."""
+    out = str(tmp_path / "out")
+    blocker = tmp_path / "md"
+    blocker.write_text("a file where the sink needs a directory")
+    with pytest.raises(Exception):
+        run_extraction_job(
+            spark,
+            corpus_path,
+            out,
+            n_buckets=N_BUCKETS,
+            waves=1,
+            markdown_dir=str(blocker),
+        )
+    assert tableio.read_committed_buckets(spark, out) == set()
+    # resume after fixing the sink target completes the job
+    blocker.unlink()
+    stats = run_extraction_job(
+        spark,
+        corpus_path,
+        out,
+        n_buckets=N_BUCKETS,
+        waves=1,
+        resume=True,
+        markdown_dir=str(blocker),
+    )
+    assert stats["docs_processed"] == N_DOCS
+    manifest = spark.read.parquet(f"{blocker}/_manifest")
+    assert manifest.count() == N_DOCS
+
+
+def test_manifest_rerun_converges_no_duplicates(
+    spark, corpus_path, tmp_path
+):
+    """Re-running a wave over the same markdown_dir (crash-before-
+    commit redo, or a retried run) must converge: the manifest is
+    dynamically overwritten per bucket, not blindly appended, so no
+    duplicate rows accumulate for the same files."""
+    md_dir = str(tmp_path / "md")
+    for out in (str(tmp_path / "o1"), str(tmp_path / "o2")):
+        run_extraction_job(
+            spark,
+            corpus_path,
+            out,
+            n_buckets=N_BUCKETS,
+            waves=2,
+            markdown_dir=md_dir,
+        )
+    manifest = spark.read.parquet(f"{md_dir}/_manifest")
+    assert manifest.count() == N_DOCS
+    assert manifest.select("md_file").distinct().count() == N_DOCS
+
+
 def test_markdown_sink_writes_frontmatter_files(spark, tmp_path):
     """D4 sink e2e (reference crawler.py:354-423): extraction with
     emit_markdown → one .md file per doc, YAML frontmatter header,
