@@ -785,6 +785,87 @@ def q_rate_limit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_limit_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 adaptive per-host backoff replay (rate_limiter.py:29-109):
+    the full 429 semantics — ×2.0/×1.5/×1.25 multiplier by
+    time-since-last-429 (<30 s/<60 s/else), extra ×1.5 after 3
+    consecutive 429s, ×0.9 decay per 10-success streak, clamped to
+    [0.5 s, 120 s].
+
+    The recurrence is genuinely sequential per host (the multiplier
+    depends on consecutive-counts and the previous delay through
+    clamps), so no closed form exists — this is the textbook case for
+    a grouped stateful operator: one shuffle on host, then an
+    Arrow-batched ``applyInPandas`` replay per host group.  Host groups
+    are independent, so the fold parallelizes across hosts — at 100 TB
+    the per-host event sequence is bounded (one crawler's request log),
+    and this is crawl-control simulation, NOT the document hot path.
+    Events: user_id stands in for host; every 10th event_id is a 429.
+    The replay clock is the event timestamp compressed 4096× (an exact
+    ``>> 12`` on both sides) so the corpus's 429 gaps actually exercise
+    all three time-window multiplier branches (uncompressed, every gap
+    lands in the ≥60 s arm and the ×2.0/×1.5 branches would be dead
+    code in the oracle comparison).  Delay is emitted as floor(µs) so
+    the DuckDB recursive-CTE oracle (identical IEEE-double op order)
+    matches bit-exactly."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.shiftright(
+            F.unix_micros(F.col("ts").cast("timestamp")), 12
+        ).alias("ts_us"),
+        F.when((F.col("event_id") % 10) == 0, F.lit(429))
+        .otherwise(F.lit(200))
+        .alias("status"),
+    )
+
+    def replay(pdf):
+        import math
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        delay, c429, csucc = 2.0, 0, 0
+        last429_us = None
+        out = []
+        for ts_us, status in zip(pdf["ts_us"], pdf["status"]):
+            if status == 429:
+                csucc = 0
+                c429 += 1
+                if last429_us is None:
+                    mult = 1.25
+                elif ts_us - last429_us < 30_000_000:
+                    mult = 2.0
+                elif ts_us - last429_us < 60_000_000:
+                    mult = 1.5
+                else:
+                    mult = 1.25
+                last429_us = ts_us
+                if c429 >= 3:
+                    mult *= 1.5
+                delay = min(120.0, delay * mult)
+            else:
+                c429 = 0
+                csucc += 1
+                if csucc >= 10:
+                    delay = max(0.5, delay * 0.9)
+                    csucc = 0
+            out.append(math.floor(delay * 1_000_000))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "status": pdf["status"],
+                "delay_us": pd.Series(out, dtype="int64"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        replay,
+        schema="user_id long, event_id long, status int, delay_us long",
+    )
+
+
 def q_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets rollup over per-(source, bucket) corpus metrics —
     the one classic aggregation family the reference lacks entirely
@@ -1542,6 +1623,44 @@ SELECT user_id, event_id,
        + rn * {RATE_LIMIT_DELAY_US} - ts_us AS BIGINT) AS wait_us
 FROM b
 """,
+    # Sequential replay as a recursive CTE stepping one event per host
+    # per iteration.  The arithmetic (multiplier composition, clamps,
+    # ×0.9 decay) is written in the same IEEE-double op order as the
+    # applyInPandas replay, so floor(µs) matches bit-exactly.
+    "rate_limit_adaptive": """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, epoch_us(ts) >> 12 AS ts_us,
+    CASE WHEN event_id % 10 = 0 THEN 429 ELSE 200 END AS status,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) >> 12, event_id) AS rn
+  FROM events
+), replay(user_id, rn, event_id, status, delay, c429, csucc,
+          last429_us) AS (
+  SELECT DISTINCT user_id, 0, CAST(NULL AS BIGINT), CAST(NULL AS INT),
+    CAST(2.0 AS DOUBLE), 0, 0, CAST(NULL AS BIGINT)
+  FROM ev
+  UNION ALL
+  SELECT e.user_id, e.rn, e.event_id, e.status,
+    CASE WHEN e.status = 429 THEN
+      least(120.0, r.delay *
+        ((CASE WHEN r.last429_us IS NULL THEN 1.25
+               WHEN e.ts_us - r.last429_us < 30000000 THEN 2.0
+               WHEN e.ts_us - r.last429_us < 60000000 THEN 1.5
+               ELSE 1.25 END)
+         * (CASE WHEN r.c429 + 1 >= 3 THEN 1.5 ELSE 1.0 END)))
+    WHEN r.csucc + 1 >= 10 THEN greatest(0.5, r.delay * 0.9)
+    ELSE r.delay END,
+    CASE WHEN e.status = 429 THEN r.c429 + 1 ELSE 0 END,
+    CASE WHEN e.status = 429 THEN 0
+         WHEN r.csucc + 1 >= 10 THEN 0 ELSE r.csucc + 1 END,
+    CASE WHEN e.status = 429 THEN e.ts_us ELSE r.last429_us END
+  FROM replay r
+  JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, event_id, status,
+  CAST(floor(delay * 1000000) AS BIGINT) AS delay_us
+FROM replay WHERE rn >= 1
+""",
     "transient_prefilter": _TRANSIENT_PREFILTER_SQL,
     "extract_excerpt": _EXTRACT_EXCERPT_SQL,
     "manifest_fold": """
@@ -1807,5 +1926,6 @@ QUERY_FNS: dict[str, Query] = {
     "sitemap_locs": q_sitemap_locs,
     "sitemap_index_locs": q_sitemap_index_locs,
     "rate_limit_schedule": q_rate_limit_schedule,
+    "rate_limit_adaptive": q_rate_limit_adaptive,
     "extract_spans_full": q_extract_spans_full,
 }

@@ -78,6 +78,14 @@ def streaming_extraction(
 
 DEDUP_KEY_GROUPS = 64
 
+# Bloom-filter state sizing (per key group).  2^20 bits = 128 KiB per
+# group holds ~110k keys at 1% false-positive rate (k=5); with 64
+# groups that is ~7M docs for 8 MiB of total state.  At 10^12 docs,
+# raise BLOOM_BITS (the state stays FIXED-SIZE per group regardless of
+# key count — that is the point) and/or DEDUP_KEY_GROUPS.
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 5
+
 DEDUP_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
@@ -86,23 +94,55 @@ DEDUP_OUTPUT_SCHEMA = T.StructType(
 )
 
 DEDUP_STATE_SCHEMA = T.StructType(
-    [T.StructField("seen", T.ArrayType(T.StringType()))]
+    [
+        T.StructField("bloom", T.BinaryType()),
+        T.StructField("n_admitted", T.LongType()),
+    ]
 )
+
+
+def _bloom_positions(content_key: str) -> list[int]:
+    """k bit positions via Kirsch-Mitzenmacher double hashing over the
+    two 64-bit halves of the md5-hex content key: pos_i = h1 + i·h2
+    (mod m).  No extra hashing — the key IS already an md5."""
+    h1 = int(content_key[:16], 16)
+    h2 = int(content_key[16:32], 16) | 1  # odd → full-period stride
+    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_HASHES)]
 
 
 def _dedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
     """Runs once per (micro-batch, key-group): admit rows whose
-    content_key has never been seen in ANY batch; persist the key set."""
-    seen = set(state.get[0]) if state.exists else set()
+    content_key has never been seen in ANY batch.
+
+    State is a FIXED-SIZE Bloom filter (BLOOM_BITS bits per group), not
+    an exact key set — a repeated-key flood, or simply an unbounded run,
+    can no longer grow the checkpointed state.  The trade: ~1% of
+    genuinely-new documents are falsely dropped once a group nears its
+    ~110k-key design capacity (over-dedup, the acceptable direction for
+    a training corpus — never under-dedup: a key whose bits are set IS
+    dropped, so duplicates can never leak through).
+    """
+    import numpy as np
+
+    if state.exists:
+        bits = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        n_admitted = int(state.get[1])
+    else:
+        bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        n_admitted = 0
     out_ids: list[str] = []
     out_keys: list[str] = []
     for pdf in pdfs:
         for doc_id, ck in zip(pdf["doc_id"], pdf["content_key"]):
-            if ck not in seen:
-                seen.add(ck)
-                out_ids.append(doc_id)
-                out_keys.append(ck)
-    state.update((sorted(seen),))
+            pos = _bloom_positions(ck)
+            if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                continue  # seen (or Bloom false positive): drop
+            for p in pos:
+                bits[p >> 3] |= 1 << (p & 7)
+            n_admitted += 1
+            out_ids.append(doc_id)
+            out_keys.append(ck)
+    state.update((bits.tobytes(), n_admitted))
     yield pd.DataFrame({"doc_id": out_ids, "content_key": out_keys})
 
 
@@ -112,17 +152,17 @@ def streaming_exact_dedup(
     """Cross-batch exact dedup on ingest (custom stateful operator).
 
     Keyed by a bounded hash group of the content key so state shards
-    evenly across executors; each group's ``GroupState`` holds the set
-    of content keys it has admitted.  The first occurrence of a key
-    passes; every later occurrence — same batch, later batch, or after
-    a restart (state lives in the checkpoint) — is dropped.
+    evenly across executors; each group's ``GroupState`` holds a
+    FIXED-SIZE Bloom filter over the content keys it has admitted
+    (``_dedup_state_fn``).  The first occurrence of a key passes; every
+    later occurrence — same batch, later batch, or after a restart
+    (state lives in the checkpoint) — is dropped.
 
-    Scale note (10^12 docs): an exact in-state key set grows with the
-    corpus; at that scale swap the set for a Bloom/quotient filter in
-    the same GroupState slot (false positives = rare over-dedup, often
-    acceptable for training corpora), or compact per-group keys into
-    sorted runs on state update.  The operator shape — bounded key
-    groups, per-group state, append output — is unchanged.
+    Scale note (10^12 docs): state is BLOOM_BITS/8 bytes per group no
+    matter how many keys arrive — a repeated-key flood or an unbounded
+    run cannot grow the checkpoint.  Size BLOOM_BITS/DEDUP_KEY_GROUPS
+    for the expected distinct-key volume (~1% false-positive over-dedup
+    at design capacity; duplicates never leak through).
     """
     keyed = corpus.select(
         F.col("doc_id").cast("string").alias("doc_id"),

@@ -112,6 +112,56 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     assert "c1" not in got2
 
 
+def test_streaming_dedup_state_is_bounded_under_flood():
+    """The GroupState is a fixed-size Bloom filter: a repeated-key
+    flood (or any number of distinct keys) must leave the serialized
+    state at exactly BLOOM_BITS/8 bytes — the round-2 design held an
+    exact key set that grew without bound."""
+    import hashlib
+
+    import pandas as pd
+
+    from article_extractor_spark.streaming.ingest import (
+        BLOOM_BITS,
+        _dedup_state_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, value):
+            self.get = value
+            self.exists = True
+
+    state = FakeState()
+    sizes = []
+    admitted = 0
+    flood_key = hashlib.md5(b"the same doc").hexdigest()
+    for batch in range(5):
+        keys = [flood_key] * 20_000 + [
+            hashlib.md5(f"doc-{batch}-{i}".encode()).hexdigest()
+            for i in range(1_000)
+        ]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [f"d{batch}-{i}" for i in range(len(keys))],
+                "content_key": keys,
+            }
+        )
+        out = pd.concat(list(_dedup_state_fn(None, iter([pdf]), state)))
+        admitted += len(out)
+        sizes.append(len(state.get[0]))
+        # the flood key was admitted at most once ever
+        assert (out["content_key"] == flood_key).sum() == (
+            1 if batch == 0 else 0
+        )
+    assert set(sizes) == {BLOOM_BITS // 8}
+    # ~all distinct keys admitted (Bloom fp ≈ 0 at this fill level)
+    assert admitted >= 5_000 * 0.99 + 1
+
+
 def test_windowed_event_rates_matches_batch_semantics(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     rates = windowed_event_rates(events)
