@@ -265,19 +265,13 @@ def embedding_neardup_pairs(
 N_CENTROIDS = 8
 
 
-def ivf_ann_topk(
-    emb: DataFrame, query_id: int = 0, k: int = 10, vec_col: str = "embedding"
-) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid
-    (deterministic "codebook": the first N_CENTROIDS vectors), then
-    search only the query's cell with exact cosine.
-
-    Relational argmin (cross join the tiny broadcast codebook → squared
-    integer L2 → row_number) keeps everything exact and oracle-able; at
-    scale the cell id is a partition column, so probing = partition
-    pruning.  A trained codebook (k-means) drops in without changing the
-    dataflow.
-    """
+def assign_cells(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment: nearest centroid by exact squared integer
+    L2 over the quantized vectors (codebook = the first N_CENTROIDS
+    vectors; ties → smallest cid).  Returns (vec_id, qv, cell).
+    Shared by the inline probe (``ivf_ann_topk``) and the
+    partitioned-storage writer (``write_cell_partitioned``) so the two
+    can never assign differently."""
     from pyspark.sql.window import Window
 
     cents = emb.where(F.col("vec_id") < N_CENTROIDS).select(
@@ -289,7 +283,7 @@ def ivf_ann_topk(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    assigned = (
+    return (
         qe.join(F.broadcast(cents))
         .select("vec_id", "qv", "cid", sqdist.alias("d2"))
         .withColumn(
@@ -303,6 +297,90 @@ def ivf_ann_topk(
         .where(F.col("rn") == 1)
         .select("vec_id", "qv", F.col("cid").alias("cell"))
     )
+
+
+def write_cell_partitioned(
+    emb: DataFrame, path: str, vec_col: str = "embedding"
+) -> None:
+    """Materialize the embeddings table physically partitioned by IVF
+    cell — the storage layout ``ivf_ann_topk_pruned`` probes.  Same
+    contract as ``write_bucket_partitioned``: at scale this is the
+    Iceberg table's declared partitioning, written once, probed by
+    every query."""
+    assigned = assign_cells(emb, vec_col).select("vec_id", "cell")
+    (
+        emb.join(assigned, "vec_id")
+        .select(F.col("vec_id"), F.col(vec_col), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_ann_topk_pruned(
+    spark,
+    table_path: str,
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100-TB shape of ``ivf_ann_topk`` (mirror of
+    ``lsh_ann_topk_pruned``): the table is STORED partitioned by cell,
+    the probe computes the query's cell DRIVER-side against the tiny
+    codebook (N_CENTROIDS rows — one scalar lookup per query, not a
+    per-row collect), then scans ONLY that cell's partition with exact
+    cosine + top-k.  ``PartitionFilters: [(cell = …)]`` in the plan is
+    the quantity that scales — 1/N_CENTROIDS of the bytes."""
+    crows = (
+        emb.where(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            quantized(F.col(vec_col)).alias("cvec"),
+        )
+        .collect()
+    )
+    qrow = (
+        emb.where(F.col("vec_id") == query_id)
+        .select(quantized(F.col(vec_col)).alias("qv"))
+        .collect()[0]
+    )
+    qv = [int(v) for v in qrow["qv"]]
+    # same argmin as assign_cells: exact integer L2, ties → smallest cid
+    qcell = min(
+        (
+            (sum((a - b) * (a - b) for a, b in zip(qv, [int(c) for c in r["cvec"]])), r["cid"])
+            for r in crows
+        )
+    )[1]
+    qvec = F.array(*[F.lit(v).cast("long") for v in qv])
+    part = spark.read.parquet(table_path)
+    cand = part.where(
+        (F.col("cell") == int(qcell)) & (F.col("vec_id") != query_id)
+    )
+    scored = cand.select(
+        F.col("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        cosine_sim(quantized(F.col(vec_col)), qvec).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def ivf_ann_topk(
+    emb: DataFrame, query_id: int = 0, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (deterministic "codebook": the first N_CENTROIDS vectors), then
+    search only the query's cell with exact cosine.
+
+    Relational argmin (cross join the tiny broadcast codebook → squared
+    integer L2 → row_number) keeps everything exact and oracle-able; at
+    scale the cell id is a partition column
+    (``write_cell_partitioned`` / ``ivf_ann_topk_pruned``), so probing
+    = partition pruning.  A trained codebook (k-means) drops in without
+    changing the dataflow.
+    """
+    assigned = assign_cells(emb, vec_col)
     q = assigned.where(F.col("vec_id") == query_id).select(
         F.col("qv").alias("qvec"), F.col("cell").alias("qcell")
     )

@@ -552,20 +552,30 @@ def q_lsh_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.lsh_ann_topk_pruned).  The partitioned table is
     materialized once per sf under /tmp — at 100 TB it IS the stored
     table (Iceberg bucket partitioning), not a per-query artifact."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = _layout_cache_path(sf_dir, "emb_bucketed")
+    import os
+
+    if not os.path.exists(path + "/_SUCCESS"):
+        S.write_bucket_partitioned(emb, path)
+    return S.lsh_ann_topk_pruned(spark, path, emb, query_id=0, k=10)
+
+
+def _layout_cache_path(sf_dir: str, prefix: str) -> str:
+    """Cache location for a materialized partitioned layout.  The tag
+    folds in a DATA fingerprint (mtime+size of the source parquet), not
+    just the path: regenerated test data at the same path must
+    invalidate the layout, or a probe silently reads stale vectors and
+    returns wrong neighbors.  Engine params (planes/quant/centroids) in
+    the name: a layout from an older engine version never satisfies a
+    newer probe."""
     import hashlib
     import os
 
-    emb = load(spark, sf_dir, "embeddings")
-    # Cache tag folds in a DATA fingerprint (mtime+size of the source
-    # parquet), not just the path: regenerated test data at the same
-    # path must invalidate the layout, or the probe silently reads
-    # stale vectors and returns wrong neighbors.
     src = f"{sf_dir}/embeddings.parquet"
     stat_sig = ""
     if os.path.isdir(src):
-        parts = sorted(
-            e for e in os.listdir(src) if e.endswith(".parquet")
-        )
+        parts = sorted(e for e in os.listdir(src) if e.endswith(".parquet"))
         stat_sig = ";".join(
             f"{e}:{os.path.getmtime(os.path.join(src, e))}"
             f":{os.path.getsize(os.path.join(src, e))}"
@@ -574,15 +584,23 @@ def q_lsh_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif os.path.exists(src):
         stat_sig = f"{os.path.getmtime(src)}:{os.path.getsize(src)}"
     tag = hashlib.md5(f"{sf_dir}|{stat_sig}".encode()).hexdigest()[:10]
-    # bucketing params in the path: a stale layout from an older engine
-    # version must never satisfy a probe with different planes/quant
-    path = (
-        f"/tmp/aes_cache/emb_bucketed_{tag}"
-        f"_p{S.N_PLANES}q{S.QUANT}"
+    return (
+        f"/tmp/aes_cache/{prefix}_{tag}"
+        f"_p{S.N_PLANES}q{S.QUANT}c{S.N_CENTROIDS}"
     )
+
+
+def q_ivf_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-pruned IVF probe over cell-partitioned storage
+    (see similarity.ivf_ann_topk_pruned); same oracle as the inline
+    IVF probe — identical results, 1/N_CENTROIDS of the scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = _layout_cache_path(sf_dir, "emb_cells")
+    import os
+
     if not os.path.exists(path + "/_SUCCESS"):
-        S.write_bucket_partitioned(emb, path)
-    return S.lsh_ann_topk_pruned(spark, path, emb, query_id=0, k=10)
+        S.write_cell_partitioned(emb, path)
+    return S.ivf_ann_topk_pruned(spark, path, emb, query_id=0, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -1856,6 +1874,7 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     "lsh_ann_topk": _lsh_ann_sql(),
     "lsh_ann_topk_pruned": _lsh_ann_sql(),
     "ivf_ann_topk": _ivf_ann_sql(),
+    "ivf_ann_topk_pruned": _ivf_ann_sql(),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "crawl_frontier_deep": _crawl_frontier_sql(8),
     "source_stats": f"""
@@ -1913,6 +1932,7 @@ QUERY_FNS: dict[str, Query] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "lsh_ann_topk_pruned": q_lsh_ann_topk_pruned,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "ivf_ann_topk_pruned": q_ivf_ann_topk_pruned,
     "crawl_frontier": q_crawl_frontier,
     "crawl_frontier_deep": q_crawl_frontier_deep,
     "media_features": q_media_features,

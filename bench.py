@@ -37,13 +37,16 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "lsh_ann_topk_pruned",
     "ivf_ann_topk",
+    "ivf_ann_topk_pruned",
     "crawl_frontier",
     "crawl_frontier_deep",
     "media_features",
     "source_stats",
     "lineage_rollup",
     "sitemap_locs",
+    "sitemap_index_locs",
     "rate_limit_schedule",
+    "rate_limit_adaptive",
     "manifest_fold",
     "latest_event_per_user",
     "top_orders_per_priority",

@@ -84,6 +84,26 @@ CHECKS = {
         [],
         "ROLLUP via Expand + partial aggregation (one shuffle)",
     ),
+    "ivf_ann_topk_pruned": (
+        ["PartitionFilters: [isnotnull(cell", "TakeOrderedAndProject"],
+        ["SortMergeJoin", "Exchange", "BroadcastHashJoin"],
+        "the at-scale IVF path: cell-partitioned storage, query cell "
+        "computed driver-side against the 8-row codebook, probe scans "
+        "ONE cell partition (1/N_CENTROIDS of the data) with no join "
+        "at all in the plan",
+    ),
+    "rate_limit_adaptive": (
+        ["FlatMapGroupsInPandas"],
+        ["SortMergeJoin"],
+        "grouped stateful replay: ONE shuffle on host, Arrow-batched "
+        "per-group fold; host groups parallelize independently",
+    ),
+    "extension_filter": (
+        ["HashAggregate"],
+        ["BroadcastNestedLoopJoin"],
+        "skip-list check is one codegen'd regex + set membership (no "
+        "35-way endswith chain, no join); partial aggregation map-side",
+    ),
 }
 
 
