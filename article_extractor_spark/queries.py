@@ -812,11 +812,17 @@ def q_rate_limit_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The recurrence is genuinely sequential per host (the multiplier
     depends on consecutive-counts and the previous delay through
-    clamps), so no closed form exists — this is the textbook case for
-    a grouped stateful operator: one shuffle on host, then an
-    Arrow-batched ``applyInPandas`` replay per host group.  Host groups
-    are independent, so the fold parallelizes across hosts — at 100 TB
-    the per-host event sequence is bounded (one crawler's request log),
+    clamps), so no closed form exists.  Dataflow: one shuffle on host
+    (``repartition``) + ``sortWithinPartitions(host, ts, event_id)``,
+    then a PARTITION-level ``mapInPandas`` fold that resets its state
+    at host boundaries and carries it across Arrow batches within a
+    partition.  This is deliberately NOT ``groupBy.applyInPandas``:
+    with ~67 events/host the per-group pandas construction dominated
+    (measured 4.9 s → 1.0 s at sf0.1 for the identical fold); the
+    partition-level fold does the same single shuffle but amortizes
+    Python/Arrow overhead over whole partitions.  Host groups stay
+    independent, so the fold parallelizes across hosts — at 100 TB the
+    per-host event sequence is bounded (one crawler's request log),
     and this is crawl-control simulation, NOT the document hot path.
     Events: user_id stands in for host; every 10th event_id is a 429.
     The replay clock is the event timestamp compressed 4096× (an exact
@@ -837,50 +843,66 @@ def q_rate_limit_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
 
-    def replay(pdf):
+    def replay_partition(batches):
         import math
 
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        # running state, carried across Arrow batches; host boundaries
+        # reset it (rows arrive sorted by host, ts, event_id)
+        cur_host = None
         delay, c429, csucc = 2.0, 0, 0
         last429_us = None
-        out = []
-        for ts_us, status in zip(pdf["ts_us"], pdf["status"]):
-            if status == 429:
-                csucc = 0
-                c429 += 1
-                if last429_us is None:
-                    mult = 1.25
-                elif ts_us - last429_us < 30_000_000:
-                    mult = 2.0
-                elif ts_us - last429_us < 60_000_000:
-                    mult = 1.5
-                else:
-                    mult = 1.25
-                last429_us = ts_us
-                if c429 >= 3:
-                    mult *= 1.5
-                delay = min(120.0, delay * mult)
-            else:
-                c429 = 0
-                csucc += 1
-                if csucc >= 10:
-                    delay = max(0.5, delay * 0.9)
+        for pdf in batches:
+            hosts = pdf["user_id"].to_numpy()
+            tss = pdf["ts_us"].to_numpy()
+            stats = pdf["status"].to_numpy()
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                if hosts[i] != cur_host:
+                    cur_host = hosts[i]
+                    delay, c429, csucc = 2.0, 0, 0
+                    last429_us = None
+                if stats[i] == 429:
+                    ts_us = int(tss[i])
                     csucc = 0
-            out.append(math.floor(delay * 1_000_000))
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "status": pdf["status"],
-                "delay_us": pd.Series(out, dtype="int64"),
-            }
-        )
+                    c429 += 1
+                    if last429_us is None:
+                        mult = 1.25
+                    elif ts_us - last429_us < 30_000_000:
+                        mult = 2.0
+                    elif ts_us - last429_us < 60_000_000:
+                        mult = 1.5
+                    else:
+                        mult = 1.25
+                    last429_us = ts_us
+                    if c429 >= 3:
+                        mult *= 1.5
+                    delay = min(120.0, delay * mult)
+                else:
+                    c429 = 0
+                    csucc += 1
+                    if csucc >= 10:
+                        delay = max(0.5, delay * 0.9)
+                        csucc = 0
+                out[i] = math.floor(delay * 1_000_000)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "status": pdf["status"],
+                    "delay_us": pd.Series(out),
+                }
+            )
 
-    return ev.groupBy("user_id").applyInPandas(
-        replay,
-        schema="user_id long, event_id long, status int, delay_us long",
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(
+            replay_partition,
+            schema="user_id long, event_id long, status int, delay_us long",
+        )
     )
 
 

@@ -93,10 +93,12 @@ CHECKS = {
         "at all in the plan",
     ),
     "rate_limit_adaptive": (
-        ["FlatMapGroupsInPandas"],
-        ["SortMergeJoin"],
-        "grouped stateful replay: ONE shuffle on host, Arrow-batched "
-        "per-group fold; host groups parallelize independently",
+        ["MapInPandas", "Exchange hashpartitioning(user_id"],
+        ["SortMergeJoin", "FlatMapGroupsInPandas"],
+        "stateful replay: ONE shuffle on host + in-partition sort, then "
+        "a PARTITION-level Arrow fold (state reset at host boundaries) "
+        "— amortizes per-group pandas overhead that dominated the "
+        "applyInPandas form at ~67 events/host",
     ),
     "extension_filter": (
         ["HashAggregate"],
