@@ -84,6 +84,70 @@ def langid(col: Column) -> Column:
     )
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams over whitespace tokens;
+    texts with fewer than ``n`` words → empty array.  Pure JVM
+    (sequence + slice + array_join) — n-gram generation is map-side,
+    so corpus-level repetition stats shuffle GRAMS, never re-shuffle
+    documents."""
+    toks = ws_tokens(col)
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def type_token_ratio(col: Column) -> Column:
+    """Gopher-style lexical-diversity signal: distinct words / total
+    words (low values → templated/repetitive text).  Pure JVM."""
+    toks = ws_tokens(col)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        )
+    )
+
+
+def top_word_fraction(col: Column) -> Column:
+    """Fraction of the document occupied by its single most frequent
+    word (Gopher repetition rule).  Computed WITHOUT a shuffle: sort
+    the token array, then a single aggregate fold tracks the longest
+    equal-run — at 10^12 docs the explode→groupBy(doc, word) form
+    would shuffle every token in the corpus; this stays map-side.
+    The fold is an interpreted HOF (CodegenFallback), fine for
+    bounded per-doc arrays; kept single-pass with a struct
+    accumulator (see memory: no common-subexpression elimination in
+    HOFs)."""
+    toks = ws_tokens(col)
+    sorted_toks = F.array_sort(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, w):
+        new_run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            w.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    best = F.aggregate(sorted_toks, acc0, step, lambda acc: acc["best"])
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(best.cast("double") / F.size(toks).cast("double"), 6)
+    )
+
+
 def md5_int(col: Column) -> Column:
     """Deterministic 60-bit integer hash shared with DuckDB oracles:
     first 15 hex chars of md5 → bigint.  (60 bits: no int64 overflow.)"""

@@ -434,6 +434,63 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition metrics: type-token ratio
+    (lexical diversity) and top-word fraction (share of the most
+    frequent word).  Both computed map-side from the token array — no
+    explode, no shuffle; at 10^12 docs the naive
+    explode→groupBy(doc, word) would shuffle every token in the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.type_token_ratio(F.col("text")).alias("ttr"),
+        X.top_word_fraction(F.col("text")).alias("top_word_frac"),
+    )
+
+
+DUP_NGRAM_N = 3
+
+
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/Dolma-style corpus-level repetition: for each doc,
+    the fraction of its word 3-grams that occur more than once in the
+    WHOLE corpus (cross-document boilerplate signal — template
+    sentences score high).
+
+    Dataflow: n-grams are generated map-side (``word_ngrams``), one
+    map-side-partial shuffle builds the global gram→count table, and
+    the count table joins back to the gram stream.  At test scale the
+    count table fits the broadcast threshold, so the gram stream is
+    NEVER shuffled for the join (verified plan: BroadcastHashJoin,
+    zero exchanges on the document branch).  At 100 TB the join
+    becomes a sort-merge on gram where the counts side reuses its
+    aggregation partitioning (ENSURE_REQUIREMENTS adds no second
+    exchange) and the gram stream shuffles once — the minimum any
+    global-count formulation can do.  The per-doc rollup is a second,
+    doc-keyed partial aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(X.word_ngrams(F.col("text"), DUP_NGRAM_N)).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_gram_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (documents table)
 # ---------------------------------------------------------------------------
@@ -1867,6 +1924,41 @@ FROM documents
 """,
     "quality_scores": _quality_sql(),
     "langid": _langid_sql(),
+    "repetition_scores": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS w FROM documents
+), e AS (
+  SELECT doc_id, unnest(w) AS word FROM t
+), c AS (
+  SELECT doc_id, word, count(*) AS n FROM e GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, max(n) AS top_n FROM c GROUP BY 1
+)
+SELECT t.doc_id,
+  CASE WHEN len(w) = 0 THEN 0.0
+       ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+  END AS ttr,
+  CASE WHEN len(w) = 0 THEN 0.0
+       ELSE round(CAST(m.top_n AS DOUBLE) / len(w), 6)
+  END AS top_word_frac
+FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+""",
+    "dup_ngram_stats": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS w FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(w[i:i+{DUP_NGRAM_N - 1}], ' ') AS gram
+  FROM t, UNNEST(CASE WHEN len(w) >= {DUP_NGRAM_N}
+                      THEN generate_series(1, len(w) - {DUP_NGRAM_N - 1})
+                      ELSE []::BIGINT[] END) AS u(i)
+), c AS (
+  SELECT gram, count(*) AS cnt FROM g GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_grams,
+  round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS dup_gram_frac
+FROM g JOIN c USING (gram) GROUP BY 1
+""",
     "fingerprints": f"""
 SELECT doc_id,
   {_MD5INT.format(expr=_NORM.format(c='text'))} AS fingerprint
@@ -1943,6 +2035,8 @@ QUERY_FNS: dict[str, Query] = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "langid": q_langid,
+    "repetition_scores": q_repetition_scores,
+    "dup_ngram_stats": q_dup_ngram_stats,
     "fingerprints": q_fingerprints,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,

@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "token_counts",
     "quality_scores",
     "langid",
+    "repetition_scores",
+    "dup_ngram_stats",
     "fingerprints",
     "cosine_topk",
     "lsh_ann_topk",

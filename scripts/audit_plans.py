@@ -100,6 +100,21 @@ CHECKS = {
         "— amortizes per-group pandas overhead that dominated the "
         "applyInPandas form at ~67 events/host",
     ),
+    "dup_ngram_stats": (
+        ["HashAggregate", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "global gram-count repetition: map-side n-gram generation, "
+        "partial-agg shuffle for the count table, count side joined "
+        "back (broadcast at test scale; gram-co-partitioned SMJ at "
+        "100 TB), doc-keyed partial rollup",
+    ),
+    "repetition_scores": (
+        ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Generate"],
+        "per-doc Gopher repetition metrics entirely map-side: token "
+        "array fold (sorted-run aggregate), no explode, no shuffle, "
+        "scan pruned to (doc_id, text)",
+    ),
     "extension_filter": (
         ["HashAggregate"],
         ["BroadcastNestedLoopJoin"],

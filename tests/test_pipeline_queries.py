@@ -187,6 +187,50 @@ def test_corpus_purity_assumption(spark):
     assert dirty.count() == 0
 
 
+def test_repetition_metrics_unit_oracle(spark):
+    """Hand-computed battery for the Gopher repetition metrics —
+    independent of the corpus and of the DuckDB twin (a shared
+    misreading of the spec can't cancel out)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import text as X
+
+    battery = [
+        "a b c d",            # all distinct
+        "a a a a",            # one word repeated
+        "a b a b a",          # top word 3/5
+        "word",               # single word
+        "",                   # empty
+        "  x   y  x ",        # messy whitespace
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(battery)], "id int, text string"
+    )
+    got = {
+        r.id: (r.ttr, r.twf, r.grams)
+        for r in df.select(
+            "id",
+            X.type_token_ratio(F.col("text")).alias("ttr"),
+            X.top_word_fraction(F.col("text")).alias("twf"),
+            X.word_ngrams(F.col("text"), 3).alias("grams"),
+        ).collect()
+    }
+    for i, t in enumerate(battery):
+        toks = t.split()
+        if not toks:
+            assert got[i] == (0.0, 0.0, [])
+            continue
+        counts = Counter(toks)
+        assert got[i][0] == round(len(counts) / len(toks), 6), t
+        assert got[i][1] == round(max(counts.values()) / len(toks), 6), t
+        expected_grams = [
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        ]
+        assert got[i][2] == expected_grams, t
+
+
 def test_fingerprint_is_case_insensitive_oracle(spark):
     """Unit-level fingerprint oracle on a MIXED-CASE battery, computed
     independently with hashlib — so a corpus property (the driver
