@@ -170,7 +170,14 @@ def feed_fast(builder, html: str) -> None:
             pos = lt + 1
             continue
         tag = m.group(1).lower()
-        attrs, self_closing = _parse_attrs(m.group(2))
+        soup = m.group(2)
+        if not soup:
+            # dominant case in article markup (<p>, <h1>, <main>, …):
+            # no attr soup at all — skip the tokenizer call entirely
+            attrs: list[tuple[str, str | None]] = []
+            self_closing = False
+        else:
+            attrs, self_closing = _parse_attrs(soup)
         pos = m.end()
         if self_closing:
             builder.handle_startendtag(tag, attrs)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from html import escape
 
-from .selector import compile_selector
+from .selector import bare_tag, compile_selector
 
 TEXT = "#text"
 
@@ -130,12 +130,25 @@ class Node:
         per-document CPU profile after parsing, and the generator resume
         cost per node was measurable at corpus scale.
         """
-        matchers = compile_selector(selector)
         out: list[Node] = []
         stack = self.children[::-1]
         pop = stack.pop
         extend = stack.extend
         append = out.append
+        tag = bare_tag(selector)
+        if tag is not None:
+            # bare-tag fast path ("a", "p", "img" — the link-density
+            # memo and sanitizer call these per candidate): inline name
+            # comparison, no matcher-callable dispatch per element
+            while stack:
+                node = pop()
+                if node.name != TEXT:
+                    if node.name == tag:
+                        append(node)
+                    if node.children:
+                        extend(node.children[::-1])
+            return out
+        matchers = compile_selector(selector)
         if len(matchers) == 1:
             m = matchers[0]
             while stack:

@@ -86,6 +86,20 @@ def _compile_compound(compound: str) -> Matcher:
     return _all
 
 
+_BARE_TAG_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*$")
+
+
+@lru_cache(maxsize=512)
+def bare_tag(selector: str) -> str | None:
+    """Lowercased tag name if ``selector`` is a single bare tag
+    ("a", "p", "img"), else None — lets ``Node.query`` take an inline
+    name-comparison walk with no matcher-callable dispatch per element
+    (the link-density memo and sanitizer issue thousands of bare-tag
+    queries per document)."""
+    s = selector.strip()
+    return s.lower() if _BARE_TAG_RE.fullmatch(s) else None
+
+
 @lru_cache(maxsize=512)
 def compile_selector(selector: str) -> tuple[Matcher, ...]:
     """Compile a comma-separated selector list into matcher callables."""
