@@ -10,8 +10,11 @@ and tested:
 - ``media_features``: deterministic fake "decode" producing byte-count,
   content digest, and fake dimensions — fully reproducible, so it has an
   exact SQL oracle.
-- ``decode_image`` / ``sample_frames``: the genuine kernels, gated
-  behind import-try; raise ``NotImplementedError`` here.
+- ``decode_image``: the genuine Pillow kernel, gated behind a
+  capability probe; raises ``NotImplementedError`` in this container.
+- ``sample_frames``: REAL frame sampling over the uncompressed RAWV
+  container (header parse + stride slicing, truncation-safe); only
+  compressed-codec demuxing remains out of scope.
 
 At 100 TB the binary column dominates IO; every entry point prunes to
 exactly (id, payload) before the Arrow exchange so Parquet never
@@ -156,11 +159,158 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return pruned.mapInPandas(_decode_batches, schema=DECODED_IMAGE_SCHEMA)
 
 
+# ------------------------------------------------------------------
+# Video frame sampling over the RAWV container
+# ------------------------------------------------------------------
+#
+# No video codec libs ship in this container, so compressed formats
+# stay out of scope — but frame sampling itself does not need one:
+# RAWV is a deterministic uncompressed container (the shape a decode
+# stage upstream would emit):
+#
+#   bytes 0-3   magic b"RAWV"
+#   bytes 4-5   width  (uint16 LE)
+#   bytes 6-7   height (uint16 LE)
+#   bytes 8-11  n_frames (uint32 LE)
+#   then n_frames grayscale frames of width*height bytes each
+#
+# ``sample_frames`` is a REAL operator over this format (header parse,
+# stride sampling, truncation-safe); swapping the slice kernel for a
+# pyav/ffmpeg demuxer activates compressed formats with the same Spark
+# plumbing and schema.
+
+RAWV_MAGIC = b"RAWV"
+RAWV_HEADER_LEN = 12
+VIDEO_FRAME_W = 8
+VIDEO_FRAME_H = 4  # 32-byte frames in the synthetic corpus adapter
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def encode_rawv(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Pack frames into a RAWV payload (each frame must be exactly
+    width*height bytes)."""
+    import struct
+
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame size mismatch")
+    return (
+        RAWV_MAGIC
+        + struct.pack("<HHI", width, height, len(frames))
+        + b"".join(frames)
+    )
+
+
+def _frame_sample_batches(every_n: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                p = bytes(payload or b"")
+                if len(p) < RAWV_HEADER_LEN or p[:4] != RAWV_MAGIC:
+                    # malformed container → diagnosable row, not a
+                    # task death (same contract as decode_image)
+                    rows.append(
+                        (doc_id, None, None, None, None, None, False)
+                    )
+                    continue
+                w, h, nf = struct.unpack("<HHI", p[4:RAWV_HEADER_LEN])
+                fsize = w * h
+                # truncation-safe: only fully-present frames count
+                avail = (
+                    min(nf, (len(p) - RAWV_HEADER_LEN) // fsize)
+                    if fsize
+                    else 0
+                )
+                for k in range(0, avail, every_n):
+                    start = RAWV_HEADER_LEN + k * fsize
+                    digest = hashlib.md5(
+                        p[start : start + fsize]
+                    ).hexdigest()
+                    rows.append((doc_id, k, avail, w, h, digest, True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "frame_digest",
+                    "ok",
+                ],
+            )
+
+    return fn
+
+
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", every_n: int = 30
 ) -> DataFrame:
-    """Video frame sampling stub (no video libs in container)."""
-    raise NotImplementedError(
-        "frame sampling requires a video codec; plumbing mirrors "
-        "media_features()"
+    """Sample every ``every_n``-th frame from RAWV video payloads.
+
+    Same Spark plumbing as ``media_features``: prune to
+    (doc_id, payload), ONE Arrow-batched mapInPandas stage, zero
+    shuffles — frame extraction is embarrassingly parallel over docs.
+    Malformed containers yield ``ok=false`` rows; truncated payloads
+    sample only fully-present frames.  Emits one row per sampled frame
+    with its md5 digest (the downstream dedup/similarity family
+    consumes digests and feature vectors, not raw pixels)."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    pruned = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+    return pruned.mapInPandas(
+        _frame_sample_batches(every_n), schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
+def _video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+
+    fsize = VIDEO_FRAME_W * VIDEO_FRAME_H
+    for batch in batches:
+        payloads = []
+        for text in batch["text"]:
+            body = (text or "").encode("utf-8")
+            nf = len(body) // fsize
+            payloads.append(
+                RAWV_MAGIC
+                + struct.pack("<HHI", VIDEO_FRAME_W, VIDEO_FRAME_H, nf)
+                + body[: nf * fsize]
+            )
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "payload": payloads}
+        )
+
+
+def documents_as_video(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests/benchmarks: wraps each document's UTF-8
+    bytes in a RAWV container (8×4 grayscale frames), so the frame
+    sampler exercises real header parsing + slicing on a table whose
+    expected output is analytically derivable (frame k is byte-slice
+    k of the text under the corpus's ASCII purity)."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    pruned = docs.select(F.col("doc_id").cast("long"), F.col("text"))
+    return pruned.mapInPandas(
+        _video_batches,
+        schema="doc_id long, payload binary",
     )

@@ -670,6 +670,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_features(M.documents_as_media(docs))
 
 
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling end-to-end: wrap each document's
+    bytes in a RAWV video container (``documents_as_video``), then
+    ``sample_frames`` parses the header and takes every 3rd frame.
+    The oracle derives the same digests directly from the text (frame
+    k == byte-slice k under ASCII purity, pinned by
+    test_corpus_purity_assumption) — so the engine's container
+    round-trip is verified against an independent reconstruction.
+    Zero shuffles: two chained Arrow stages over a pruned scan."""
+    docs = load(spark, sf_dir, "documents")
+    out = M.sample_frames(M.documents_as_video(docs), every_n=3)
+    return out.where(F.col("ok")).select(
+        "doc_id", "frame_idx", "n_frames", "frame_digest"
+    )
+
+
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.grouped import source_stats
 
@@ -2011,6 +2027,17 @@ SELECT doc_id,
   CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height
 FROM documents
 """,
+    "frame_samples": """
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(floor(octet_length(encode(text)) / 32) AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx, n_frames,
+  md5(substr(text, i * 32 + 1, 32)) AS frame_digest
+FROM t, UNNEST(generate_series(0, n_frames - 1, 3)) AS u(i)
+WHERE n_frames > 0
+""",
     "extract_interleaved": _extract_interleaved_sql(),
     "extract_spans_full": _EXTRACT_SPANS_FULL_SQL,
 }
@@ -2052,6 +2079,7 @@ QUERY_FNS: dict[str, Query] = {
     "crawl_frontier": q_crawl_frontier,
     "crawl_frontier_deep": q_crawl_frontier_deep,
     "media_features": q_media_features,
+    "frame_samples": q_frame_samples,
     "source_stats": q_source_stats,
     "transient_prefilter": q_transient_prefilter,
     "extract_excerpt": q_extract_excerpt,

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "crawl_frontier",
     "crawl_frontier_deep",
     "media_features",
+    "frame_samples",
     "source_stats",
     "lineage_rollup",
     "sitemap_locs",

@@ -100,6 +100,13 @@ CHECKS = {
         "— amortizes per-group pandas overhead that dominated the "
         "applyInPandas form at ~67 events/host",
     ),
+    "frame_samples": (
+        ["MapInPandas", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "SortMergeJoin"],
+        "multimodal frame sampling: two chained Arrow stages (RAWV "
+        "wrap, header-parse + stride slice) over a scan pruned to "
+        "(doc_id, text) — zero shuffles, embarrassingly parallel",
+    ),
     "dup_ngram_stats": (
         ["HashAggregate", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],

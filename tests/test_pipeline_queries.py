@@ -183,8 +183,47 @@ def test_corpus_purity_assumption(spark):
         # normalize_text must be the identity: no whitespace runs, no
         # leading/trailing whitespace, no space-before-punctuation.
         | F.col("text").rlike("\\s\\s|^\\s|\\s$|\\s[,.;:!?]")
+        # byte == char (ASCII): the frame_samples oracle slices TEXT
+        # where the engine slices UTF-8 BYTES.
+        | F.col("text").rlike("[^\\x00-\\x7F]")
     )
     assert dirty.count() == 0
+
+
+def test_sample_frames_rawv_unit(spark):
+    """RAWV frame sampling battery: well-formed, truncated, bad magic,
+    empty — expectations computed by hand against the container spec."""
+    import hashlib
+
+    from article_extractor_spark.functions import multimodal as M
+
+    f = lambda b: bytes([b]) * 6  # 3x2 frames  # noqa: E731
+    good = M.encode_rawv(3, 2, [f(i) for i in range(7)])
+    truncated = good[: 12 + 6 * 4 + 3]  # 4 full frames + a partial one
+    bad_magic = b"XXXX" + good[4:]
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(truncated)),
+        (3, bytearray(bad_magic)),
+        (4, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.frame_idx): r
+        for r in M.sample_frames(df, every_n=2).collect()
+    }
+    # doc 1: frames 0,2,4,6 of 7
+    for k in (0, 2, 4, 6):
+        r = got[(1, k)]
+        assert (r.n_frames, r.width, r.height, r.ok) == (7, 3, 2, True)
+        assert r.frame_digest == hashlib.md5(f(k)).hexdigest()
+    # doc 2: truncation-safe — only the 4 complete frames, sampled 0,2
+    assert got[(2, 0)].n_frames == 4 and got[(2, 2)].n_frames == 4
+    assert (2, 4) not in got
+    # docs 3/4: malformed container → single ok=false row
+    assert got[(3, None)].ok is False
+    assert got[(4, None)].ok is False
+    assert len(got) == 8
 
 
 def test_repetition_metrics_unit_oracle(spark):
