@@ -111,11 +111,12 @@ def test_media_features_deterministic(spark):
     )
 
 
-def test_multimodal_stubs_raise():
+def test_multimodal_codec_gate_raises():
+    """decode_image is the one remaining env-gated kernel (needs a
+    codec lib); sample_frames is real (RAWV container) and has its own
+    unit battery below."""
     from article_extractor_spark.functions import multimodal
 
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(None)
     if not multimodal.has_image_codec():
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(None)
