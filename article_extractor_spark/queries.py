@@ -647,6 +647,17 @@ def _layout_cache_path(sf_dir: str, prefix: str) -> str:
     )
 
 
+def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over a k-means-trained codebook (2 Lloyd's
+    iterations, similarity.train_ivf_codebook).  Intentionally NO SQL
+    oracle — iterative distributed float means are not
+    SQL-expressible; correctness is pinned by tests asserting
+    non-increasing within-cell SSE and exact within-cell brute-force
+    ranking (test_trained_ivf_codebook)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk_trained(emb, query_id=0, k=10, iters=2)
+
+
 def q_ivf_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition-pruned IVF probe over cell-partitioned storage
     (see similarity.ivf_ann_topk_pruned); same oracle as the inline
@@ -2076,6 +2087,7 @@ QUERY_FNS: dict[str, Query] = {
     "lsh_ann_topk_pruned": q_lsh_ann_topk_pruned,
     "ivf_ann_topk": q_ivf_ann_topk,
     "ivf_ann_topk_pruned": q_ivf_ann_topk_pruned,
+    "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
     "crawl_frontier": q_crawl_frontier,
     "crawl_frontier_deep": q_crawl_frontier_deep,
     "media_features": q_media_features,

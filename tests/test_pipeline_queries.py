@@ -191,6 +191,60 @@ def test_corpus_purity_assumption(spark):
     assert dirty.count() == 0
 
 
+def test_trained_ivf_codebook(spark):
+    """k-means codebook training: (a) within-cell SSE is
+    non-increasing over Lloyd's iterations, (b) the trained probe
+    returns exactly the brute-force cosine ranking restricted to the
+    query's cell (IVF semantics, independent of codebook quality)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def sse(codebook):
+        assigned = S.assign_cells(emb, codebook=codebook)
+        joined = assigned.join(F.broadcast(codebook), F.col("cell") == F.col("cid"))
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return joined.select(F.sum(d2).alias("s")).collect()[0]["s"]
+
+    sses = [
+        sse(S.train_ivf_codebook(emb, iters=i)) for i in range(3)
+    ]
+    assert sses[1] <= sses[0] and sses[2] <= sses[1], sses
+    # strict improvement over the first-N seed on this corpus
+    assert sses[2] < sses[0], sses
+
+    # probe = brute-force cosine restricted to the query's cell
+    codebook = S.train_ivf_codebook(emb, iters=2)
+    assigned = S.assign_cells(emb, codebook=codebook)
+    qcell = assigned.where(F.col("vec_id") == 0).collect()[0]["cell"]
+    cell_members = {
+        r["vec_id"]
+        for r in assigned.where(
+            (F.col("cell") == qcell) & (F.col("vec_id") != 0)
+        ).collect()
+    }
+    got = S.ivf_ann_topk_trained(emb, query_id=0, k=10, iters=2).collect()
+    assert all(r["vec_id"] in cell_members for r in got)
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in S.cosine_topk(emb, query_id=0, k=100000).collect()
+    }
+    expected = sorted(
+        ((brute[v], -v) for v in cell_members if v in brute), reverse=True
+    )[:10]
+    assert [(-v, c) for c, v in expected] == [
+        (r["vec_id"], r["cosine"]) for r in got
+    ]
+
+
 def test_sample_frames_rawv_unit(spark):
     """RAWV frame sampling battery: well-formed, truncated, bad magic,
     empty — expectations computed by hand against the container spec."""
