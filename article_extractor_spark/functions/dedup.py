@@ -218,6 +218,21 @@ def minhash_signature_pudf():
     return pandas_udf(kernel, ArrayType(LongType()))
 
 
+def observe_cap_drops(ranked: DataFrame, obs, cap: int) -> DataFrame:
+    """Attach the bucket-cap drop metrics (``capped_out_members`` /
+    ``bucket_members``) to a row_number-ranked bucket stream.  Shared
+    by ``minhash_lsh_pairs`` and
+    ``similarity.embedding_neardup_pairs`` so the metric names and cap
+    predicate cannot drift between the two cap sites."""
+    return ranked.observe(
+        obs,
+        F.sum(F.when(F.col("rn") > cap, 1).otherwise(0)).alias(
+            "capped_out_members"
+        ),
+        F.count(F.lit(1)).alias("bucket_members"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -263,7 +278,14 @@ def minhash_lsh_pairs(
         sig_col = minhash_signature_pudf()(F.col(text_col))
     else:
         sig_col = minhash_signature(F.col(text_col))
-    sig = docs.select(F.col("doc_id"), sig_col.alias("sig"))
+    # NULL text → NULL signature (both kernels).  Drop those BEFORE
+    # banding: concat_ws skips NULL elements, so NULL signatures would
+    # all share band_hash = md5_int('') in every band and pair with
+    # each other — spurious candidates the kernels' NULL propagation
+    # exists to prevent (pinned by test_null_text_produces_no_pairs).
+    sig = docs.select(F.col("doc_id"), sig_col.alias("sig")).where(
+        F.col("sig").isNotNull()
+    )
     band_cols = []
     for b in range(LSH_BANDS):
         parts = [
@@ -291,13 +313,7 @@ def minhash_lsh_pairs(
         ),
     )
     if drop_metrics is not None:
-        ranked = ranked.observe(
-            drop_metrics,
-            F.sum(
-                F.when(F.col("rn") > bucket_cap, 1).otherwise(0)
-            ).alias("capped_out_members"),
-            F.count(F.lit(1)).alias("bucket_members"),
-        )
+        ranked = observe_cap_drops(ranked, drop_metrics, bucket_cap)
     capped = ranked.where(F.col("rn") <= bucket_cap)
     buckets = (
         capped.groupBy("band", "band_hash")

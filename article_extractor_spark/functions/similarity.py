@@ -237,13 +237,9 @@ def embedding_neardup_pairs(
         ),
     )
     if drop_metrics is not None:
-        ranked = ranked.observe(
-            drop_metrics,
-            F.sum(
-                F.when(F.col("rn") > bucket_cap, 1).otherwise(0)
-            ).alias("capped_out_members"),
-            F.count(F.lit(1)).alias("bucket_members"),
-        )
+        from .dedup import observe_cap_drops
+
+        ranked = observe_cap_drops(ranked, drop_metrics, bucket_cap)
     with_bucket = ranked.where(F.col("rn") <= bucket_cap).drop("rn")
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
@@ -341,20 +337,24 @@ def ivf_ann_topk_pruned(
     per-row collect), then scans ONLY that cell's partition with exact
     cosine + top-k.  ``PartitionFilters: [(cell = …)]`` in the plan is
     the quantity that scales — 1/N_CENTROIDS of the bytes."""
-    crows = (
-        emb.where(F.col("vec_id") < N_CENTROIDS)
+    # ONE driver collect fetches codebook + query vector together
+    # (they were two separate jobs, each scanning the source)
+    rows = (
+        emb.where(
+            (F.col("vec_id") < N_CENTROIDS)
+            | (F.col("vec_id") == query_id)
+        )
         .select(
             F.col("vec_id").alias("cid"),
             quantized(F.col(vec_col)).alias("cvec"),
         )
         .collect()
     )
-    qrow = (
-        emb.where(F.col("vec_id") == query_id)
-        .select(quantized(F.col(vec_col)).alias("qv"))
-        .collect()[0]
-    )
-    qv = [int(v) for v in qrow["qv"]]
+    crows = [r for r in rows if r["cid"] < N_CENTROIDS]
+    qrows = [r for r in rows if r["cid"] == query_id]
+    if not qrows:
+        raise ValueError(f"query_id {query_id} not found in embeddings")
+    qv = [int(v) for v in qrows[0]["cvec"]]
     # same argmin as assign_cells: exact integer L2, ties → smallest cid
     qcell = min(
         (
@@ -376,20 +376,24 @@ def ivf_ann_topk_pruned(
 
 
 def ivf_ann_topk(
-    emb: DataFrame, query_id: int = 0, k: int = 10, vec_col: str = "embedding"
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid
-    (deterministic "codebook": the first N_CENTROIDS vectors), then
-    search only the query's cell with exact cosine.
+    (default deterministic "codebook": the first N_CENTROIDS vectors;
+    pass a trained one from ``train_ivf_codebook``), then search only
+    the query's cell with exact cosine.
 
     Relational argmin (cross join the tiny broadcast codebook → squared
     integer L2 → row_number) keeps everything exact and oracle-able; at
     scale the cell id is a partition column
     (``write_cell_partitioned`` / ``ivf_ann_topk_pruned``), so probing
-    = partition pruning.  A trained codebook (k-means) drops in without
-    changing the dataflow.
+    = partition pruning.
     """
-    assigned = assign_cells(emb, vec_col)
+    assigned = assign_cells(emb, vec_col, codebook=codebook)
     q = assigned.where(F.col("vec_id") == query_id).select(
         F.col("qv").alias("qvec"), F.col("cell").alias("qcell")
     )
@@ -476,20 +480,7 @@ def ivf_ann_topk_trained(
     exactly the brute-force cosine ranking restricted to the query's
     cell."""
     codebook = train_ivf_codebook(emb, N_CENTROIDS, iters, vec_col)
-    assigned = assign_cells(emb, vec_col, codebook=codebook)
-    q = assigned.where(F.col("vec_id") == query_id).select(
-        F.col("qv").alias("qvec"), F.col("cell").alias("qcell")
-    )
-    scored = (
-        assigned.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
-        .where(F.col("vec_id") != query_id)
-        .select(
-            "vec_id",
-            F.col("cell"),
-            cosine_sim(F.col("qv"), F.col("qvec")).alias("cosine"),
-        )
-    )
-    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+    return ivf_ann_topk(emb, query_id, k, vec_col, codebook=codebook)
 
 
 def lsh_ann_topk(

@@ -85,6 +85,10 @@ def build_corpus(spark, path: str, n_normal: int, n_giant: int) -> None:
     )
     normals.write.mode("overwrite").parquet(path)
     giants.coalesce(1).write.mode("append").parquet(path)
+    # the parquet _SUCCESS lands after the FIRST write; a crash between
+    # the two writes must not leave a giant-free corpus that later runs
+    # silently reuse — completion is our own sentinel, written last
+    Path(path, "_CORPUS_COMPLETE").touch()
 
 
 def main() -> int:
@@ -100,7 +104,7 @@ def main() -> int:
 
     spark = build_session(app_name="giant-bench", cores=args.cores)
     path = f"/tmp/aes_cache/giant_corpus_n{args.normals}g{args.giants}"
-    if not Path(path, "_SUCCESS").exists():
+    if not Path(path, "_CORPUS_COMPLETE").exists():
         build_corpus(spark, path, args.normals, args.giants)
 
     corpus = spark.read.parquet(path)

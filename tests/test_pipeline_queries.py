@@ -217,8 +217,11 @@ def test_trained_ivf_codebook(spark):
     sses = [
         sse(S.train_ivf_codebook(emb, iters=i)) for i in range(3)
     ]
-    assert sses[1] <= sses[0] and sses[2] <= sses[1], sses
-    # strict improvement over the first-N seed on this corpus
+    # floor re-quantization of the centroid means voids Lloyd's exact
+    # monotonic-descent guarantee, so allow per-step wobble within the
+    # quantization error, but require strict overall improvement over
+    # the first-N seed
+    assert sses[1] <= sses[0] * 1.005 and sses[2] <= sses[1] * 1.005, sses
     assert sses[2] < sses[0], sses
 
     # probe = brute-force cosine restricted to the query's cell
@@ -366,6 +369,28 @@ def test_fingerprint_is_case_insensitive_oracle(spark):
         assert got[i] == expected(t), t
     # case variants of the same text agree
     assert got[0] == got[1]
+
+
+def test_null_text_produces_no_pairs(spark):
+    """Docs with NULL text must form NO LSH candidate pairs under
+    either kernel: their NULL signatures would otherwise all share
+    band_hash = md5_int('') (concat_ws skips NULL elements) and pair
+    with each other in every band."""
+    from article_extractor_spark.functions import dedup as D
+
+    rows = [
+        ("1", None),
+        ("2", None),
+        ("3", "real text body one two three"),
+        ("4", "real text body one two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for kernel in ("pandas", "jvm"):
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_lsh_pairs(df, kernel=kernel).collect()
+        }
+        assert pairs == {("3", "4")}, (kernel, pairs)
 
 
 def test_minhash_pandas_kernel_matches_jvm_expression(spark):
