@@ -89,15 +89,22 @@ def word_ngrams(col: Column, n: int) -> Column:
     texts with fewer than ``n`` words → empty array.  Pure JVM
     (sequence + slice + array_join) — n-gram generation is map-side,
     so corpus-level repetition stats shuffle GRAMS, never re-shuffle
-    documents."""
-    toks = ws_tokens(col)
-    return F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+    documents.  The token array is ``let``-bound: HOFs are interpreted
+    with no common-subexpression elimination, so an unbound
+    ``ws_tokens(col)`` would re-split the text once per n-gram
+    position (measured 7.2 s → 2.6 s for dup_ngram_stats at sf0.1)."""
+    from .hof import let
+
+    return let(
+        ws_tokens(col),
+        lambda toks: F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
     )
 
 
