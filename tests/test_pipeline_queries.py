@@ -248,6 +248,74 @@ def test_trained_ivf_codebook(spark):
     ]
 
 
+def test_text_metrics_differential_battery(spark):
+    """Differential test of ws_tokens-derived metrics against a Python
+    reference that replicates Spark's EXACT semantics (trim strips
+    ASCII space only; split uses Java \\s = [ \\t\\n\\x0b\\f\\r]) over
+    a seeded adversarial battery — whitespace varieties, unicode,
+    repeated words, empties."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import text as X
+
+    rng = random.Random(7)
+    words = ["a", "bb", "ccc", "Ж", "日本", "x-y", "1", ""]
+    ws = [" ", "\t", "\n", "\x0b", "\f", "\r", "  "]
+    battery = ["", " ", "\t", " ", "one"]
+    for _ in range(150):
+        n = rng.randint(1, 12)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(words))
+            parts.append(rng.choice(ws))
+        battery.append("".join(parts))
+
+    def py_tokens(s: str) -> list[str]:
+        t = s.strip(" ")
+        if t == "":
+            return []
+        return re.split("[ \t\n\x0b\f\r]+", t)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(battery)], "id int, text string"
+    )
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            X.ws_tokens(F.col("text")).alias("toks"),
+            X.type_token_ratio(F.col("text")).alias("ttr"),
+            X.top_word_fraction(F.col("text")).alias("twf"),
+            X.word_ngrams(F.col("text"), 2).alias("bigrams"),
+        ).collect()
+    }
+    for i, t in enumerate(battery):
+        toks = py_tokens(t)
+        assert got[i].toks == toks, (repr(t), got[i].toks, toks)
+        if not toks:
+            assert (got[i].ttr, got[i].twf, got[i].bigrams) == (
+                0.0,
+                0.0,
+                [],
+            )
+            continue
+        assert got[i].ttr == round(len(set(toks)) / len(toks), 6), repr(t)
+        from collections import Counter
+
+        assert got[i].twf == round(
+            max(Counter(toks).values()) / len(toks), 6
+        ), repr(t)
+        want_bigrams = (
+            [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else []
+        )
+        assert got[i].bigrams == want_bigrams, repr(t)
+
+
 def test_sample_frames_rawv_unit(spark):
     """RAWV frame sampling battery: well-formed, truncated, bad magic,
     empty — expectations computed by hand against the container spec."""
