@@ -409,6 +409,58 @@ def ivf_ann_topk(
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def ivf_ann_topk_nprobe(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF probe over the ``nprobe`` cells nearest the query — the
+    standard ANN recall knob.  ``nprobe=1`` degenerates to
+    ``ivf_ann_topk``; ``nprobe=N_CENTROIDS`` probes everything and is
+    EXACTLY brute-force cosine top-k (pinned by test).  The probed
+    cell set is a tiny broadcast (≤ nprobe rows), so the scan-side
+    dataflow is identical to the single-cell probe — at scale each
+    extra probe is one more pruned partition read, linear in
+    nprobe."""
+    if codebook is None:
+        codebook = emb.where(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"),
+            quantized(F.col(vec_col)).alias("cvec"),
+        )
+    assigned = assign_cells(emb, vec_col, codebook=codebook)
+    q = emb.where(F.col("vec_id") == query_id).select(
+        quantized(F.col(vec_col)).alias("qvec")
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qcells = (
+        codebook.join(F.broadcast(q))
+        .select("cid", sqd.alias("d2"))
+        .orderBy("d2", "cid")
+        .limit(nprobe)
+        .select(F.col("cid").alias("qcell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qcells), F.col("cell") == F.col("qcell"))
+        .join(F.broadcast(q))
+        .where(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.col("cell"),
+            cosine_sim(F.col("qv"), F.col("qvec")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
 def train_ivf_codebook(
     emb: DataFrame,
     k: int = N_CENTROIDS,

@@ -647,6 +647,14 @@ def _layout_cache_path(sf_dir: str, prefix: str) -> str:
     )
 
 
+def q_ivf_ann_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-cell IVF probe (nprobe=2, similarity.ivf_ann_topk_nprobe)
+    — the standard recall knob; probing all N_CENTROIDS cells is
+    exactly brute-force (pinned by test)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk_nprobe(emb, query_id=0, k=10, nprobe=2)
+
+
 def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over a k-means-trained codebook (2 Lloyd's
     iterations, similarity.train_ivf_codebook).  Intentionally NO SQL
@@ -1420,11 +1428,15 @@ LIMIT 10
 """
 
 
-def _ivf_ann_sql() -> str:
+def _ivf_ann_sql(nprobe: int = 1) -> str:
     sq = (
         "list_aggregate(list_transform(range(1, len({a}) + 1), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
     ).format(a="e.qv", b="c.cvec")
+    qsq = (
+        "list_aggregate(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    ).format(a="q.qvec", b="c.cvec")
     dot = _IDOT.format(a="s.qv", b="s.qvec")
     na = _IDOT.format(a="s.qv", b="s.qv")
     nb = _IDOT.format(a="s.qvec", b="s.qvec")
@@ -1440,11 +1452,15 @@ WITH base AS (
                          ORDER BY {sq} ASC, c.cid ASC) AS rn
     FROM base e, cents c
   ) WHERE rn = 1
-), qv AS (
-  SELECT qv AS qvec, cell AS qcell FROM assigned WHERE vec_id = 0
+), qvec AS (
+  SELECT qv AS qvec FROM base WHERE vec_id = 0
+), qcells AS (
+  SELECT c.cid AS qcell FROM cents c, qvec q
+  ORDER BY {qsq} ASC, c.cid ASC LIMIT {nprobe}
 ), s AS (
-  SELECT a.vec_id, a.cell, a.qv, q.qvec
-  FROM assigned a, qv q WHERE a.cell = q.qcell AND a.vec_id != 0
+  SELECT a.vec_id, a.cell, a.qv, (SELECT qvec FROM qvec) AS qvec
+  FROM assigned a JOIN qcells qc ON a.cell = qc.qcell
+  WHERE a.vec_id != 0
 )
 SELECT vec_id, cell,
   round(CAST({dot} AS DOUBLE) /
@@ -2016,6 +2032,7 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     "lsh_ann_topk_pruned": _lsh_ann_sql(),
     "ivf_ann_topk": _ivf_ann_sql(),
     "ivf_ann_topk_pruned": _ivf_ann_sql(),
+    "ivf_ann_topk_nprobe": _ivf_ann_sql(nprobe=2),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "crawl_frontier_deep": _crawl_frontier_sql(8),
     "source_stats": f"""
@@ -2087,6 +2104,7 @@ QUERY_FNS: dict[str, Query] = {
     "lsh_ann_topk_pruned": q_lsh_ann_topk_pruned,
     "ivf_ann_topk": q_ivf_ann_topk,
     "ivf_ann_topk_pruned": q_ivf_ann_topk_pruned,
+    "ivf_ann_topk_nprobe": q_ivf_ann_topk_nprobe,
     "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
     "crawl_frontier": q_crawl_frontier,
     "crawl_frontier_deep": q_crawl_frontier_deep,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "lsh_ann_topk_pruned",
     "ivf_ann_topk",
     "ivf_ann_topk_pruned",
+    "ivf_ann_topk_nprobe",
     "ivf_ann_topk_trained",
     "crawl_frontier",
     "crawl_frontier_deep",

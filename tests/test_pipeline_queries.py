@@ -316,6 +316,30 @@ def test_text_metrics_differential_battery(spark):
         assert got[i].bigrams == want_bigrams, repr(t)
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe=N_CENTROIDS probes every cell, so the IVF result must be
+    EXACTLY the brute-force cosine top-k — the strongest end-to-end
+    check the multi-cell probe admits."""
+    from article_extractor_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in S.ivf_ann_topk_nprobe(
+            emb, query_id=0, k=10, nprobe=S.N_CENTROIDS
+        ).collect()
+    ]
+    brute = [
+        (r["vec_id"], r["cosine"])
+        for r in S.cosine_topk(emb, query_id=0, k=10).collect()
+    ]
+    assert full == brute
+    # widening the probe can only improve (or keep) the top-k scores
+    p1 = [r["cosine"] for r in S.ivf_ann_topk_nprobe(emb, nprobe=1).collect()]
+    p2 = [r["cosine"] for r in S.ivf_ann_topk_nprobe(emb, nprobe=2).collect()]
+    assert all(b >= a for a, b in zip(sorted(p1, reverse=True), sorted(p2, reverse=True)))
+
+
 def test_sample_frames_rawv_unit(spark):
     """RAWV frame sampling battery: well-formed, truncated, bad magic,
     empty — expectations computed by hand against the container spec."""
