@@ -329,6 +329,7 @@ def ivf_ann_topk_pruned(
     query_id: int = 0,
     k: int = 10,
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """The 100-TB shape of ``ivf_ann_topk`` (mirror of
     ``lsh_ann_topk_pruned``): the table is STORED partitioned by cell,
@@ -355,17 +356,25 @@ def ivf_ann_topk_pruned(
     if not qrows:
         raise ValueError(f"query_id {query_id} not found in embeddings")
     qv = [int(v) for v in qrows[0]["cvec"]]
-    # same argmin as assign_cells: exact integer L2, ties → smallest cid
-    qcell = min(
+    # same ranking as assign_cells: exact integer L2, ties → smallest
+    # cid; the nprobe nearest cells become an IN partition filter
+    ranked = sorted(
         (
-            (sum((a - b) * (a - b) for a, b in zip(qv, [int(c) for c in r["cvec"]])), r["cid"])
+            (
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qv, [int(c) for c in r["cvec"]])
+                ),
+                r["cid"],
+            )
             for r in crows
         )
-    )[1]
+    )
+    probe_cells = [int(cid) for _, cid in ranked[:nprobe]]
     qvec = F.array(*[F.lit(v).cast("long") for v in qv])
     part = spark.read.parquet(table_path)
     cand = part.where(
-        (F.col("cell") == int(qcell)) & (F.col("vec_id") != query_id)
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != query_id)
     )
     scored = cand.select(
         F.col("vec_id"),

@@ -340,6 +340,31 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert all(b >= a for a, b in zip(sorted(p1, reverse=True), sorted(p2, reverse=True)))
 
 
+def test_ivf_pruned_nprobe_matches_inline(spark, tmp_path):
+    """The partitioned-storage probe with nprobe cells returns exactly
+    what the inline relational probe returns — for the single cell,
+    a wider probe, and the full (= brute force) probe."""
+    from article_extractor_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "cells")
+    S.write_cell_partitioned(emb, path)
+    for np_ in (1, 2, S.N_CENTROIDS):
+        pruned = [
+            (r["vec_id"], r["cosine"])
+            for r in S.ivf_ann_topk_pruned(
+                spark, path, emb, query_id=0, k=10, nprobe=np_
+            ).collect()
+        ]
+        inline = [
+            (r["vec_id"], r["cosine"])
+            for r in S.ivf_ann_topk_nprobe(
+                emb, query_id=0, k=10, nprobe=np_
+            ).collect()
+        ]
+        assert pruned == inline, np_
+
+
 def test_sample_frames_rawv_unit(spark):
     """RAWV frame sampling battery: well-formed, truncated, bad magic,
     empty — expectations computed by hand against the container spec."""
