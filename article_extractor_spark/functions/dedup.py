@@ -278,13 +278,19 @@ def minhash_lsh_pairs(
         sig_col = minhash_signature_pudf()(F.col(text_col))
     else:
         sig_col = minhash_signature(F.col(text_col))
-    # NULL text → NULL signature (both kernels).  Drop those BEFORE
-    # banding: concat_ws skips NULL elements, so NULL signatures would
-    # all share band_hash = md5_int('') in every band and pair with
-    # each other — spurious candidates the kernels' NULL propagation
-    # exists to prevent (pinned by test_null_text_produces_no_pairs).
-    sig = docs.select(F.col("doc_id"), sig_col.alias("sig")).where(
-        F.col("sig").isNotNull()
+    # NULL text → NULL signature (both kernels) and concat_ws skips
+    # NULL elements, so NULL signatures would all share band_hash =
+    # md5_int('') in every band and pair with each other.  Drop NULL
+    # TEXT before computing signatures (pinned by
+    # test_null_text_produces_no_pairs) — filtering the computed sig
+    # column instead would push ``isnotnull(<whole signature expr>)``
+    # below the Project and evaluate the signature twice per row (the
+    # nullable-computed-column trap documented at
+    # similarity.lsh_bucket); NULL text is the only NULL-signature
+    # source in both kernels, so the source-column filter is
+    # equivalent and pushes down to the scan.
+    sig = docs.where(F.col(text_col).isNotNull()).select(
+        F.col("doc_id"), sig_col.alias("sig")
     )
     band_cols = []
     for b in range(LSH_BANDS):

@@ -261,6 +261,16 @@ def embedding_neardup_pairs(
 N_CENTROIDS = 8
 
 
+def default_codebook(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The deterministic first-N seed codebook (cid, cvec) — the ONE
+    definition shared by cell assignment and the nprobe cell ranking,
+    so the probed cells can never drift from the assigned cells."""
+    return emb.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        quantized(F.col(vec_col)).alias("cvec"),
+    )
+
+
 def assign_cells(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -277,10 +287,7 @@ def assign_cells(
     from pyspark.sql.window import Window
 
     if codebook is None:
-        codebook = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("cid"),
-            quantized(F.col(vec_col)).alias("cvec"),
-        )
+        codebook = default_codebook(emb, vec_col)
     cents = codebook
     qe = emb.select(F.col("vec_id"), quantized(F.col(vec_col)).alias("qv"))
     sqdist = F.aggregate(
@@ -435,10 +442,7 @@ def ivf_ann_topk_nprobe(
     extra probe is one more pruned partition read, linear in
     nprobe."""
     if codebook is None:
-        codebook = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-            F.col("vec_id").alias("cid"),
-            quantized(F.col(vec_col)).alias("cvec"),
-        )
+        codebook = default_codebook(emb, vec_col)
     assigned = assign_cells(emb, vec_col, codebook=codebook)
     q = emb.where(F.col("vec_id") == query_id).select(
         quantized(F.col(vec_col)).alias("qvec")

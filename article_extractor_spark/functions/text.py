@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .hof import let
+
 # Small deterministic stopword sets used for quality scoring and the
 # language-ID heuristic.  These must stay in sync with the SQL oracles.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -93,8 +95,6 @@ def word_ngrams(col: Column, n: int) -> Column:
     with no common-subexpression elimination, so an unbound
     ``ws_tokens(col)`` would re-split the text once per n-gram
     position (measured 7.2 s → 2.6 s for dup_ngram_stats at sf0.1)."""
-    from .hof import let
-
     return let(
         ws_tokens(col),
         lambda toks: F.when(
