@@ -42,7 +42,11 @@ CHECKS = {
     "minhash_pairs": (
         ["HashAggregate"],
         ["SortMergeJoin"],
-        "signatures map-side; one shuffle into band buckets (no self-join)",
+        "signatures map-side, computed ONCE (exactly one "
+        "ArrowEvalPython — a filter on the computed sig column would "
+        "push isnotnull(<whole expr>) below the Project and double "
+        "it); one shuffle into band buckets (no self-join)",
+        {"ArrowEvalPython": 1},
     ),
     "latest_event_per_user": (
         ["WindowGroupLimit"],
@@ -140,11 +144,18 @@ def main() -> int:
     spark = build_session(app_name="plan-audit", cores=8)
     sections = []
     failures = []
-    for name, (must, must_not, note) in CHECKS.items():
+    for name, spec in CHECKS.items():
+        must, must_not, note = spec[0], spec[1], spec[2]
+        max_counts = spec[3] if len(spec) > 3 else {}
         df = QUERY_FNS[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         issues = [f"missing `{m}`" for m in must if m not in plan]
         issues += [f"unexpected `{m}`" for m in must_not if m in plan]
+        issues += [
+            f"`{m}` appears {plan.count(m)}x (max {mx})"
+            for m, mx in max_counts.items()
+            if plan.count(m) > mx
+        ]
         status = "OK" if not issues else "FAIL: " + "; ".join(issues)
         print(f"{name:28s} {status}")
         if issues:
@@ -155,6 +166,12 @@ def main() -> int:
             + (
                 "; absent: " + ", ".join(f"`{m}`" for m in must_not)
                 if must_not
+                else ""
+            )
+            + (
+                "; counts: "
+                + ", ".join(f"`{m}` ≤ {mx}" for m, mx in max_counts.items())
+                if max_counts
                 else ""
             )
             + f" — **{status}**\n\n```\n{plan[:3000]}\n```\n"
