@@ -498,6 +498,115 @@ def simhash_table(
     return docs.select(F.col("doc_id"), col.alias("simhash"))
 
 
+# Disjoint bit-bands (shift, width) covering all SIMHASH_BITS: 6+5+5.
+# Pigeonhole: a pair differing in <= 2 bits cannot touch all 3 bands,
+# so it agrees EXACTLY on at least one — banding has perfect recall
+# for Hamming <= len(bands) - 1.
+SIMHASH_BAND_LAYOUT = ((0, 6), (6, 5), (11, 5))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    kernel: str = "pandas",
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within ``max_hamming`` bit flips —
+    the pairing step that completes the SimHash dedup method (the
+    per-doc ``simhash_table`` only fingerprints).
+
+    Same scale shape as ``minhash_lsh_pairs``: band values are computed
+    map-side (bit shifts of the 16-bit hash), ONE shuffle groups band
+    buckets, membership is capped (deterministic smallest doc_ids)
+    before any list is collected, pairs expand in-bucket JVM-side, and
+    candidates are verified exactly with ``bit_count(xor) <=
+    max_hamming``.  Recall is exact, not probabilistic: the pigeonhole
+    band layout guarantees every true pair is a candidate (for
+    ``max_hamming < len(SIMHASH_BAND_LAYOUT)``), so unlike MinHash this
+    pairing has NO false-negative rate — only the bucket cap can drop
+    pairs, and that is observable.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Precision scales with SIMHASH_BITS: 16 bits (chosen for exact SQL
+    oracle-ability) is coarse — documents drawn from a similar word
+    distribution collide at Hamming <= 2 without being near-duplicates
+    (the synthetic corpus yields ~5.5k candidate pairs from 500 docs).
+    At 100 TB use 64-bit hashes with the same 3-band (22/21/21) layout;
+    the dataflow, cap, and verify step are unchanged, and the bucket
+    cap bounds the quadratic expansion either way.
+    """
+    if max_hamming >= len(SIMHASH_BAND_LAYOUT):
+        raise ValueError(
+            "pigeonhole banding needs max_hamming < number of bands"
+        )
+    from pyspark.sql.window import Window
+
+    sim = simhash_table(
+        docs.where(F.col(text_col).isNotNull()), text_col, kernel
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash"), sh)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_val"),
+            )
+            for bi, (sh, w) in enumerate(SIMHASH_BAND_LAYOUT)
+        ]
+    )
+    banded = sim.select(
+        "doc_id", "simhash", F.explode(bands).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_val").alias("band_val"),
+    )
+    ranked = banded.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("band", "band_val").orderBy("doc_id")
+        ),
+    )
+    capped = ranked.where(F.col("rn") <= bucket_cap)
+    buckets = (
+        capped.groupBy("band", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") > 1)
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["simhash"].alias("sim_a"),
+                    b["simhash"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.where(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", stride: int = 1
 ) -> DataFrame:

@@ -518,6 +518,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 2) via pigeonhole bit-band
+    blocking — exact recall by construction, verified with
+    bit_count(xor); see dedup.simhash_hamming_pairs."""
+    return D.simhash_hamming_pairs(load(spark, sf_dir, "documents"))
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
 
@@ -2016,6 +2023,34 @@ FROM documents GROUP BY 1
     "minhash_verified_pairs": _minhash_verified_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
     "simhash": _simhash_sql(),
+    "simhash_pairs": f"""
+WITH sim AS ({_simhash_sql()}
+), banded AS (
+  SELECT s.doc_id, s.simhash, b.band,
+    CASE b.band
+      {" ".join(
+          f"WHEN {bi} THEN (s.simhash >> {sh}) & {(1 << w) - 1}"
+          for bi, (sh, w) in enumerate(D.SIMHASH_BAND_LAYOUT)
+      )}
+    END AS band_val
+  FROM sim s, (VALUES (0), (1), (2)) AS b(band)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY band, band_val
+                               ORDER BY doc_id) AS rn
+  FROM banded
+), capped AS (
+  SELECT * FROM ranked WHERE rn <= {D.BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash AS sa, b.simhash AS sb
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+""",
     "jaccard_pairs": f"""
 WITH w AS (
   SELECT doc_id,
@@ -2098,6 +2133,7 @@ QUERY_FNS: dict[str, Query] = {
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "embedding_neardup": q_embedding_neardup,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "server_response",
     "minhash_pairs",
     "simhash",
+    "simhash_pairs",
     "exact_dedup",
     "jaccard_pairs",
     "token_counts",

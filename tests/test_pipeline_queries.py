@@ -488,6 +488,30 @@ def test_fingerprint_is_case_insensitive_oracle(spark):
     assert got[0] == got[1]
 
 
+def test_simhash_pairs_invariants(spark):
+    """simhash_hamming_pairs output invariants: ordered pairs, no
+    duplicates, every reported hamming confirmed against the per-doc
+    simhash table, and SOUNDNESS — each returned pair's true Hamming
+    distance is <= 2 (recall completeness is pinned separately by the
+    DuckDB oracle, which replicates banding + cap bit-exactly)."""
+    from article_extractor_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sims = {
+        r.doc_id: r.simhash
+        for r in D.simhash_table(docs).collect()
+    }
+    pairs = D.simhash_hamming_pairs(docs).collect()
+    assert pairs
+    seen = set()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
+        true_h = bin(sims[r.doc_a] ^ sims[r.doc_b]).count("1")
+        assert r.hamming == true_h and true_h <= 2, r
+
+
 def test_minhash_lsh_recall_against_exact_ground_truth(spark):
     """End-to-end QUALITY evaluation (not just determinism): compute
     the exact all-pairs 3-shingle Jaccard ground truth for the sf0.001
