@@ -607,6 +607,38 @@ def simhash_hamming_pairs(
     )
 
 
+def benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: corpus documents sharing any
+    word ``n``-gram with a benchmark/eval set (the standard 8-13-gram
+    overlap check run before training on web corpora).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so
+    its distinct n-grams BROADCAST; corpus n-grams are generated
+    map-side (``word_ngrams``) and the overlap join never shuffles the
+    corpus — the only exchange is the final per-doc partial-agg count.
+    Returns (doc_id, n_contaminated_grams) for contaminated docs only;
+    the caller anti-joins this against the corpus to drop or audit
+    them."""
+    from .text import word_ngrams
+
+    bgrams = benchmark.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    cgrams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        cgrams.join(F.broadcast(bgrams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", stride: int = 1
 ) -> DataFrame:

@@ -518,6 +518,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load(spark, sf_dir, "documents"))
 
 
+DECONTAM_N = 8
+DECONTAM_BENCH_IDS = 10  # doc_id < 10 stands in for the eval benchmark
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.benchmark_overlap): corpus
+    docs sharing any word 8-gram with the benchmark stand-in
+    (doc_id < 10).  The synthetic corpus plants near-duplicates across
+    the boundary, so the result is non-trivial."""
+    docs = load(spark, sf_dir, "documents")
+    return D.benchmark_overlap(
+        docs.where(F.col("doc_id") >= DECONTAM_BENCH_IDS),
+        docs.where(F.col("doc_id") < DECONTAM_BENCH_IDS),
+        n=DECONTAM_N,
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 2) via pigeonhole bit-band
     blocking — exact recall by construction, verified with
@@ -2023,6 +2040,22 @@ FROM documents GROUP BY 1
     "minhash_verified_pairs": _minhash_verified_sql(),
     "embedding_neardup": _embedding_neardup_sql(),
     "simhash": _simhash_sql(),
+    "decontaminate": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS w FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(w[i:i+{DECONTAM_N - 1}], ' ') AS gram
+  FROM t, UNNEST(CASE WHEN len(w) >= {DECONTAM_N}
+                      THEN generate_series(1, len(w) - {DECONTAM_N - 1})
+                      ELSE []::BIGINT[] END) AS u(i)
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id < {DECONTAM_BENCH_IDS}
+)
+SELECT doc_id, count(*) AS n_contaminated_grams
+FROM g JOIN b USING (gram)
+WHERE doc_id >= {DECONTAM_BENCH_IDS}
+GROUP BY 1
+""",
     "simhash_pairs": f"""
 WITH sim AS ({_simhash_sql()}
 ), banded AS (
@@ -2134,6 +2167,7 @@ QUERY_FNS: dict[str, Query] = {
     "embedding_neardup": q_embedding_neardup,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash",
     "simhash_pairs",
+    "decontaminate",
     "exact_dedup",
     "jaccard_pairs",
     "token_counts",

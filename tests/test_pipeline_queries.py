@@ -488,6 +488,25 @@ def test_fingerprint_is_case_insensitive_oracle(spark):
     assert got[0] == got[1]
 
 
+def test_decontaminate_flags_planted_duplicates(spark):
+    """The synthetic corpus plants near-duplicates of benchmark-range
+    docs (0/5/8 ↔ 50/82/450/12/120, verified by the exact-Jaccard
+    ground truth in the LSH recall test); the 8-gram decontamination
+    stage must flag those partners."""
+    from article_extractor_spark.queries import QUERY_FNS
+
+    flagged = {
+        r.doc_id: r.n_contaminated_grams
+        for r in QUERY_FNS["decontaminate"](spark, SF_DIR).collect()
+    }
+    # dup partners of benchmark docs 0, 5, 8 share long token runs
+    for partner in (50, 82, 450, 12, 120):
+        assert partner in flagged and flagged[partner] > 0, (
+            partner,
+            flagged,
+        )
+
+
 def test_simhash_pairs_invariants(spark):
     """simhash_hamming_pairs output invariants: ordered pairs, no
     duplicates, every reported hamming confirmed against the per-doc
