@@ -111,6 +111,20 @@ CHECKS = {
         "wrap, header-parse + stride slice) over a scan pruned to "
         "(doc_id, text) — zero shuffles, embarrassingly parallel",
     ),
+    "simhash_pairs": (
+        ["HashAggregate", "WindowGroupLimit"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "pigeonhole band blocking: band values are bit-shift "
+        "projections (map-side), one shuffle into band buckets with "
+        "the cap riding the same exchange, in-bucket pair expansion, "
+        "exact bit_count verify — no self-join",
+    ),
+    "decontaminate": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "decontamination: benchmark n-grams broadcast; corpus n-grams "
+        "map-side; only the per-doc count shuffles (partial agg)",
+    ),
     "dup_ngram_stats": (
         ["HashAggregate", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
