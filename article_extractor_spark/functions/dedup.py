@@ -221,15 +221,59 @@ def minhash_signature_pudf():
 def observe_cap_drops(ranked: DataFrame, obs, cap: int) -> DataFrame:
     """Attach the bucket-cap drop metrics (``capped_out_members`` /
     ``bucket_members``) to a row_number-ranked bucket stream.  Shared
-    by ``minhash_lsh_pairs`` and
-    ``similarity.embedding_neardup_pairs`` so the metric names and cap
-    predicate cannot drift between the two cap sites."""
+    by every cap site (``minhash_lsh_pairs``,
+    ``simhash_hamming_pairs``, ``similarity.embedding_neardup_pairs``)
+    so the metric names and cap predicate cannot drift."""
     return ranked.observe(
         obs,
         F.sum(F.when(F.col("rn") > cap, 1).otherwise(0)).alias(
             "capped_out_members"
         ),
         F.count(F.lit(1)).alias("bucket_members"),
+    )
+
+
+def capped_bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    drop_metrics=None,
+) -> DataFrame:
+    """Shared blocking machinery for the LSH-style pair generators
+    (MinHash bands, SimHash bit-bands): rank each bucket's members
+    deterministically (smallest ids first — ``m``'s leading field),
+    cap membership BEFORE any list is collected, collect + expand
+    in-bucket (i < j) pairs entirely JVM-side, and deduplicate across
+    buckets.  ``banded`` must carry ``key_cols`` plus a payload struct
+    column ``m`` whose first field orders the bucket.  One shuffle on
+    the bucket key; the cap's rank rides the same exchange."""
+    from pyspark.sql.window import Window
+
+    ranked = banded.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(*key_cols).orderBy("m")),
+    )
+    if drop_metrics is not None:
+        ranked = observe_cap_drops(ranked, drop_metrics, cap)
+    capped = ranked.where(F.col("rn") <= cap)
+    buckets = (
+        capped.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
     )
 
 
@@ -269,8 +313,6 @@ def minhash_lsh_pairs(
     memberships dropped by the cap) and ``bucket_members`` (total).
     The metrics ride the existing job, zero extra passes.
     """
-    from pyspark.sql.window import Window
-
     if kernel == "pandas":
         from ..shipping import ensure_shipped
 
@@ -305,41 +347,18 @@ def minhash_lsh_pairs(
             )
         )
     banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+        F.struct(F.col("doc_id")).alias("m"),
+        F.explode(F.array(*band_cols)).alias("bb"),
     ).select(
-        "doc_id",
+        "m",
         F.col("bb.band").alias("band"),
         F.col("bb.band_hash").alias("band_hash"),
     )
-
-    ranked = banded.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("band", "band_hash").orderBy("doc_id")
-        ),
+    pairs = capped_bucket_pairs(
+        banded, ["band", "band_hash"], bucket_cap, drop_metrics
     )
-    if drop_metrics is not None:
-        ranked = observe_cap_drops(ranked, drop_metrics, bucket_cap)
-    capped = ranked.where(F.col("rn") <= bucket_cap)
-    buckets = (
-        capped.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    # expand pairs (i < j) within each bucket, entirely JVM-side
-    pair_array = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pair_array).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
 
 
@@ -503,14 +522,16 @@ def simhash_table(
 # so it agrees EXACTLY on at least one — banding has perfect recall
 # for Hamming <= len(bands) - 1.
 SIMHASH_BAND_LAYOUT = ((0, 6), (6, 5), (11, 5))
+SIMHASH_MAX_HAMMING = 2  # < len(SIMHASH_BAND_LAYOUT), pigeonhole bound
 
 
 def simhash_hamming_pairs(
     docs: DataFrame,
-    max_hamming: int = 2,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
     text_col: str = "text",
     kernel: str = "pandas",
     bucket_cap: int = BUCKET_CAP,
+    drop_metrics=None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs within ``max_hamming`` bit flips —
     the pairing step that completes the SimHash dedup method (the
@@ -525,7 +546,8 @@ def simhash_hamming_pairs(
     band layout guarantees every true pair is a candidate (for
     ``max_hamming < len(SIMHASH_BAND_LAYOUT)``), so unlike MinHash this
     pairing has NO false-negative rate — only the bucket cap can drop
-    pairs, and that is observable.
+    pairs, and that is observable (pass a ``pyspark.sql.Observation``
+    as ``drop_metrics``, same contract as ``minhash_lsh_pairs``).
 
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
 
@@ -541,8 +563,6 @@ def simhash_hamming_pairs(
         raise ValueError(
             "pigeonhole banding needs max_hamming < number of bands"
         )
-    from pyspark.sql.window import Window
-
     sim = simhash_table(
         docs.where(F.col(text_col).isNotNull()), text_col, kernel
     )
@@ -558,52 +578,23 @@ def simhash_hamming_pairs(
         ]
     )
     banded = sim.select(
-        "doc_id", "simhash", F.explode(bands).alias("bb")
+        F.struct("doc_id", "simhash").alias("m"),
+        F.explode(bands).alias("bb"),
     ).select(
-        "doc_id",
-        "simhash",
+        "m",
         F.col("bb.band").alias("band"),
         F.col("bb.band_val").alias("band_val"),
     )
-    ranked = banded.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("band", "band_val").orderBy("doc_id")
-        ),
+    cand = capped_bucket_pairs(
+        banded, ["band", "band_val"], bucket_cap, drop_metrics
     )
-    capped = ranked.where(F.col("rn") <= bucket_cap)
-    buckets = (
-        capped.groupBy("band", "band_val")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "simhash"))
-            ).alias("ms")
-        )
-        .where(F.size("ms") > 1)
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    pair_array = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda b: F.struct(
-                    a["doc_id"].alias("doc_a"),
-                    b["doc_id"].alias("doc_b"),
-                    a["simhash"].alias("sim_a"),
-                    b["simhash"].alias("sim_b"),
-                ),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_array).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.where(ham <= max_hamming)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    return cand.where(ham <= max_hamming).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ham.cast("int").alias("hamming"),
     )
 
 
@@ -623,14 +614,24 @@ def benchmark_overlap(
     corpus — the only exchange is the final per-doc partial-agg count.
     Returns (doc_id, n_contaminated_grams) for contaminated docs only;
     the caller anti-joins this against the corpus to drop or audit
-    them."""
+    them.
+
+    N-grams are taken over ``normalized_text`` (lowercase + collapsed
+    whitespace), like every other dedup operator here — recased or
+    re-wrapped contamination must still match (pinned by a mixed-case
+    unit test)."""
     from .text import word_ngrams
 
     bgrams = benchmark.select(
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        F.explode(
+            word_ngrams(normalized_text(F.col(text_col)), n)
+        ).alias("gram")
     ).distinct()
     cgrams = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        "doc_id",
+        F.explode(
+            word_ngrams(normalized_text(F.col(text_col)), n)
+        ).alias("gram"),
     )
     return (
         cgrams.join(F.broadcast(bgrams), "gram")

@@ -2042,7 +2042,8 @@ FROM documents GROUP BY 1
     "simhash": _simhash_sql(),
     "decontaminate": f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS.format(c='text')} AS w FROM documents
+  SELECT doc_id, {_TOKS.format(c=_NORM.format(c='text'))} AS w
+  FROM documents
 ), g AS (
   SELECT doc_id, array_to_string(w[i:i+{DECONTAM_N - 1}], ' ') AS gram
   FROM t, UNNEST(CASE WHEN len(w) >= {DECONTAM_N}
@@ -2057,7 +2058,13 @@ WHERE doc_id >= {DECONTAM_BENCH_IDS}
 GROUP BY 1
 """,
     "simhash_pairs": f"""
-WITH sim AS ({_simhash_sql()}
+WITH simall AS ({_simhash_sql()}
+), sim AS (
+  -- mirror the engine: NULL-text docs never enter banding (their
+  -- simhash would be the all-zero value and they would pair freely)
+  SELECT s.* FROM simall s
+  JOIN documents d ON s.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
 ), banded AS (
   SELECT s.doc_id, s.simhash, b.band,
     CASE b.band
@@ -2066,7 +2073,9 @@ WITH sim AS ({_simhash_sql()}
           for bi, (sh, w) in enumerate(D.SIMHASH_BAND_LAYOUT)
       )}
     END AS band_val
-  FROM sim s, (VALUES (0), (1), (2)) AS b(band)
+  FROM sim s,
+    (VALUES {", ".join(f"({bi})" for bi in range(len(D.SIMHASH_BAND_LAYOUT)))})
+      AS b(band)
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY band, band_val
                                ORDER BY doc_id) AS rn
@@ -2082,7 +2091,7 @@ WITH sim AS ({_simhash_sql()}
 )
 SELECT doc_a, doc_b,
   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+FROM cand WHERE bit_count(xor(sa, sb)) <= {D.SIMHASH_MAX_HAMMING}
 """,
     "jaccard_pairs": f"""
 WITH w AS (

@@ -117,7 +117,9 @@ CHECKS = {
         "pigeonhole band blocking: band values are bit-shift "
         "projections (map-side), one shuffle into band buckets with "
         "the cap riding the same exchange, in-bucket pair expansion, "
-        "exact bit_count verify — no self-join",
+        "exact bit_count verify — no self-join; simhash kernel "
+        "evaluated once (same single-eval requirement as minhash)",
+        {"ArrowEvalPython": 1},
     ),
     "decontaminate": (
         ["BroadcastHashJoin", "HashAggregate"],

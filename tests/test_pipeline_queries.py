@@ -488,6 +488,29 @@ def test_fingerprint_is_case_insensitive_oracle(spark):
     assert got[0] == got[1]
 
 
+def test_decontaminate_is_case_insensitive(spark):
+    """Recased / re-wrapped contamination must still match: overlap is
+    computed on normalized text, like every other dedup operator."""
+    from article_extractor_spark.functions import dedup as D
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota"
+    bench = spark.createDataFrame(
+        [(0, passage)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, passage.upper()),                      # recased
+            (11, passage.replace(" ", "  ")),           # re-wrapped
+            (12, "totally unrelated text with other words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc_id for r in D.benchmark_overlap(corpus, bench, n=8).collect()
+    }
+    assert flagged == {10, 11}
+
+
 def test_decontaminate_flags_planted_duplicates(spark):
     """The synthetic corpus plants near-duplicates of benchmark-range
     docs (0/5/8 ↔ 50/82/450/12/120, verified by the exact-Jaccard
@@ -550,7 +573,11 @@ def test_minhash_lsh_recall_against_exact_ground_truth(spark):
 
     def shingles(t: str) -> set:
         norm = re.sub("[ \t\n\x0b\f\r]+", " ", t.strip(" ").lower())
-        toks = norm.split(" ")
+        # ws_tokens applies a second ASCII-space trim AFTER the
+        # collapse (a leading tab becomes a leading space in norm) —
+        # replicate it or the ground truth gains a phantom '' token
+        trimmed = norm.strip(" ")
+        toks = trimmed.split(" ") if trimmed else []
         if len(toks) < 3:
             return {norm}
         return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
