@@ -1224,6 +1224,34 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout extraction end-to-end (the north rule's PDF arm; the
+    reference only SKIPS .pdf URLs, discovery.py:825): render each
+    document as a real one-page PDF (every 3rd FlateDecode-compressed;
+    content stream deliberately out of reading order), then parse it
+    back with the from-scratch PDF interpreter — text-matrix tracking,
+    CTM-positioned image XObject, layout re-ordering into reading
+    order.  Two chained Arrow stages, zero shuffles.  The oracle
+    reconstructs the full span JSON analytically (title block, 64-char
+    body lines joined with newlines, the Im0 media span, footer) — so
+    span-sequence equality vs an independent reconstruction covers the
+    writer AND the parser; parser-only coverage against hand-written
+    PDF byte fixtures lives in tests/test_pdflayout.py."""
+    from .operators.pdf import documents_as_pdf, extract_pdf_articles
+
+    docs = load(spark, sf_dir, "documents")
+    out = extract_pdf_articles(documents_as_pdf(docs))
+    return out.select(
+        "doc_id",
+        "n_pages",
+        "title",
+        "word_count",
+        "n_spans",
+        F.to_json("spans").alias("spans_json"),
+        "success",
+    )
+
+
 def q_server_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readability-js-server wire view (server.py:399-411): the full
     extraction mapped onto the server's JSON field names — byline/dir/
@@ -2145,6 +2173,38 @@ WHERE n_frames > 0
 """,
     "extract_interleaved": _extract_interleaved_sql(),
     "extract_spans_full": _EXTRACT_SPANS_FULL_SQL,
+    # Analytic reconstruction of the PDF round-trip (same technique as
+    # the flagship oracle): title block, fixed-width body lines joined
+    # with newlines (JSON-escaped to the literal two chars '\' 'n'),
+    # the Im0 image span, footer — in READING order, which the content
+    # stream deliberately violates.
+    "pdf_extract": """
+WITH t AS (
+  SELECT doc_id, text,
+    array_to_string(list_transform(
+      generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1, 1),
+      i -> substr(text, i * 64 + 1, 64)), chr(10)) AS body
+  FROM documents
+), w AS (
+  SELECT doc_id, body,
+    len(list_filter(string_split_regex(body, '\\s+'), x -> x != ''))
+      AS body_tokens
+  FROM t
+)
+SELECT doc_id, 1 AS n_pages,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  CAST(2 + body_tokens + 5 AS INT) AS word_count,
+  4 AS n_spans,
+  '[{"kind":"text","text":"Doc ' || CAST(doc_id AS VARCHAR)
+    || '","media_ref":"","offset":0},'
+    || '{"kind":"text","text":"' || replace(body, chr(10), '\\n')
+    || '","media_ref":"","offset":1},'
+    || '{"kind":"media","text":"","media_ref":"Im0","offset":2},'
+    || '{"kind":"text","text":"Page 1 of doc ' || CAST(doc_id AS VARCHAR)
+    || '","media_ref":"","offset":3}]' AS spans_json,
+  TRUE AS success
+FROM w
+""",
 }
 
 QUERY_FNS: dict[str, Query] = {
@@ -2194,6 +2254,7 @@ QUERY_FNS: dict[str, Query] = {
     "extract_excerpt": q_extract_excerpt,
     "extract_interleaved": q_extract_interleaved,
     "extract_markdown": q_extract_markdown,
+    "pdf_extract": q_pdf_extract,
     "server_response": q_server_response,
     "lineage_rollup": q_lineage_rollup,
     "sitemap_locs": q_sitemap_locs,

@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "extract_spans_full",
     "extract_interleaved",
     "extract_markdown",
+    "pdf_extract",
     "server_response",
     "minhash_pairs",
     "simhash",

@@ -142,6 +142,13 @@ CHECKS = {
         "array fold (sorted-run aggregate), no explode, no shuffle, "
         "scan pruned to (doc_id, text)",
     ),
+    "pdf_extract": (
+        ["MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "SortMergeJoin"],
+        "PDF/layout extraction: two chained Arrow stages (PDF render, "
+        "parse+layout-sort) over a scan pruned to (doc_id, text) — "
+        "zero shuffles, embarrassingly parallel over documents",
+    ),
     "extension_filter": (
         ["HashAggregate"],
         ["BroadcastNestedLoopJoin"],
