@@ -615,6 +615,66 @@ def q_crawl_frontier_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crawl_frontier(spark, sf_dir, max_depth=8)
 
 
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 1_000_000_000_000  # total rank mass, fixed-point
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank as a corpus-quality signal (public
+    CommonCrawl-style pipelines weight documents by link centrality;
+    the reference crawls the graph — crawler.py:754-834 — but never
+    scores it).  Same synthetic edge graph as the crawl frontier
+    (doc i → (2i+1) mod N, (3i+7) mod N; out-degree exactly 2, no
+    dangling nodes).
+
+    Arithmetic is FIXED-POINT INTEGER so the iteration is exactly
+    reproducible regardless of partitioning/summation order (the same
+    reason the decimal casts exist in pricing_summary): rank mass
+    starts at SCALE/N per node, each iteration sends r DIV 2 along
+    both out-edges and applies damping as ``base + (85·Σ) DIV 100``.
+    Truncation loses ≤1 unit per op — irrelevant for ranking, and
+    bit-identical in Spark and the DuckDB chained-CTE oracle.
+
+    Iterative-plan hygiene (the crawl-frontier lessons): the edge list
+    is built once and persisted (bucketed edge storage at scale), each
+    iteration is join-on-src + partial-agg-on-dst (PageRank's minimal
+    two-shuffle step), and per-iteration ``localCheckpoint`` truncates
+    the lineage so plan size stays linear in iterations."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id")
+    edges = docs.select(
+        src.alias("src"),
+        F.explode(F.array((src * 2 + 1) % n, (src * 3 + 7) % n)).alias(
+            "dst"
+        ),
+    ).persist()
+    base = PAGERANK_SCALE * 15 // (100 * n)
+    try:
+        ranks = docs.select(
+            "doc_id", F.lit(PAGERANK_SCALE // n).alias("pagerank")
+        )
+        for _ in range(PAGERANK_ITERS):
+            contribs = edges.join(ranks, edges.src == ranks.doc_id).select(
+                F.col("dst").alias("doc_id"),
+                F.expr("pagerank DIV 2").alias("c"),
+            )
+            ranks = (
+                contribs.groupBy("doc_id")
+                .agg(F.sum("c").alias("s"))
+                .select(
+                    "doc_id",
+                    (F.lit(base) + F.expr("(85 * s) DIV 100")).alias(
+                        "pagerank"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges.unpersist()
+    return ranks
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
@@ -1192,6 +1252,92 @@ def q_sitemap_index_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt evaluation (RFC 9309) — crawl politeness, the gate in
+    front of every fetch the reference performs but never models (its
+    fetcher trusts the caller; a corpus-scale crawler cannot).
+
+    Per source a deterministic robots.txt body is built with TWO
+    user-agent groups: a decoy ``other-bot`` group disallowing
+    everything — which must be IGNORED (group selection evidence) — and
+    the ``*`` group with a digit-prefix disallow, a longer allow that
+    overrides it for a sub-prefix, and a never-matching disallow.  The
+    engine genuinely PARSES the body (group section extract + line
+    explode, all JVM regex), applies longest-match precedence with
+    allow-winning-ties to every document URL, and emits per-URL
+    verdicts.  The oracle predicts the verdicts analytically from the
+    rule-generation scheme — parser bugs, group leakage, or precedence
+    mistakes all flip rows red.
+
+    Scale shape: robots rules are tiny per host (the rules table is
+    broadcast; the URL side never shuffles for the join) and verdicts
+    are a per-URL bounded expansion (≤ rules-per-host) folded back by
+    ONE ``max_by`` aggregation — longest-match precedence expressed as
+    a partial-aggregable max over (prefix_len, is_allow), so the
+    reduction combines map-side.  A zero-length default-Allow rule per
+    host makes "no rule matched → allowed" fall out of the same max
+    (it loses every tie), eliminating the outer join a naive
+    formulation needs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), "src([0-9]+)", 1)
+    robots_txt = F.concat(
+        F.lit("User-agent: other-bot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /docs/"), src_num, F.lit("\n"),
+        F.lit("Allow: /docs/"), src_num,
+        (src_num.cast("int") % 10).cast("string"), F.lit("\n"),
+        F.lit("Disallow: /private\n"),
+    )
+    robots = docs.select("source").distinct().select(
+        "source", robots_txt.alias("robots_txt")
+    )
+    # the '*' group section: lines after 'User-agent: *' up to the next
+    # blank line (RFC 9309 groups are blank-line/UA-delimited)
+    star_section = F.regexp_extract(
+        F.col("robots_txt"),
+        "(?s)User-agent: \\*\\n(.*?)(?:\\n\\n|$)",
+        1,
+    )
+    rules = (
+        robots.select(
+            "source",
+            F.explode(F.split(star_section, "\n")).alias("line"),
+        )
+        .where(F.col("line").rlike("^(Allow|Disallow): *[^ ]"))
+        .select(
+            "source",
+            (F.substring_index("line", ":", 1) == "Allow").alias("is_allow"),
+            F.trim(
+                F.expr("substring(line, instr(line, ':') + 1)")
+            ).alias("prefix"),
+        )
+    )
+    default_rule = robots.select(
+        "source",
+        F.lit(True).alias("is_allow"),
+        F.lit("").alias("prefix"),
+    )
+    rules = rules.unionByName(default_rule)
+    urls = docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("/docs/"), F.col("doc_id").cast("string")).alias(
+            "path"
+        ),
+    )
+    matched = urls.join(F.broadcast(rules), "source").where(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    # RFC 9309 precedence: longest prefix wins; allow wins length ties
+    # — exactly a max over (prefix_len, is_allow), partial-aggregable
+    return matched.groupBy("doc_id", "source").agg(
+        F.max_by(
+            "is_allow", F.struct(F.length("prefix"), F.col("is_allow"))
+        ).alias("allowed")
+    )
+
+
 _EPOCH_ISO = "1970-01-01T00:00:00+00:00"
 
 
@@ -1520,6 +1666,33 @@ SELECT vec_id, cell,
 FROM s
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
+"""
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE fixed-point PageRank: one CTE per iteration, the
+    same integer ops (// is floor division; all values positive, so it
+    matches Spark's truncating DIV bit-for-bit)."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    iters = []
+    for t in range(1, PAGERANK_ITERS + 1):
+        iters.append(
+            f"""r{t} AS (
+  SELECT e.dst AS doc_id,
+    CAST({PAGERANK_SCALE * 15} // (100 * {n})
+         + (85 * SUM(r.pagerank // 2)) // 100 AS BIGINT) AS pagerank
+  FROM edges e JOIN r{t - 1} r ON e.src = r.doc_id GROUP BY e.dst
+)"""
+        )
+    return f"""
+WITH edges AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % {n} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 3 + 7) % {n} AS dst FROM documents
+), r0 AS (
+  SELECT doc_id, {PAGERANK_SCALE} // {n} AS pagerank FROM documents
+), {', '.join(iters)}
+SELECT doc_id, pagerank FROM r{PAGERANK_ITERS}
 """
 
 
@@ -2140,6 +2313,7 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     "ivf_ann_topk_nprobe": _ivf_ann_sql(nprobe=2),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "crawl_frontier_deep": _crawl_frontier_sql(8),
+    "link_pagerank": _pagerank_sql(),
     "source_stats": f"""
 WITH slim AS (
   SELECT source,
@@ -2205,6 +2379,23 @@ SELECT doc_id, 1 AS n_pages,
   TRUE AS success
 FROM w
 """,
+    # Analytic prediction of the RFC 9309 verdicts from the rule
+    # scheme: source srcK disallows path prefix /docs/K but re-allows
+    # the longer /docs/K(K%10); everything else (and the decoy
+    # other-bot group) must not affect the verdict.
+    "robots_eval": """
+WITH t AS (
+  SELECT doc_id, source,
+    '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+    substr(source, 4) AS k
+  FROM documents
+)
+SELECT doc_id, source,
+  (NOT starts_with(path, '/docs/' || k))
+  OR starts_with(path,
+       '/docs/' || k || CAST(CAST(k AS INT) % 10 AS VARCHAR)) AS allowed
+FROM t
+""",
 }
 
 QUERY_FNS: dict[str, Query] = {
@@ -2247,6 +2438,7 @@ QUERY_FNS: dict[str, Query] = {
     "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
     "crawl_frontier": q_crawl_frontier,
     "crawl_frontier_deep": q_crawl_frontier_deep,
+    "link_pagerank": q_link_pagerank,
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
     "source_stats": q_source_stats,
@@ -2259,6 +2451,7 @@ QUERY_FNS: dict[str, Query] = {
     "lineage_rollup": q_lineage_rollup,
     "sitemap_locs": q_sitemap_locs,
     "sitemap_index_locs": q_sitemap_index_locs,
+    "robots_eval": q_robots_eval,
     "rate_limit_schedule": q_rate_limit_schedule,
     "rate_limit_adaptive": q_rate_limit_adaptive,
     "extract_spans_full": q_extract_spans_full,

@@ -47,12 +47,14 @@ BENCH_QUERIES = [
     "ivf_ann_topk_trained",
     "crawl_frontier",
     "crawl_frontier_deep",
+    "link_pagerank",
     "media_features",
     "frame_samples",
     "source_stats",
     "lineage_rollup",
     "sitemap_locs",
     "sitemap_index_locs",
+    "robots_eval",
     "rate_limit_schedule",
     "rate_limit_adaptive",
     "manifest_fold",

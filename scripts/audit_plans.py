@@ -142,6 +142,14 @@ CHECKS = {
         "array fold (sorted-run aggregate), no explode, no shuffle, "
         "scan pruned to (doc_id, text)",
     ),
+    "robots_eval": (
+        ["BroadcastHashJoin", "HashAggregate", "partial_max_by"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "robots.txt verdicts: tiny per-host rules broadcast (URL side "
+        "unshuffled for the join); longest-match precedence is a "
+        "partial-aggregable max_by over (prefix_len, is_allow), so "
+        "the per-URL rollup combines map-side",
+    ),
     "pdf_extract": (
         ["MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"],
         ["Exchange", "SortMergeJoin"],

@@ -750,3 +750,40 @@ def test_pandas_udf_token_count_matches_jvm_expr(spark):
         token_count_pudf()(F.col("text")).alias("pudf"),
     )
     assert both.where(F.col("jvm") != F.col("pudf")).count() == 0
+
+
+def test_robots_eval_rfc_semantics(spark):
+    """RFC 9309 behaviors the oracle-match alone could mask if the
+    corpus shifted: all three verdict branches must actually occur
+    (default-allow, prefix-disallow, longest-match allow override),
+    and the decoy other-bot group must not leak into the verdicts."""
+    from pyspark.sql import functions as F
+
+    out = QUERY_FNS["robots_eval"](spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    branches = {"default": 0, "disallow": 0, "override": 0}
+    for d in docs.collect():
+        k = d["source"][3:]
+        path = str(d["doc_id"])
+        if path.startswith(k + str(int(k) % 10)):
+            branches["override"] += 1
+            assert rows[d["doc_id"]]["allowed"], (d, "override must allow")
+        elif path.startswith(k):
+            branches["disallow"] += 1
+            assert not rows[d["doc_id"]]["allowed"], (d, "must disallow")
+        else:
+            branches["default"] += 1
+            # decoy group disallows '/': leakage would flip these False
+            assert rows[d["doc_id"]]["allowed"], (d, "default must allow")
+    assert all(v > 0 for v in branches.values()), branches
+    # rules side stays broadcast: the big URL side must not sort-merge
+    plan = (
+        QUERY_FNS["robots_eval"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
