@@ -861,6 +861,49 @@ def documents_as_interleaved_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_page_html(doc_id: str, text: str) -> str:
+    """Python-side twin of the synthetic page (JVM expressions in
+    ``documents_as_interleaved_corpus`` + ``render_spans_to_html``;
+    SQL twin ``_SQL_PAGE``).  Used by kernels that must build the page
+    inside an Arrow stage (``documents_as_mixed``).  The three
+    representations MUST stay byte-identical —
+    ``test_synth_page_templates_agree`` pins JVM == Python on real
+    corpus rows, and the oracles pin JVM == SQL."""
+    return (
+        f"<html><head><title>Doc {doc_id} - Synth</title></head><body>"
+        '<header class="site-header"><nav>'
+        '<a href="/">Home</a> <a href="/about">About</a></nav></header>'
+        f'<main><article class="post-content"><h1>Doc {doc_id}</h1>'
+        f"<p>{text}</p>\n"
+        f'<img src="https://cdn.example/img-{doc_id}.jpg" />\n'
+        f"<p>{_CLOSING_P}</p></article></main>"
+        '<footer class="site-footer"><p>Copyright 2026.</p></footer>'
+        "</body></html>"
+    )
+
+
+def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format extraction: even docs arrive as real PDFs, odd docs
+    as HTML pages, all in ONE binary payload column; the dispatch
+    operator sniffs magic bytes per row and routes to the right
+    extractor inside a single Arrow stage (one scan, zero shuffles —
+    see operators.dispatch).  The oracle predicts both branches
+    analytically, so a sniff or routing bug flips half the corpus red.
+    """
+    from .operators.dispatch import (
+        documents_as_mixed,
+        extract_documents_auto,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = extract_documents_auto(
+        documents_as_mixed(docs), min_word_count=10
+    )
+    return out.select(
+        "doc_id", "format", "title", "word_count", "n_spans", "success"
+    )
+
+
 def q_extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction over an interleaved (text+media) span corpus:
     spans → HTML (JVM-side) → single mapInPandas extraction stage →
@@ -1891,6 +1934,13 @@ FROM t
 # arm mirrors pipeline.py's exact message format for word_count <
 # min_word_count docs (none exist in the driver corpora, but the arm
 # keeps the oracle honest if the corpus changes).
+# The PDF writer's fixed-width body reconstruction (64-char lines
+# joined with newlines) — shared by the pdf_extract and mixed_extract
+# oracles so the chunking rule lives in exactly one SQL expression.
+_PDF_BODY_SQL = """array_to_string(list_transform(
+      generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1, 1),
+      i -> substr(text, i * 64 + 1, 64)), chr(10))"""
+
 _SPAN0_SQL = (
     "'Doc ' || CAST(doc_id AS VARCHAR) || ' '"
     " || regexp_replace(trim(text), '\\s+', ' ', 'g')"
@@ -2352,12 +2402,9 @@ WHERE n_frames > 0
     # with newlines (JSON-escaped to the literal two chars '\' 'n'),
     # the Im0 image span, footer — in READING order, which the content
     # stream deliberately violates.
-    "pdf_extract": """
+    "pdf_extract": f"""
 WITH t AS (
-  SELECT doc_id, text,
-    array_to_string(list_transform(
-      generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1, 1),
-      i -> substr(text, i * 64 + 1, 64)), chr(10)) AS body
+  SELECT doc_id, text, {_PDF_BODY_SQL} AS body
   FROM documents
 ), w AS (
   SELECT doc_id, body,
@@ -2369,13 +2416,36 @@ SELECT doc_id, 1 AS n_pages,
   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
   CAST(2 + body_tokens + 5 AS INT) AS word_count,
   4 AS n_spans,
-  '[{"kind":"text","text":"Doc ' || CAST(doc_id AS VARCHAR)
-    || '","media_ref":"","offset":0},'
-    || '{"kind":"text","text":"' || replace(body, chr(10), '\\n')
-    || '","media_ref":"","offset":1},'
-    || '{"kind":"media","text":"","media_ref":"Im0","offset":2},'
-    || '{"kind":"text","text":"Page 1 of doc ' || CAST(doc_id AS VARCHAR)
-    || '","media_ref":"","offset":3}]' AS spans_json,
+  '[{{"kind":"text","text":"Doc ' || CAST(doc_id AS VARCHAR)
+    || '","media_ref":"","offset":0}},'
+    || '{{"kind":"text","text":"' || replace(body, chr(10), '\\n')
+    || '","media_ref":"","offset":1}},'
+    || '{{"kind":"media","text":"","media_ref":"Im0","offset":2}},'
+    || '{{"kind":"text","text":"Page 1 of doc ' || CAST(doc_id AS VARCHAR)
+    || '","media_ref":"","offset":3}}]' AS spans_json,
+  TRUE AS success
+FROM w
+""",
+    # Both dispatch branches predicted analytically: even docs are the
+    # PDF shape (4 spans, fixed-width body token count), odd docs the
+    # HTML page shape (3 spans, whitespace token count).
+    "mixed_extract": f"""
+WITH t AS (
+  SELECT doc_id, text, {_PDF_BODY_SQL} AS body,
+    len({_TOKS.format(c='text')}) AS html_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, html_tokens,
+    len(list_filter(string_split_regex(body, '\\s+'), x -> x != ''))
+      AS pdf_tokens
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS format,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + pdf_tokens + 5
+            ELSE 2 + html_tokens + 5 END AS INT) AS word_count,
+  CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS n_spans,
   TRUE AS success
 FROM w
 """,
@@ -2447,6 +2517,7 @@ QUERY_FNS: dict[str, Query] = {
     "extract_interleaved": q_extract_interleaved,
     "extract_markdown": q_extract_markdown,
     "pdf_extract": q_pdf_extract,
+    "mixed_extract": q_mixed_extract,
     "server_response": q_server_response,
     "lineage_rollup": q_lineage_rollup,
     "sitemap_locs": q_sitemap_locs,

@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "extract_interleaved",
     "extract_markdown",
     "pdf_extract",
+    "mixed_extract",
     "server_response",
     "minhash_pairs",
     "simhash",

@@ -157,6 +157,13 @@ CHECKS = {
         "parse+layout-sort) over a scan pruned to (doc_id, text) — "
         "zero shuffles, embarrassingly parallel over documents",
     ),
+    "mixed_extract": (
+        ["MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "SortMergeJoin", "Union"],
+        "heterogeneous corpus, ONE scan: per-row magic-byte dispatch "
+        "inside a single Arrow stage — no Union of two filtered scans, "
+        "no second read of the payload column",
+    ),
     "extension_filter": (
         ["HashAggregate"],
         ["BroadcastNestedLoopJoin"],

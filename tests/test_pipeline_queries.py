@@ -787,3 +787,62 @@ def test_robots_eval_rfc_semantics(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_synth_page_templates_agree(spark):
+    """The synthetic page exists in three representations (JVM column
+    expressions, SQL _SQL_PAGE, Python synth_page_html for Arrow
+    kernels); JVM == SQL is pinned by the extraction oracles, this
+    pins JVM == Python so the mixed-corpus adapter can never drift."""
+    from article_extractor_spark.queries import (
+        documents_as_interleaved_corpus,
+        synth_page_html,
+    )
+    from article_extractor_spark.operators.extraction import (
+        render_spans_to_html,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    rendered = render_spans_to_html(
+        documents_as_interleaved_corpus(docs)
+    ).select("doc_id", "html").collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for row in rendered:
+        assert row["html"] == synth_page_html(
+            row["doc_id"], texts[int(row["doc_id"])]
+        )
+
+
+def test_mixed_dispatch_sniff_and_failure_rows(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from article_extractor_spark.operators.dispatch import (
+        extract_documents_auto,
+        sniff_format,
+    )
+
+    assert sniff_format(b"%PDF-1.4\n...") == "pdf"
+    assert sniff_format(b"  \n\t<html><body>") == "html"
+    assert sniff_format(b"<!DOCTYPE html><html>") == "html"
+    assert sniff_format(b"\x89PNG\r\n") == "unknown"
+    assert sniff_format(b"") == "unknown"
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "u1", bytearray(b"<html><body><article><h1>T</h1>"
+                                b"<p>hello world</p></article></body></html>")),
+            (2, "u2", bytearray(b"\x89PNG\r\n\x1a\n pixels")),
+            (3, "u3", bytearray(b"%PDF-1.4\ngarbage, no objects")),
+        ],
+        "doc_id long, url string, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_documents_auto(corpus, min_word_count=1).collect()
+    }
+    assert rows[1]["format"] == "html" and rows[1]["success"]
+    assert rows[1]["title"] == "T"
+    assert rows[2]["format"] == "unknown" and not rows[2]["success"]
+    # a payload that SNIFFS as pdf but fails to parse must come back
+    # as a pdf-format failure row, not a task death
+    assert rows[3]["format"] == "pdf" and not rows[3]["success"]
