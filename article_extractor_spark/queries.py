@@ -904,6 +904,29 @@ def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive ingest (sources.warc): per-source archive blobs —
+    even-numbered sources in the per-record-gzip .warc.gz layout —
+    expanded into one row per HTTP response record by a one-to-many
+    Arrow stage.  The oracle predicts every record field (frame order,
+    URI, the planted 404s, body length + digest) straight from the
+    documents table, so framing, gzip-member walking, and HTTP
+    splitting are all on the hook."""
+    from .sources.warc import documents_as_warc, read_warc_records
+
+    docs = load(spark, sf_dir, "documents")
+    out = read_warc_records(documents_as_warc(docs))
+    return out.select(
+        F.col("archive_id").alias("source"),
+        "record_idx",
+        "uri",
+        "http_status",
+        F.length("body").cast("int").alias("n_bytes"),
+        F.md5(F.col("body")).alias("digest"),
+        "ok",
+    )
+
+
 def q_extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction over an interleaved (text+media) span corpus:
     spans → HTML (JVM-side) → single mapInPandas extraction stage →
@@ -2449,6 +2472,22 @@ SELECT doc_id,
   TRUE AS success
 FROM w
 """,
+    # Every WARC record field predicted from the generation scheme:
+    # records are framed per source in doc_id order, every 10th doc a
+    # 404, body == the document text bytes.
+    "warc_ingest": """
+SELECT source,
+  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+       AS INT) AS record_idx,
+  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+    AS uri,
+  CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END AS INT)
+    AS http_status,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  md5(text) AS digest,
+  TRUE AS ok
+FROM documents
+""",
     # Analytic prediction of the RFC 9309 verdicts from the rule
     # scheme: source srcK disallows path prefix /docs/K but re-allows
     # the longer /docs/K(K%10); everything else (and the decoy
@@ -2518,6 +2557,7 @@ QUERY_FNS: dict[str, Query] = {
     "extract_markdown": q_extract_markdown,
     "pdf_extract": q_pdf_extract,
     "mixed_extract": q_mixed_extract,
+    "warc_ingest": q_warc_ingest,
     "server_response": q_server_response,
     "lineage_rollup": q_lineage_rollup,
     "sitemap_locs": q_sitemap_locs,

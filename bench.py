@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "extract_markdown",
     "pdf_extract",
     "mixed_extract",
+    "warc_ingest",
     "server_response",
     "minhash_pairs",
     "simhash",

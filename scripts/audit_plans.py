@@ -157,6 +157,15 @@ CHECKS = {
         "parse+layout-sort) over a scan pruned to (doc_id, text) — "
         "zero shuffles, embarrassingly parallel over documents",
     ),
+    "warc_ingest": (
+        ["MapInArrow"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "WARC record expansion is ONE one-to-many Arrow stage over "
+        "archive blobs (the single Exchange in this plan is the "
+        "synthetic adapter packing docs into per-source archives — "
+        "the real ingest path reads .warc.gz via binaryFile with no "
+        "shuffle at all)",
+    ),
     "mixed_extract": (
         ["MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"],
         ["Exchange", "SortMergeJoin", "Union"],
