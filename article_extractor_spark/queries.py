@@ -927,6 +927,36 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ingest chain in one dataflow: WARC archives →
+    record expansion (sources.warc) → HTTP-status gate (the E30
+    transient-404 prefilter applied where a real crawl applies it: on
+    the archived response status) → per-row format dispatch → spans.
+    Bodies alternate real PDFs and HTML pages inside the archives, so
+    every stage of the chain is load-bearing.  Three chained Arrow
+    stages; the only shuffle is the synthetic adapter's archive
+    packing (real ingest reads .warc.gz files directly).  Oracle: the
+    mixed-extract predictions minus the planted 404s."""
+    from .operators.dispatch import extract_documents_auto
+    from .sources.warc import documents_as_mixed_warc, read_warc_records
+
+    docs = load(spark, sf_dir, "documents")
+    records = read_warc_records(documents_as_mixed_warc(docs))
+    fetched = records.where(
+        F.col("ok") & (F.col("http_status") == 200)
+    ).select(
+        F.regexp_extract(F.col("uri"), "/docs/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("uri").alias("url"),
+        F.col("body").alias("payload"),
+    )
+    out = extract_documents_auto(fetched, min_word_count=10)
+    return out.select(
+        "doc_id", "format", "title", "word_count", "n_spans", "success"
+    )
+
+
 def q_extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction over an interleaved (text+media) span corpus:
     spans → HTML (JVM-side) → single mapInPandas extraction stage →
@@ -2472,6 +2502,29 @@ SELECT doc_id,
   TRUE AS success
 FROM w
 """,
+    # The full ingest chain: mixed predictions minus the planted 404s
+    # (every 10th doc) that the status gate must drop.
+    "warc_extract": f"""
+WITH t AS (
+  SELECT doc_id, text, {_PDF_BODY_SQL} AS body,
+    len({_TOKS.format(c='text')}) AS html_tokens
+  FROM documents
+  WHERE doc_id % 10 != 0
+), w AS (
+  SELECT doc_id, html_tokens,
+    len(list_filter(string_split_regex(body, '\\s+'), x -> x != ''))
+      AS pdf_tokens
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS format,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + pdf_tokens + 5
+            ELSE 2 + html_tokens + 5 END AS INT) AS word_count,
+  CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS n_spans,
+  TRUE AS success
+FROM w
+""",
     # Every WARC record field predicted from the generation scheme:
     # records are framed per source in doc_id order, every 10th doc a
     # 404, body == the document text bytes.
@@ -2558,6 +2611,7 @@ QUERY_FNS: dict[str, Query] = {
     "pdf_extract": q_pdf_extract,
     "mixed_extract": q_mixed_extract,
     "warc_ingest": q_warc_ingest,
+    "warc_extract": q_warc_extract,
     "server_response": q_server_response,
     "lineage_rollup": q_lineage_rollup,
     "sitemap_locs": q_sitemap_locs,

@@ -259,11 +259,12 @@ def read_warc_records(
     return pruned.mapInArrow(_record_batches, schema=WARC_RECORD_SCHEMA)
 
 
-def documents_as_warc(docs: DataFrame) -> DataFrame:
-    """Adapter for tests/benchmarks: one WARC blob per source holding
-    that source's documents as HTTP response records (doc_id order;
-    every 10th doc a 404; even-numbered sources stored as per-record
-    gzip members — the .warc.gz layout)."""
+def _warc_adapter(docs: DataFrame, body_fn) -> DataFrame:
+    """Shared adapter machinery: one WARC blob per source holding that
+    source's documents as HTTP response records (doc_id order; every
+    10th doc a 404; even-numbered sources stored as per-record gzip
+    members — the .warc.gz layout).  ``body_fn(doc_id, text) ->
+    bytes`` chooses the record body."""
     from ..shipping import ensure_shipped
 
     ensure_shipped(docs.sparkSession)
@@ -288,7 +289,7 @@ def documents_as_warc(docs: DataFrame) -> DataFrame:
                             (
                                 f"https://{src}.example.com/docs/"
                                 f"{r['doc_id']}",
-                                (r["text"] or "").encode("utf-8"),
+                                body_fn(r["doc_id"], r["text"] or ""),
                                 404 if r["doc_id"] % 10 == 0 else 200,
                             )
                             for r in rr
@@ -307,3 +308,30 @@ def documents_as_warc(docs: DataFrame) -> DataFrame:
     return grouped.mapInArrow(
         build, schema="archive_id string, payload binary"
     )
+
+
+def documents_as_warc(docs: DataFrame) -> DataFrame:
+    """Adapter for tests/benchmarks: record bodies are the raw
+    document text (plain-text corpus shape)."""
+    return _warc_adapter(
+        docs, lambda _doc_id, text: text.encode("utf-8")
+    )
+
+
+def documents_as_mixed_warc(docs: DataFrame) -> DataFrame:
+    """Adapter for the full ingest chain: record bodies alternate real
+    PDFs (even doc_ids) and HTML pages (odd doc_ids) — the same
+    mixed-corpus scheme as ``operators.dispatch.documents_as_mixed``,
+    but delivered inside WARC archives."""
+
+    def body(doc_id: int, text: str) -> bytes:
+        from ..extract.pdflayout import build_article_pdf
+        from ..queries import synth_page_html
+
+        if doc_id % 2 == 0:
+            return build_article_pdf(
+                doc_id, text, compress=(doc_id % 4 == 0)
+            )
+        return synth_page_html(str(doc_id), text).encode("utf-8")
+
+    return _warc_adapter(docs, body)

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "pdf_extract",
     "mixed_extract",
     "warc_ingest",
+    "warc_extract",
     "server_response",
     "minhash_pairs",
     "simhash",
