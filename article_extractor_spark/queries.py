@@ -449,6 +449,47 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4/Gopher-style composite document filter thresholds, chosen so every
+# rule actually fires on the synthetic corpus (quality p25≈0.08,
+# ttr p5≈0.30, top-word p95≈0.17, tokens p5≈14 at sf0.001).
+QF_MIN_TOKENS = 25
+QF_MIN_QUALITY = 0.08
+QF_MIN_TTR = 0.35
+QF_MAX_TOP_WORD = 0.15
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data document filter (the C4/Gopher pattern:
+    several cheap heuristics, first failing rule wins, verdict + reason
+    recorded so filtering is auditable).  Pure JVM column expressions
+    composed from the text-metric family — one map over a pruned scan,
+    zero shuffles; the oracle reuses the SAME per-metric SQL the
+    individual metric oracles are green on, so this can only disagree
+    if the rule composition itself drifts."""
+    docs = load(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        X.langid(F.col("text")).alias("lang"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.quality_score(F.col("text")).alias("quality"),
+        X.type_token_ratio(F.col("text")).alias("ttr"),
+        X.top_word_fraction(F.col("text")).alias("twf"),
+    )
+    reason = (
+        F.when(F.col("lang") != "en", F.lit("non_english"))
+        .when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("quality") < QF_MIN_QUALITY, F.lit("low_quality"))
+        .when(F.col("ttr") < QF_MIN_TTR, F.lit("low_diversity"))
+        .when(F.col("twf") > QF_MAX_TOP_WORD, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return m.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
 DUP_NGRAM_N = 3
 
 
@@ -544,6 +585,73 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization — the dedup COMPLETION step
+    (RefinedWeb/SlimPajama keep one document per duplicate cluster;
+    candidate pairs alone don't tell you which row to keep): connected
+    components over the MinHash-LSH pair graph by iterative min-label
+    propagation, converged to fixpoint, then a per-cluster canonical
+    (min doc_id) and cluster size for EVERY document (singletons size
+    1).
+
+    Iterative hygiene (crawl-frontier/pagerank pattern): the pair
+    edges are computed ONCE and persisted; each round is one
+    join + partial-agg min; ``localCheckpoint`` truncates lineage; the
+    loop exits when a round changes no label (an exact fixpoint —
+    near-dup components have tiny diameters, so rounds ≈ 2-3).  The
+    oracle computes true min-reachable labels with a recursive CTE, so
+    a non-converged or mis-propagated result cannot hash-match."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        while True:
+            propagated = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .select(F.col("dst").alias("doc_id"), "label")
+                .unionByName(labels)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+            ).localCheckpoint(eager=True)
+            changed = (
+                propagated.join(labels.withColumnRenamed("label", "old"),
+                                "doc_id")
+                .where(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels = propagated
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    canon = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("canonical_id"),
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return canon.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2342,6 +2450,28 @@ FROM documents GROUP BY 1
 """,
     "minhash_pairs": _minhash_pairs_sql(),
     "minhash_verified_pairs": _minhash_verified_sql(),
+    # True connected components of the LSH pair graph via recursive
+    # min-reachable labels — an engine that stops propagating before
+    # the fixpoint cannot hash-match this.
+    "dedup_clusters": f"""
+WITH RECURSIVE {_minhash_sql()}, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
+), reach(start, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.start, e.dst FROM reach r JOIN edges e ON e.src = r.node
+), canon AS (
+  SELECT start AS doc_id, MIN(node) AS canonical_id
+  FROM reach GROUP BY start
+), sized AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size
+  FROM canon GROUP BY canonical_id
+)
+SELECT c.doc_id, c.canonical_id, s.cluster_size
+FROM canon c JOIN sized s USING (canonical_id)
+""",
     "embedding_neardup": _embedding_neardup_sql(),
     "simhash": _simhash_sql(),
     "decontaminate": f"""
@@ -2560,6 +2690,28 @@ FROM t
 """,
 }
 
+# Composite filter verdicts assembled from the SAME per-metric SQL the
+# individual metric oracles are green on — only the rule composition
+# is new surface here.
+ORACLE_SQL["quality_filter"] = f"""
+WITH q AS ({_quality_sql()}), l AS ({_langid_sql()}),
+r AS ({ORACLE_SQL["repetition_scores"]}),
+t AS ({ORACLE_SQL["token_counts"]})
+SELECT doc_id, reason, reason = 'ok' AS keep FROM (
+  SELECT q.doc_id,
+    CASE WHEN l.lang_pred != 'en' THEN 'non_english'
+         WHEN t.n_ws_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+         WHEN q.quality < {QF_MIN_QUALITY} THEN 'low_quality'
+         WHEN r.ttr < {QF_MIN_TTR} THEN 'low_diversity'
+         WHEN r.top_word_frac > {QF_MAX_TOP_WORD} THEN 'repetitive'
+         ELSE 'ok' END AS reason
+  FROM q
+  JOIN l ON q.doc_id = l.doc_id
+  JOIN r ON q.doc_id = r.doc_id
+  JOIN t ON q.doc_id = t.doc_id
+)
+"""
+
 QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
@@ -2589,6 +2741,8 @@ QUERY_FNS: dict[str, Query] = {
     "embedding_neardup": q_embedding_neardup,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,

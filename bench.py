@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "simhash",
     "simhash_pairs",
     "decontaminate",
+    "dedup_clusters",
+    "quality_filter",
     "exact_dedup",
     "jaccard_pairs",
     "token_counts",

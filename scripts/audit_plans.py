@@ -157,6 +157,13 @@ CHECKS = {
         "parse+layout-sort) over a scan pruned to (doc_id, text) — "
         "zero shuffles, embarrassingly parallel over documents",
     ),
+    "quality_filter": (
+        ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Generate", "SortMergeJoin"],
+        "composite C4/Gopher filter verdicts entirely map-side: five "
+        "metric expressions + rule CASE in one Project over a pruned "
+        "scan — zero shuffles",
+    ),
     "warc_ingest": (
         ["MapInArrow"],
         ["SortMergeJoin", "CartesianProduct"],
