@@ -490,6 +490,83 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CHUNK_TOKENS = 512
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (concat-and-chunk: documents
+    concatenated in doc_id order, split into fixed
+    ``PACK_CHUNK_TOKENS`` training examples, documents spanning chunk
+    boundaries) — each doc's global token offset decides its chunk
+    assignment.
+
+    The offset is a GLOBAL prefix sum, and the naive Spark spelling —
+    a window over a global ORDER BY with no partition key — collapses
+    the whole corpus into one task.  This query does it the
+    scale-honest way, the textbook two-phase distributed scan:
+    range-partition by doc_id (so partition order == global order),
+    compute partition-LOCAL running sums with a window keyed on the
+    partition id, collect only the ~num_partitions per-partition
+    totals to the driver (metadata, not data), and add each
+    partition's broadcast base offset.  The DuckDB oracle uses the
+    single-node global window — agreeing with it is evidence the
+    two-phase decomposition is exact."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+        )
+        .repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    ).persist()
+    try:
+        # phase 1: per-partition totals → driver (num_partitions rows)
+        totals = {
+            r["pid"]: r["total"]
+            for r in toks.groupBy("pid")
+            .agg(F.sum("n_tokens").alias("total"))
+            .collect()
+        }
+        base = {}
+        acc = 0
+        for pid in sorted(totals):
+            base[pid] = acc
+            acc += totals[pid]
+        base_col = F.coalesce(
+            *[
+                F.when(F.col("pid") == pid, F.lit(off))
+                for pid, off in base.items()
+            ]
+        ) if base else F.lit(0)
+        # phase 2: partition-local running sum + broadcast base offset
+        w = (
+            Window.partitionBy("pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local_prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        start = (base_col + local_prefix).alias("start_token")
+        out = toks.select("doc_id", "n_tokens", start)
+    finally:
+        toks.unpersist()
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_token",
+        F.expr(f"start_token DIV {PACK_CHUNK_TOKENS}").alias(
+            "first_chunk"
+        ),
+        F.expr(
+            f"(start_token + n_tokens - 1) DIV {PACK_CHUNK_TOKENS}"
+        ).alias("last_chunk"),
+    ).withColumn(
+        "spans_boundary", F.col("first_chunk") != F.col("last_chunk")
+    )
+
+
 DUP_NGRAM_N = 3
 
 
@@ -2438,6 +2515,28 @@ SELECT doc_id, count(*) AS n_grams,
         / count(*), 6) AS dup_gram_frac
 FROM g JOIN c USING (gram) GROUP BY 1
 """,
+    # Single-node global-window prefix sum — the ground truth the
+    # distributed two-phase scan must reproduce exactly.
+    "sequence_pack": f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len({_TOKS.format(c='text')}) AS INT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_token
+  FROM t
+)
+SELECT doc_id, n_tokens, start_token,
+  start_token // {PACK_CHUNK_TOKENS} AS first_chunk,
+  (start_token + n_tokens - 1) // {PACK_CHUNK_TOKENS} AS last_chunk,
+  (start_token // {PACK_CHUNK_TOKENS})
+    != ((start_token + n_tokens - 1) // {PACK_CHUNK_TOKENS})
+    AS spans_boundary
+FROM c
+""",
     "fingerprints": f"""
 SELECT doc_id,
   {_MD5INT.format(expr=_NORM.format(c='text'))} AS fingerprint
@@ -2743,6 +2842,7 @@ QUERY_FNS: dict[str, Query] = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "quality_filter": q_quality_filter,
+    "sequence_pack": q_sequence_pack,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "dedup_clusters",
     "quality_filter",
+    "sequence_pack",
     "exact_dedup",
     "jaccard_pairs",
     "token_counts",
