@@ -490,6 +490,70 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — mandatory hygiene before corpus text becomes
+    training data.  Every 5th document gets a deterministic synthetic
+    contact tail (email + phone) injected, then the scrubber counts
+    and replaces PII with typed placeholders, all JVM regex (one
+    map-side Project, zero shuffles).  The oracle runs the SAME
+    patterns through DuckDB's regex engine over the same constructed
+    text — so the match semantics themselves are cross-checked, not
+    just the counts."""
+    docs = load(spark, sf_dir, "documents")
+    tail = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or call 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   4, "0"),
+            F.lit("."),
+        ),
+    ).otherwise(F.lit(""))
+    text2 = F.concat(F.col("text"), tail)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text2, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(text2, F.lit(PII_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(text2, F.lit(PII_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.md5(scrubbed).alias("clean_digest"),
+    )
+
+
+SAMPLE_MOD = 5
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling (training mixes need exact
+    re-materialization months later, so sampling must be a pure
+    function of the key — never ``rand()``): a deterministic md5-hash
+    bucket keeps 1/SAMPLE_MOD of each source's documents.  Verdict per
+    row plus per-source totals so stratification is auditable."""
+    docs = load(spark, sf_dir, "documents")
+    sampled = X.md5_int(F.col("doc_id").cast("string")) % SAMPLE_MOD == 0
+    return (
+        docs.select("source", sampled.alias("sampled"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("sampled").cast("int")).alias("n_sampled"),
+        )
+    )
+
+
 PACK_CHUNK_TOKENS = 512
 
 
@@ -2515,6 +2579,35 @@ SELECT doc_id, count(*) AS n_grams,
         / count(*), 6) AS dup_gram_frac
 FROM g JOIN c USING (gram) GROUP BY 1
 """,
+    # Same construction + SAME regex patterns through DuckDB's engine:
+    # match semantics are cross-checked, not just the counts.
+    "pii_scrub": f"""
+WITH t AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 5 = 0
+      THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.org or call 555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+      ELSE '' END AS text2
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text2, '{PII_EMAIL_RE}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text2, '{PII_PHONE_RE}')) AS INT)
+    AS n_phones,
+  md5(regexp_replace(
+        regexp_replace(text2, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{PII_PHONE_RE}', '<PHONE>', 'g')) AS clean_digest
+FROM t
+""",
+    "stratified_sample": f"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN {_MD5INT.format(
+      expr='CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD} = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY source
+""",
     # Single-node global-window prefix sum — the ground truth the
     # distributed two-phase scan must reproduce exactly.
     "sequence_pack": f"""
@@ -2843,6 +2936,8 @@ QUERY_FNS: dict[str, Query] = {
     "dedup_clusters": q_dedup_clusters,
     "quality_filter": q_quality_filter,
     "sequence_pack": q_sequence_pack,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,

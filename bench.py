@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "quality_filter",
     "sequence_pack",
+    "pii_scrub",
+    "stratified_sample",
     "exact_dedup",
     "jaccard_pairs",
     "token_counts",
