@@ -667,3 +667,59 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected pair graph — the dedup
+    completion primitive (one canonical per duplicate cluster).
+
+    Min-label propagation iterated to an EXACT fixpoint: each round is
+    one join + partial-agg min; the loop exits only when a round
+    changes no label, so multi-hop chains (a-b, b-c, c-d) converge
+    correctly no matter their diameter.  Iterative-plan hygiene as in
+    the crawl frontier: edges computed once and persisted, every round
+    ``localCheckpoint``-ed so lineage stays flat; the convergence
+    check is one count per round (rounds ≈ component diameter, tiny
+    for near-dup clusters).
+
+    Input: (doc_a, doc_b) pairs.  Output: (doc_id, label) for every
+    node that appears in a pair, label = min doc_id of its component.
+    """
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        while True:
+            propagated = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .select(F.col("dst").alias("doc_id"), "label")
+                .unionByName(labels)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+            ).localCheckpoint(eager=True)
+            changed = (
+                propagated.join(
+                    labels.withColumnRenamed("label", "old"), "doc_id"
+                )
+                .where(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels = propagated
+            if changed == 0:
+                return labels
+    finally:
+        edges.unpersist()

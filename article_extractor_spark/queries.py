@@ -745,44 +745,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes true min-reachable labels with a recursive CTE, so
     a non-converged or mis-propagated result cannot hash-match."""
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs)
-    edges = (
-        pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        )
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .persist()
-    )
-    try:
-        labels = (
-            edges.select(F.col("src").alias("doc_id"))
-            .distinct()
-            .withColumn("label", F.col("doc_id"))
-            .localCheckpoint(eager=True)
-        )
-        while True:
-            propagated = (
-                edges.join(labels, edges.src == labels.doc_id)
-                .select(F.col("dst").alias("doc_id"), "label")
-                .unionByName(labels)
-                .groupBy("doc_id")
-                .agg(F.min("label").alias("label"))
-            ).localCheckpoint(eager=True)
-            changed = (
-                propagated.join(labels.withColumnRenamed("label", "old"),
-                                "doc_id")
-                .where(F.col("label") != F.col("old"))
-                .count()
-            )
-            labels = propagated
-            if changed == 0:
-                break
-    finally:
-        edges.unpersist()
+    labels = D.connected_components(D.minhash_lsh_pairs(docs))
     canon = docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("label", "doc_id").alias("canonical_id"),

@@ -846,3 +846,22 @@ def test_mixed_dispatch_sniff_and_failure_rows(spark):
     # a payload that SNIFFS as pdf but fails to parse must come back
     # as a pdf-format failure row, not a task death
     assert rows[3]["format"] == "pdf" and not rows[3]["success"]
+
+
+def test_connected_components_multi_hop_fixpoint(spark):
+    """A 4-node path (0-7, 7-3, 3-9) plus a separate pair (5-6): the
+    min label 0 must propagate the full chain, which takes more than
+    one round — a single-pass implementation returns 3 or 7 for node
+    9 and fails here."""
+    from article_extractor_spark.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 3), (3, 9), (5, 6)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(pairs).collect()
+    }
+    assert labels == {0: 0, 7: 0, 3: 0, 9: 0, 5: 5, 6: 5}
