@@ -157,6 +157,20 @@ CHECKS = {
         "parse+layout-sort) over a scan pruned to (doc_id, text) — "
         "zero shuffles, embarrassingly parallel over documents",
     ),
+    "pii_scrub": (
+        ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Generate", "SortMergeJoin"],
+        "PII injection + regex count + redaction digest in one "
+        "map-side Project over a pruned scan — zero shuffles",
+    ),
+    "sequence_pack": (
+        ["windowspecdefinition(pid", "Exchange rangepartitioning"],
+        ["SortMergeJoin"],
+        "two-phase distributed prefix sum: the running-sum window is "
+        "keyed on the partition id (partition-LOCAL — a window with a "
+        "global ORDER BY and no partition key would serialize the "
+        "corpus through one task); phase-1 totals are metadata-sized",
+    ),
     "quality_filter": (
         ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
         ["Exchange", "Generate", "SortMergeJoin"],
