@@ -155,7 +155,10 @@ def build_article_pdf(doc_id, text: str, *, compress: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# (?!\d) pins the match to the WHOLE number — without it the engine
+# backtracks on "/Length 12 0 R" to match "1" with the lookahead
+# satisfied, silently truncating the stream to 1 byte.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _NUM_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
@@ -217,7 +220,12 @@ def _scan_objects(data: bytes) -> dict[int, _Obj]:
         elif rm:
             pending_len.append((num, int(rm.group(1)), stream_at))
             stream = b""
-            stream_end = stream_at
+            # length unknown until the ref resolves — skip the scan
+            # pointer to the next endstream so payload bytes are not
+            # rescanned as object headers (the content itself is cut
+            # by the resolved length in the fixup pass below)
+            tail = data.find(b"endstream", stream_at)
+            stream_end = tail if tail >= 0 else len(data)
         else:
             tail = data.find(b"endstream", stream_at)
             stream_end = tail if tail >= 0 else len(data)
