@@ -51,16 +51,8 @@ MIXED_SCHEMA = T.StructType(
 def _pa_schema():
     import pyarrow as pa
 
-    span = pa.list_(
-        pa.struct(
-            [
-                ("kind", pa.string()),
-                ("text", pa.string()),
-                ("media_ref", pa.string()),
-                ("offset", pa.int32()),
-            ]
-        )
-    )
+    from .pdf import pa_span_list
+
     return pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -68,7 +60,7 @@ def _pa_schema():
             ("title", pa.string()),
             ("word_count", pa.int32()),
             ("n_spans", pa.int32()),
-            ("spans", span),
+            ("spans", pa_span_list()),
             ("success", pa.bool_()),
             ("error", pa.string()),
         ]
@@ -93,6 +85,7 @@ def _dispatch_batches(min_word_count: int):
 
         from ..extract.pdflayout import parse_pdf
         from ..extract.pipeline import ExtractOptions, extract_document
+        from .pdf import pdf_article_row
 
         opts = ExtractOptions(min_word_count=min_word_count)
         schema = _pa_schema()
@@ -115,34 +108,14 @@ def _dispatch_batches(min_word_count: int):
                 p = bytes(payload or b"")
                 fmt = sniff_format(p)
                 if fmt == "pdf":
-                    r = parse_pdf(p)
-                    spans = [
-                        {
-                            "kind": k,
-                            "text": t,
-                            "media_ref": m,
-                            "offset": o,
-                        }
-                        for k, t, m, o in r["spans"]
-                    ]
-                    text_all = " ".join(
-                        s["text"] for s in spans if s["kind"] == "text"
-                    )
-                    first = next(
-                        (
-                            s["text"]
-                            for s in spans
-                            if s["kind"] == "text"
-                        ),
-                        None,
-                    )
+                    row = pdf_article_row(parse_pdf(p))
                     emit(
                         "pdf",
-                        first,
-                        len(text_all.split()),
-                        spans,
-                        r["ok"],
-                        r["error"],
+                        row["title"],
+                        row["word_count"],
+                        row["spans"],
+                        row["success"],
+                        row["error"],
                     )
                 elif fmt == "html":
                     r = extract_document(

@@ -50,10 +50,13 @@ PDF_ARTICLE_SCHEMA = T.StructType(
 )
 
 
-def _pa_schema():
+def pa_span_list():
+    """Arrow type of the shared interleaved span model — single source
+    of truth for every operator that emits spans through Arrow (this
+    module and ``operators.dispatch``)."""
     import pyarrow as pa
 
-    span = pa.list_(
+    return pa.list_(
         pa.struct(
             [
                 ("kind", pa.string()),
@@ -63,6 +66,32 @@ def _pa_schema():
             ]
         )
     )
+
+
+def pdf_article_row(r: dict) -> dict:
+    """Assemble the span-model fields from a ``parse_pdf`` result —
+    shared by the PDF-only operator and the mixed-format dispatcher so
+    span conversion / title / word-count logic cannot drift between
+    them: ``title`` is the first text span in reading order,
+    ``word_count`` counts whitespace tokens over all text spans."""
+    spans = [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for k, t, m, o in r["spans"]
+    ]
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    return {
+        "title": texts[0] if texts else None,
+        "word_count": len(" ".join(texts).split()),
+        "n_spans": len(spans),
+        "spans": spans,
+        "success": r["ok"],
+        "error": r["error"],
+    }
+
+
+def _pa_schema():
+    import pyarrow as pa
+
     return pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -70,7 +99,7 @@ def _pa_schema():
             ("title", pa.string()),
             ("word_count", pa.int32()),
             ("n_spans", pa.int32()),
-            ("spans", span),
+            ("spans", pa_span_list()),
             ("success", pa.bool_()),
             ("error", pa.string()),
         ]
@@ -89,23 +118,13 @@ def _extract_batches(batches):
         cols = {name: [] for name in schema.names if name != "doc_id"}
         for payload in payloads:
             r = parse_pdf(bytes(payload or b""))
-            spans = [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for k, t, m, o in r["spans"]
-            ]
-            text_all = " ".join(
-                s["text"] for s in spans if s["kind"] == "text"
-            )
-            first_text = next(
-                (s["text"] for s in spans if s["kind"] == "text"), None
-            )
+            row = pdf_article_row(r)
             cols["n_pages"].append(r["n_pages"])
-            cols["title"].append(first_text)
-            cols["word_count"].append(len(text_all.split()))
-            cols["n_spans"].append(len(spans))
-            cols["spans"].append(spans)
-            cols["success"].append(r["ok"])
-            cols["error"].append(r["error"])
+            for k in (
+                "title", "word_count", "n_spans", "spans", "success",
+                "error",
+            ):
+                cols[k].append(row[k])
         arrays = [pa.array(doc_ids, pa.int64())] + [
             pa.array(cols[f.name], f.type) for f in schema if f.name != "doc_id"
         ]

@@ -540,8 +540,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible stratified sampling (training mixes need exact
     re-materialization months later, so sampling must be a pure
     function of the key — never ``rand()``): a deterministic md5-hash
-    bucket keeps 1/SAMPLE_MOD of each source's documents.  Verdict per
-    row plus per-source totals so stratification is auditable."""
+    bucket keeps 1/SAMPLE_MOD of each source's documents.  Returns
+    per-source totals (n_docs, n_sampled) — the stratification audit
+    view; a per-row verdict needs no stored flag because the predicate
+    is a pure function of doc_id and any later run recomputes the
+    identical row set."""
     docs = load(spark, sf_dir, "documents")
     sampled = X.md5_int(F.col("doc_id").cast("string")) % SAMPLE_MOD == 0
     return (
@@ -567,55 +570,65 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     The offset is a GLOBAL prefix sum, and the naive Spark spelling —
     a window over a global ORDER BY with no partition key — collapses
     the whole corpus into one task.  This query does it the
-    scale-honest way, the textbook two-phase distributed scan:
-    range-partition by doc_id (so partition order == global order),
-    compute partition-LOCAL running sums with a window keyed on the
-    partition id, collect only the ~num_partitions per-partition
-    totals to the driver (metadata, not data), and add each
-    partition's broadcast base offset.  The DuckDB oracle uses the
-    single-node global window — agreeing with it is evidence the
-    two-phase decomposition is exact."""
+    scale-honest way, the textbook two-phase distributed scan: assign
+    each doc a range bucket that is a PURE FUNCTION of doc_id (explicit
+    boundaries from a collected min/max — NOT ``spark_partition_id``
+    after ``repartitionByRange``, whose sampled exchange can re-run
+    with different boundaries between the totals job and the output
+    job, silently misaligning base offsets), compute bucket-LOCAL
+    running sums with a window keyed on the bucket, collect only the
+    per-bucket totals to the driver (metadata, not data), and add each
+    bucket's broadcast base offset.  Deterministic bucketing also
+    removes the need to pin a persisted exchange across two jobs.  For
+    sparse/skewed id spaces the even-width split becomes
+    ``approxQuantile`` boundaries; the algebra is unchanged.  The
+    DuckDB oracle uses the single-node global window — agreeing with
+    it is evidence the two-phase decomposition is exact."""
     from pyspark.sql.window import Window
 
+    PACK_BUCKETS = 8
     docs = load(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id", X.token_count(F.col("text")).alias("n_tokens")
-        )
-        .repartitionByRange(8, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    ).persist()
-    try:
-        # phase 1: per-partition totals → driver (num_partitions rows)
-        totals = {
-            r["pid"]: r["total"]
-            for r in toks.groupBy("pid")
-            .agg(F.sum("n_tokens").alias("total"))
-            .collect()
-        }
-        base = {}
-        acc = 0
-        for pid in sorted(totals):
-            base[pid] = acc
-            acc += totals[pid]
-        base_col = F.coalesce(
-            *[
-                F.when(F.col("pid") == pid, F.lit(off))
-                for pid, off in base.items()
-            ]
-        ) if base else F.lit(0)
-        # phase 2: partition-local running sum + broadcast base offset
-        w = (
-            Window.partitionBy("pid")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        local_prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        start = (base_col + local_prefix).alias("start_token")
-        out = toks.select("doc_id", "n_tokens", start)
-    finally:
-        toks.unpersist()
+    toks = docs.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    lo, hi = toks.agg(
+        F.min("doc_id"), F.max("doc_id")
+    ).first() or (None, None)
+    if lo is None:
+        width = 1
+        lo = 0
+    else:
+        width = max(1, (hi - lo + PACK_BUCKETS) // PACK_BUCKETS)
+    toks = toks.withColumn(
+        "pid", ((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    # phase 1: per-bucket totals → driver (PACK_BUCKETS rows)
+    totals = {
+        r["pid"]: r["total"]
+        for r in toks.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    base = {}
+    acc = 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += totals[pid]
+    base_col = F.coalesce(
+        *[
+            F.when(F.col("pid") == pid, F.lit(off))
+            for pid, off in base.items()
+        ]
+    ) if base else F.lit(0)
+    # phase 2: bucket-local running sum + broadcast base offset
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    start = (base_col + local_prefix).alias("start_token")
+    out = toks.select("doc_id", "n_tokens", start)
     return out.select(
         "doc_id",
         "n_tokens",
@@ -836,8 +849,11 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     CommonCrawl-style pipelines weight documents by link centrality;
     the reference crawls the graph — crawler.py:754-834 — but never
     scores it).  Same synthetic edge graph as the crawl frontier
-    (doc i → (2i+1) mod N, (3i+7) mod N; out-degree exactly 2, no
-    dangling nodes).
+    (doc i → (2i+1) mod N, (3i+7) mod N; out-degree exactly 2, so no
+    rank mass leaks from dangling OUT-degree — but IN-degree 0 is
+    possible for some N, e.g. N ≡ 0 mod 6 leaves nodes with no
+    inbound edge, so each iteration anchors on the full doc set and
+    no-inbound nodes keep the teleport base instead of vanishing).
 
     Arithmetic is FIXED-POINT INTEGER so the iteration is exactly
     reproducible regardless of partitioning/summation order (the same
@@ -871,14 +887,20 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst").alias("doc_id"),
                 F.expr("pagerank DIV 2").alias("c"),
             )
+            incoming = contribs.groupBy("doc_id").agg(
+                F.sum("c").alias("s")
+            )
+            # anchor on ALL docs: a node with no inbound edge keeps
+            # the teleport base rather than dropping out of the frame
             ranks = (
-                contribs.groupBy("doc_id")
-                .agg(F.sum("c").alias("s"))
+                docs.select("doc_id")
+                .join(incoming, "doc_id", "left")
                 .select(
                     "doc_id",
-                    (F.lit(base) + F.expr("(85 * s) DIV 100")).alias(
-                        "pagerank"
-                    ),
+                    (
+                        F.lit(base)
+                        + F.expr("(85 * coalesce(s, 0)) DIV 100")
+                    ).alias("pagerank"),
                 )
                 .localCheckpoint(eager=True)
             )
@@ -1985,11 +2007,14 @@ def _pagerank_sql() -> str:
     iters = []
     for t in range(1, PAGERANK_ITERS + 1):
         iters.append(
-            f"""r{t} AS (
-  SELECT e.dst AS doc_id,
-    CAST({PAGERANK_SCALE * 15} // (100 * {n})
-         + (85 * SUM(r.pagerank // 2)) // 100 AS BIGINT) AS pagerank
+            f"""c{t} AS (
+  SELECT e.dst AS doc_id, SUM(r.pagerank // 2) AS s
   FROM edges e JOIN r{t - 1} r ON e.src = r.doc_id GROUP BY e.dst
+), r{t} AS (
+  SELECT d.doc_id,
+    CAST({PAGERANK_SCALE * 15} // (100 * {n})
+         + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pagerank
+  FROM documents d LEFT JOIN c{t} c ON d.doc_id = c.doc_id
 )"""
         )
     return f"""

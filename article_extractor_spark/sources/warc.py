@@ -85,14 +85,24 @@ def build_warc(
 # ---------------------------------------------------------------------------
 
 
-def _split_gzip_members(data: bytes):
-    """Yield decompressed gzip members from a concatenated stream
-    (the .warc.gz record-per-member layout)."""
+def _split_gzip_members(data: bytes) -> tuple[list[bytes], str | None]:
+    """Decompress gzip members from a concatenated stream (the
+    .warc.gz record-per-member layout).  Returns ``(members, error)``
+    rather than raising mid-iteration: a truncated or corrupt trailing
+    member (the common failure in interrupted crawls) must not discard
+    the members already decoded — the caller keeps the good records
+    and appends one failure row, matching the plain-WARC path's
+    stop-at-the-damage behavior."""
+    members: list[bytes] = []
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=31)
-        yield d.decompress(rest)
+        try:
+            members.append(d.decompress(rest))
+        except zlib.error as exc:
+            return members, f"bad gzip member: {exc}"
         rest = d.unused_data
+    return members, None
 
 
 def _parse_header_block(block: bytes) -> dict[str, str]:
@@ -124,11 +134,9 @@ def parse_warc(data: bytes) -> list[dict]:
             "error": err,
         }
 
+    gzip_err: str | None = None
     if data[:2] == b"\x1f\x8b":
-        try:
-            chunks = list(_split_gzip_members(data))
-        except zlib.error as exc:
-            return [bad(f"bad gzip member: {exc}")]
+        chunks, gzip_err = _split_gzip_members(data)
     else:
         chunks = [data]
 
@@ -182,6 +190,8 @@ def parse_warc(data: bytes) -> list[dict]:
                     rec["content_type"] = http_headers.get("content-type")
                     rec["body"] = payload[http_end + 4 :]
             records.append(rec)
+    if gzip_err is not None:
+        records.append(bad(gzip_err))
     return records
 
 

@@ -164,12 +164,15 @@ CHECKS = {
         "map-side Project over a pruned scan — zero shuffles",
     ),
     "sequence_pack": (
-        ["windowspecdefinition(pid", "Exchange rangepartitioning"],
-        ["SortMergeJoin"],
+        ["windowspecdefinition(pid", "Exchange hashpartitioning(pid"],
+        ["SortMergeJoin", "Exchange rangepartitioning"],
         "two-phase distributed prefix sum: the running-sum window is "
-        "keyed on the partition id (partition-LOCAL — a window with a "
-        "global ORDER BY and no partition key would serialize the "
-        "corpus through one task); phase-1 totals are metadata-sized",
+        "keyed on a DETERMINISTIC range bucket of doc_id (bucket-LOCAL "
+        "— a window with a global ORDER BY and no partition key would "
+        "serialize the corpus through one task), and the bucket is a "
+        "pure function of the id, not spark_partition_id over a "
+        "sampled rangepartitioning exchange that could re-run with "
+        "different boundaries; phase-1 totals are metadata-sized",
     ),
     "quality_filter": (
         ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],

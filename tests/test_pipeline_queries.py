@@ -865,3 +865,32 @@ def test_connected_components_multi_hop_fixpoint(spark):
         for r in connected_components(pairs).collect()
     }
     assert labels == {0: 0, 7: 0, 3: 0, 9: 0, 5: 5, 6: 5}
+
+
+def test_pagerank_keeps_no_inbound_nodes(spark, tmp_path):
+    """N = 6 leaves nodes 0 and 2 with zero inbound edges (dst
+    coverage of (2i+1)%6 ∪ (3i+7)%6 is {1,3,4,5}).  They must keep
+    the teleport base each iteration, not vanish from the frame —
+    the inner-join spelling returned 4 rows here."""
+    import pyspark.sql.functions as F
+    from article_extractor_spark.queries import (
+        PAGERANK_SCALE,
+        q_link_pagerank,
+    )
+
+    n = 6
+    spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(1).alias("n_chars"),
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r["pagerank"]
+        for r in q_link_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == n
+    base = PAGERANK_SCALE * 15 // (100 * n)
+    assert rows[0] == base and rows[2] == base
+    assert all(rows[i] > base for i in (1, 3, 4, 5))

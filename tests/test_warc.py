@@ -68,6 +68,21 @@ def test_gzip_member_walk():
     assert [r["uri"] for r in recs] == ["https://g/1", "https://g/2"]
 
 
+def test_corrupt_trailing_gzip_member_keeps_decoded_records():
+    """A truncated/corrupt tail member (interrupted crawl) must not
+    discard the records already decoded — good records survive and the
+    damage becomes one failure row at the end."""
+    blob = (
+        gzip.compress(_hand_record(b"https://g/1", HTTP_OK), mtime=0)
+        + gzip.compress(_hand_record(b"https://g/2", HTTP_OK), mtime=0)
+        + b"\x1f\x8b\x08CORRUPT_TAIL"
+    )
+    recs = parse_warc(blob)
+    assert [r["ok"] for r in recs] == [True, True, False]
+    assert [r["uri"] for r in recs[:2]] == ["https://g/1", "https://g/2"]
+    assert recs[-1]["error"].startswith("bad gzip")
+
+
 def test_non_response_record_keeps_raw_payload():
     rec = _hand_record(b"https://a/req", b"GET / HTTP/1.1\r\n\r\n",
                        warc_type=b"request")
