@@ -557,6 +557,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 20
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary build (tokenizer-training prep: BPE/
+    unigram trainers start from exactly this table): top-K tokens by
+    corpus term frequency, with document frequency alongside.
+
+    Scale shape: explode → two-phase aggregation.  Phase 1 groups by
+    (token, doc_id) — map-side partial aggregation collapses each
+    doc's repeats before the shuffle — and phase 2 folds per-token
+    totals, so document frequency is an ordinary COUNT, never a
+    COUNT(DISTINCT) expand over the exploded stream (at 10^12 docs the
+    expand doubles the shuffle volume; the two-phase spelling keeps
+    both aggregates partial-aggregable).  The final top-K is a
+    TakeOrderedAndProject (K rows per partition → K rows total), not a
+    global sort; (term_freq DESC, token ASC) is a total order, so the
+    cut is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(X.ws_tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("tf").alias("term_freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    return vocab.orderBy(
+        F.desc("term_freq"), F.asc("token")
+    ).limit(VOCAB_TOP_K)
+
+
 PACK_CHUNK_TOKENS = 512
 
 
@@ -2596,6 +2631,22 @@ SELECT source, COUNT(*) AS n_docs,
            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents GROUP BY source
 """,
+    # Single-node flat aggregation — the two-phase distributed vocab
+    # build must reproduce it exactly (the per-(token, doc) pre-fold
+    # is algebraically invisible).
+    "vocab_topk": f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest({_TOKS.format(c='lower(text)')}) AS token
+  FROM documents
+), per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY token, doc_id
+)
+SELECT token, CAST(SUM(tf) AS BIGINT) AS term_freq,
+  COUNT(*) AS doc_freq
+FROM per_doc GROUP BY token
+ORDER BY term_freq DESC, token ASC LIMIT {VOCAB_TOP_K}
+""",
     # Single-node global-window prefix sum — the ground truth the
     # distributed two-phase scan must reproduce exactly.
     "sequence_pack": f"""
@@ -2926,6 +2977,7 @@ QUERY_FNS: dict[str, Query] = {
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,

@@ -174,6 +174,15 @@ CHECKS = {
         "sampled rangepartitioning exchange that could re-run with "
         "different boundaries; phase-1 totals are metadata-sized",
     ),
+    "vocab_topk": (
+        ["TakeOrderedAndProject", "partial_sum"],
+        ["Expand", "SortMergeJoin", "Exchange rangepartitioning"],
+        "vocabulary build: two-phase aggregation — (token, doc) "
+        "pre-fold makes doc_freq a plain COUNT (no COUNT-DISTINCT "
+        "Expand doubling the shuffle), partial aggs before every "
+        "exchange, and the top-K cut is TakeOrderedAndProject, not a "
+        "global sort",
+    ),
     "quality_filter": (
         ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
         ["Exchange", "Generate", "SortMergeJoin"],
