@@ -557,6 +557,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 15
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (web-pipeline spam control: one hot
+    host must not dominate the training mix, so each source keeps at
+    most ``DOMAIN_CAP`` docs).  Selection priority is a deterministic
+    hash of doc_id — reproducible months later, like
+    ``q_stratified_sample`` — with doc_id as the tie-break so the cut
+    is a total order.
+
+    Scale shape: rank-under-a-cap compiles to ``WindowGroupLimit``,
+    which drops rows PAST the cap on the map side before the shuffle
+    sort — each task forwards at most cap rows per source, so a
+    million-doc spam host costs its partitions only a bounded buffer,
+    not a full per-host sort (the same rides-the-shuffle cap the LSH
+    bucket bound uses, dedup.py).  One shuffle on source."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pri = X.md5_int(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(
+        pri.asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", pri.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= DOMAIN_CAP)
+        .select("source", "doc_id", "priority")
+    )
+
+
 VOCAB_TOP_K = 20
 
 
@@ -2631,6 +2663,18 @@ SELECT source, COUNT(*) AS n_docs,
            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents GROUP BY source
 """,
+    "domain_quota": f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+    {_MD5INT.format(expr='CAST(doc_id AS VARCHAR)')} AS priority,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY {_MD5INT.format(expr='CAST(doc_id AS VARCHAR)')}, doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT source, doc_id, priority FROM ranked WHERE rn <= {DOMAIN_CAP}
+""",
     # Single-node flat aggregation — the two-phase distributed vocab
     # build must reproduce it exactly (the per-(token, doc) pre-fold
     # is algebraically invisible).
@@ -2977,6 +3021,7 @@ QUERY_FNS: dict[str, Query] = {
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
+    "domain_quota": q_domain_quota,
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "sequence_pack",
     "pii_scrub",
     "stratified_sample",
+    "domain_quota",
     "vocab_topk",
     "exact_dedup",
     "jaccard_pairs",

@@ -174,6 +174,14 @@ CHECKS = {
         "sampled rangepartitioning exchange that could re-run with "
         "different boundaries; phase-1 totals are metadata-sized",
     ),
+    "domain_quota": (
+        ["WindowGroupLimit"],
+        ["SortMergeJoin", "Exchange rangepartitioning"],
+        "per-domain cap: rank-under-limit compiles to WindowGroupLimit "
+        "— rows past the cap drop on the MAP side before the shuffle "
+        "sort, so a spam host forwards at most cap rows per task; one "
+        "hash exchange on source",
+    ),
     "vocab_topk": (
         ["TakeOrderedAndProject", "partial_sum"],
         ["Expand", "SortMergeJoin", "Exchange rangepartitioning"],
