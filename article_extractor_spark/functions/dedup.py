@@ -277,6 +277,149 @@ def capped_bucket_pairs(
     )
 
 
+def band_table(
+    docs: DataFrame, text_col: str = "text", kernel: str = "pandas"
+) -> DataFrame:
+    """The MinHash band index ``(doc_id, band, band_hash)`` — the
+    single source of the signature → band pipeline, shared by the
+    batch pair generator (``minhash_lsh_pairs``) and the incremental
+    probe (``incremental_minhash_pairs``), and the row shape the
+    persisted index stores (``write_band_index``).
+
+    One scan computes signatures once (Arrow-batched kernel by
+    default); banding is a 4-way explode of JVM md5 folds.
+
+    NULL text → NULL signature (both kernels) and concat_ws skips
+    NULL elements, so NULL signatures would all share band_hash =
+    md5_int('') in every band and pair with each other.  Drop NULL
+    TEXT before computing signatures (pinned by
+    test_null_text_produces_no_pairs) — filtering the computed sig
+    column instead would push ``isnotnull(<whole signature expr>)``
+    below the Project and evaluate the signature twice per row (the
+    nullable-computed-column trap documented at
+    similarity.lsh_bucket); NULL text is the only NULL-signature
+    source in both kernels, so the source-column filter is
+    equivalent and pushes down to the scan."""
+    if kernel == "pandas":
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(docs.sparkSession)
+        sig_col = minhash_signature_pudf()(F.col(text_col))
+    else:
+        sig_col = minhash_signature(F.col(text_col))
+    sig = docs.where(F.col(text_col).isNotNull()).select(
+        F.col("doc_id"), sig_col.alias("sig")
+    )
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [
+            F.element_at(F.col("sig"), b * LSH_ROWS + r + 1).cast("string")
+            for r in range(LSH_ROWS)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_int(F.concat_ws(",", *parts)).alias("band_hash"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def capped_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    bucket_cap: int = BUCKET_CAP,
+    kernel: str = "pandas",
+) -> DataFrame:
+    """Band index with write-time bucket capping (``row_number`` ≤
+    ``bucket_cap`` per (band, band_hash), smallest doc_ids kept — the
+    same deterministic rule as ``minhash_lsh_pairs``).  The rank
+    compiles to WindowGroupLimit (map-side drop before the sort)."""
+    from pyspark.sql.window import Window
+
+    return (
+        band_table(docs, text_col, kernel=kernel)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("band", "band_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") <= bucket_cap)
+        .drop("rn")
+    )
+
+
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    bucket_cap: int = BUCKET_CAP,
+    n_shards: int = 64,
+    kernel: str = "pandas",
+) -> None:
+    """Persist the corpus's MinHash band index for INCREMENTAL dedup.
+
+    At 100 TB the batch pair generator re-signs the whole corpus every
+    wave; the at-scale shape is sign-once: store ``(doc_id, band,
+    band_hash)`` partitioned on a hash shard of ``band_hash``, and let
+    each ingest wave probe the index (3 narrow columns — the text is
+    never re-read, never re-signed).
+
+    Bucket membership is capped at WRITE time (``row_number`` ≤
+    ``bucket_cap`` per (band, band_hash), smallest doc_ids kept, the
+    same deterministic rule as ``minhash_lsh_pairs``), so an
+    adversarial identical-doc flood is bounded ONCE, in the index —
+    every future probe inherits the bound for free.  The cap rank
+    compiles to WindowGroupLimit (map-side drop before the sort)."""
+    capped = capped_band_index(
+        docs, text_col, bucket_cap=bucket_cap, kernel=kernel
+    )
+    (
+        capped.withColumn("shard", F.pmod(F.col("band_hash"), F.lit(n_shards)))
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def incremental_minhash_pairs(
+    wave: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    kernel: str = "pandas",
+) -> DataFrame:
+    """Near-dup candidates of a NEW ingest wave against the stored
+    corpus: band the wave (one scan of the new docs only), equi-join
+    the persisted band index on (band, band_hash), emit distinct
+    ``(new_doc, dup_of)``.
+
+    Complexity is bounded by construction: the index is write-time
+    capped per bucket, so each wave band row matches ≤ cap stored
+    docs — a flood of identical NEW docs costs wave_rows × cap join
+    rows, linear in the wave, never quadratic.  Wave-internal
+    duplicates are ``minhash_lsh_pairs``'s job on the wave alone."""
+    wb = band_table(wave, text_col, kernel=kernel)
+    idx = index.select("doc_id", "band", "band_hash")
+    return (
+        wb.alias("w")
+        .join(idx.alias("i"), ["band", "band_hash"])
+        .where(F.col("w.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.col("w.doc_id").alias("new_doc"),
+            F.col("i.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -313,46 +456,8 @@ def minhash_lsh_pairs(
     memberships dropped by the cap) and ``bucket_members`` (total).
     The metrics ride the existing job, zero extra passes.
     """
-    if kernel == "pandas":
-        from ..shipping import ensure_shipped
-
-        ensure_shipped(docs.sparkSession)
-        sig_col = minhash_signature_pudf()(F.col(text_col))
-    else:
-        sig_col = minhash_signature(F.col(text_col))
-    # NULL text → NULL signature (both kernels) and concat_ws skips
-    # NULL elements, so NULL signatures would all share band_hash =
-    # md5_int('') in every band and pair with each other.  Drop NULL
-    # TEXT before computing signatures (pinned by
-    # test_null_text_produces_no_pairs) — filtering the computed sig
-    # column instead would push ``isnotnull(<whole signature expr>)``
-    # below the Project and evaluate the signature twice per row (the
-    # nullable-computed-column trap documented at
-    # similarity.lsh_bucket); NULL text is the only NULL-signature
-    # source in both kernels, so the source-column filter is
-    # equivalent and pushes down to the scan.
-    sig = docs.where(F.col(text_col).isNotNull()).select(
-        F.col("doc_id"), sig_col.alias("sig")
-    )
-    band_cols = []
-    for b in range(LSH_BANDS):
-        parts = [
-            F.element_at(F.col("sig"), b * LSH_ROWS + r + 1).cast("string")
-            for r in range(LSH_ROWS)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                md5_int(F.concat_ws(",", *parts)).alias("band_hash"),
-            )
-        )
-    banded = sig.select(
-        F.struct(F.col("doc_id")).alias("m"),
-        F.explode(F.array(*band_cols)).alias("bb"),
-    ).select(
-        "m",
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_hash").alias("band_hash"),
+    banded = band_table(docs, text_col, kernel=kernel).select(
+        F.struct(F.col("doc_id")).alias("m"), "band", "band_hash"
     )
     pairs = capped_bucket_pairs(
         banded, ["band", "band_hash"], bucket_cap, drop_metrics

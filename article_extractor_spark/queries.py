@@ -770,6 +770,55 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_verified_pairs(load(spark, sf_dir, "documents"))
 
 
+WAVE_MOD = 5  # doc_id % WAVE_MOD == 0 plays the "new ingest wave"
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup of a new ingest wave against the
+    stored corpus — the shape that replaces whole-corpus
+    ``minhash_pairs`` at 100 TB, where re-signing everything per wave
+    is the bottleneck.  Every 5th doc plays the wave; the rest is the
+    stored corpus whose write-time-capped band index
+    (``capped_band_index`` — what ``write_band_index`` persists
+    shard-partitioned) is probed by the wave's own bands: sign ONLY
+    the wave, equi-join (band, band_hash), verify candidates with
+    exact word-set Jaccard against the corpus text (id-lookup join —
+    co-located when both tables are bucketed on doc_id).  Output:
+    (new_doc, dup_of, jaccard ≥ 0.2).
+
+    ``test_incremental_dedup_probes_written_index`` drives the same
+    probe through an index actually persisted + re-read from disk."""
+    docs = load(spark, sf_dir, "documents")
+    is_wave = F.col("doc_id") % WAVE_MOD == 0
+    corpus, wave = docs.where(~is_wave), docs.where(is_wave)
+    idx = D.capped_band_index(corpus)
+    cand = D.incremental_minhash_pairs(wave, idx)
+    words = docs.select(
+        "doc_id",
+        F.array_distinct(
+            X.ws_tokens(D.normalized_text(F.col("text")))
+        ).alias("wordset"),
+    )
+    wn = words.alias("wn")
+    wo = words.alias("wo")
+    return (
+        cand.join(wn, cand.new_doc == F.col("wn.doc_id"))
+        .join(wo, cand.dup_of == F.col("wo.doc_id"))
+        .select(
+            "new_doc",
+            "dup_of",
+            F.round(
+                F.size(
+                    F.array_intersect("wn.wordset", "wo.wordset")
+                ).cast("double")
+                / F.size(F.array_union("wn.wordset", "wo.wordset")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.3
@@ -1897,6 +1946,36 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
+def _incremental_dedup_sql(threshold: float = 0.2) -> str:
+    wordset = f"list_distinct({_TOKS.format(c=_NORM.format(c='text'))})"
+    return f"""
+WITH {_minhash_sql()}, idx AS (
+  SELECT doc_id, band, band_hash,
+    row_number() OVER (
+      PARTITION BY band, band_hash ORDER BY doc_id
+    ) AS rn
+  FROM banded WHERE doc_id % {WAVE_MOD} <> 0
+), cand AS (
+  SELECT DISTINCT w.doc_id AS new_doc, i.doc_id AS dup_of
+  FROM banded w JOIN idx i
+    ON w.band = i.band AND w.band_hash = i.band_hash
+   AND w.doc_id <> i.doc_id
+  WHERE w.doc_id % {WAVE_MOD} = 0 AND i.rn <= {D.BUCKET_CAP}
+), words AS (
+  SELECT doc_id, {wordset} AS wordset FROM documents
+), verified AS (
+  SELECT c.new_doc, c.dup_of,
+    round(CAST(len(list_intersect(wn.wordset, wo.wordset)) AS DOUBLE)
+          / len(list_distinct(list_concat(wn.wordset, wo.wordset))),
+          6) AS jaccard
+  FROM cand c
+  JOIN words wn ON c.new_doc = wn.doc_id
+  JOIN words wo ON c.dup_of = wo.doc_id
+)
+SELECT new_doc, dup_of, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
 def _simhash_sql() -> str:
     norm = _NORM.format(c="text")
     toks = _TOKS.format(c=norm)
@@ -2725,6 +2804,7 @@ FROM documents GROUP BY 1
 """,
     "minhash_pairs": _minhash_pairs_sql(),
     "minhash_verified_pairs": _minhash_verified_sql(),
+    "incremental_dedup": _incremental_dedup_sql(),
     # True connected components of the LSH pair graph via recursive
     # min-reachable labels — an engine that stops propagating before
     # the fixpoint cannot hash-match this.
@@ -3013,6 +3093,7 @@ QUERY_FNS: dict[str, Query] = {
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified_pairs": q_minhash_verified_pairs,
+    "incremental_dedup": q_incremental_dedup,
     "embedding_neardup": q_embedding_neardup,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "warc_extract",
     "server_response",
     "minhash_pairs",
+    "incremental_dedup",
     "simhash",
     "simhash_pairs",
     "decontaminate",

@@ -174,6 +174,15 @@ CHECKS = {
         "sampled rangepartitioning exchange that could re-run with "
         "different boundaries; phase-1 totals are metadata-sized",
     ),
+    "incremental_dedup": (
+        ["WindowGroupLimit"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+        "incremental wave-vs-corpus dedup: only the wave is signed; "
+        "the corpus side is the write-time-capped band index "
+        "(WindowGroupLimit bounds every bucket before the probe "
+        "join), candidates equi-join on (band, band_hash) — no "
+        "self-join, no all-pairs expansion",
+    ),
     "domain_quota": (
         ["WindowGroupLimit"],
         ["SortMergeJoin", "Exchange rangepartitioning"],

@@ -894,3 +894,37 @@ def test_pagerank_keeps_no_inbound_nodes(spark, tmp_path):
     base = PAGERANK_SCALE * 15 // (100 * n)
     assert rows[0] == base and rows[2] == base
     assert all(rows[i] > base for i in (1, 3, 4, 5))
+
+
+def test_incremental_dedup_probes_written_index(spark, tmp_path):
+    """The persisted band index (write_band_index: shard-partitioned,
+    write-time capped) must give the probe the SAME pairs as the
+    in-flight index the oracle models — sign-once storage is only
+    valid if nothing is lost in the parquet round trip."""
+    import pyspark.sql.functions as F
+    from article_extractor_spark.functions import dedup as D
+    from article_extractor_spark.queries import WAVE_MOD, load
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load(spark, sf_dir, "documents")
+    is_wave = F.col("doc_id") % WAVE_MOD == 0
+    corpus, wave = docs.where(~is_wave), docs.where(is_wave)
+
+    path = str(tmp_path / "band_index")
+    D.write_band_index(corpus, path)
+    stored = spark.read.parquet(path)
+    got = {
+        (r["new_doc"], r["dup_of"])
+        for r in D.incremental_minhash_pairs(wave, stored).collect()
+    }
+    want = {
+        (r["new_doc"], r["dup_of"])
+        for r in D.incremental_minhash_pairs(
+            wave, D.capped_band_index(corpus)
+        ).collect()
+    }
+    assert got == want and got
+    # the layout really is shard-partitioned (probe-side pruning unit)
+    shards = [p.name for p in (tmp_path / "band_index").iterdir()
+              if p.name.startswith("shard=")]
+    assert len(shards) > 1
