@@ -81,6 +81,114 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each purchase matched to the same user's most
+    recent click at or before it (attribution: "which click led to
+    this purchase").  Spark has no ASOF JOIN; the naive spellings are
+    scale-killers (a range-condition theta-join explodes to a
+    per-user cross product; a per-purchase correlated subquery is a
+    lookup storm).  The distributed spelling is UNION + WINDOW: tag
+    both sides, union them, and carry the last click forward with one
+    running ``last(ignorenulls)`` per user — ONE shuffle on user_id,
+    state bounded by one row, no pair expansion at any key
+    cardinality.  Tie rule: a click at exactly the purchase timestamp
+    matches (sort key (ts, side) puts clicks first), mirroring ASOF's
+    ``>=``; the trailing id column makes the order total so the pick
+    is deterministic even with ts collisions.  The DuckDB oracle is a
+    native ``ASOF LEFT JOIN`` — an independent implementation of the
+    same semantics."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    u = clicks.unionByName(purchases, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.select(
+            "*",
+            F.last("click_id", ignorenulls=True).over(w).alias("c_id"),
+            F.last("click_value", ignorenulls=True)
+            .over(w)
+            .alias("c_value"),
+            F.last(
+                F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+            )
+            .over(w)
+            .alias("c_ts"),
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("c_id").alias("click_id"),
+            F.col("c_ts").alias("click_ts"),
+            F.col("c_value").alias("click_value"),
+        )
+    )
+
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 h, microsecond-exact
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the other classic
+    awkward-in-a-relational-engine op): events more than
+    ``SESSION_GAP_US`` apart start a new session; emit one summary row
+    per session.  Boundary flags via ``lag`` + running sum — the
+    standard two-window spelling; both windows share the SAME
+    (user_id)×(ts, event_id) spec, so they ride one shuffle and one
+    sort; the per-session rollup then partial-aggregates map-side.
+    Gap arithmetic is ``timestampdiff(MICROSECOND, ...)`` — exact and
+    timezone-independent on the NTZ column (a seconds cast would
+    truncate and disagree with the oracle's microsecond comparison
+    near the threshold)."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id", "ts", "event_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    new_flag = F.when(
+        F.col("prev_ts").isNull()
+        | (
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+            > SESSION_GAP_US
+        ),
+        1,
+    ).otherwise(0)
+    sess = F.sum(new_flag).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.select("user_id", "ts", sess.alias("session_seq"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 rank-candidates analog as a relational top-k per group."""
     from pyspark.sql.window import Window
@@ -2528,6 +2636,35 @@ FROM (
   FROM events
 ) WHERE rn = 1
 """,
+    # Native ASOF JOIN — an independent implementation of the
+    # union+window engine spelling's semantics (>= tie rule included).
+    "asof_join": """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+  c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "sessionize": f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+              > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS session_seq
+  FROM o
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_seq
+""",
     "top_orders_per_priority": """
 SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -3070,6 +3207,8 @@ SELECT doc_id, reason, reason = 'ok' AS keep FROM (
 QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
     "top_orders_per_priority": q_top_orders_per_priority,
     "region_customer_rollup": q_region_customer_rollup,
     "prefix_filter_orders": q_prefix_filter_orders,

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "rate_limit_adaptive",
     "manifest_fold",
     "latest_event_per_user",
+    "asof_join",
+    "sessionize",
     "top_orders_per_priority",
     "region_customer_rollup",
     "customers_without_orders",

@@ -174,6 +174,25 @@ CHECKS = {
         "sampled rangepartitioning exchange that could re-run with "
         "different boundaries; phase-1 totals are metadata-sized",
     ),
+    "asof_join": (
+        ["Window", "Union"],
+        [
+            "SortMergeJoin",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        ],
+        "as-of join via UNION + running last(ignorenulls): ONE "
+        "shuffle on user_id, zero joins — a range theta-join would "
+        "expand per-user cross products; this plan's state is one "
+        "carried row regardless of key cardinality",
+    ),
+    "sessionize": (
+        ["Window", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "gap sessionization: lag + running sum share one window "
+        "spec (one exchange, one sort), session rollup partial-"
+        "aggregates map-side",
+    ),
     "incremental_dedup": (
         ["WindowGroupLimit"],
         ["CartesianProduct", "Exchange rangepartitioning"],
