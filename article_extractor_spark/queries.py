@@ -144,6 +144,61 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_BIN_H = 6  # range-join bin width; campaigns span ≤ 11 h → ≤ 3 bins
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — each event matched to every campaign window
+    containing its timestamp.  Spark compiles a raw interval
+    predicate into BroadcastNestedLoopJoin (every row against every
+    range — quadratic, the classic range-join scale-killer once the
+    range side outgrows a broadcast).  The scale-honest spelling
+    decomposes each range into the fixed-width time BINS it overlaps
+    (explode — ≤ 3 bins per campaign at these widths), assigns each
+    event its single bin, and EQUI-joins on bin with the interval
+    predicate left as a residual filter: shuffle volume is linear in
+    rows × bins, never |events| × |ranges|.  Campaign windows are
+    synthesized deterministically (60 half-day-spaced windows, 2-11 h
+    spans, overlapping); the oracle is the plain BETWEEN theta-join
+    DuckDB can afford single-node."""
+    base = "TIMESTAMP_NTZ'2024-01-01 00:00:00'"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.floor(
+            F.expr(f"timestampdiff(HOUR, {base}, ts)") / RANGE_BIN_H
+        ).alias("bin"),
+    )
+    camps = spark.range(60).select(
+        F.col("id").alias("campaign_id"),
+        F.expr(
+            f"timestampadd(HOUR, CAST(12 * id AS INT), {base})"
+        ).alias("start_ts"),
+        F.expr(
+            f"timestampadd(HOUR, CAST(12 * id + 2 + id % 10 AS INT),"
+            f" {base})"
+        ).alias("end_ts"),
+        (F.col("id") * 12).alias("start_h"),
+        (F.col("id") * 12 + 2 + F.col("id") % 10).alias("end_h"),
+    )
+    cbins = camps.select(
+        "campaign_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_h") / RANGE_BIN_H),
+                F.floor(F.col("end_h") / RANGE_BIN_H),
+            )
+        ).alias("bin"),
+    )
+    return (
+        ev.join(cbins, "bin")
+        .where((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .select("event_id", "campaign_id")
+    )
+
+
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 h, microsecond-exact
 
 
@@ -2638,6 +2693,18 @@ FROM (
 """,
     # Native ASOF JOIN — an independent implementation of the
     # union+window engine spelling's semantics (>= tie rule included).
+    "range_join": """
+WITH campaigns AS (
+  SELECT i AS campaign_id,
+    TIMESTAMP '2024-01-01 00:00:00' + to_hours(12 * i) AS start_ts,
+    TIMESTAMP '2024-01-01 00:00:00' + to_hours(12 * i + 2 + i % 10)
+      AS end_ts
+  FROM range(60) t(i)
+)
+SELECT e.event_id, c.campaign_id
+FROM events e JOIN campaigns c
+  ON e.ts >= c.start_ts AND e.ts < c.end_ts
+""",
     "asof_join": """
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
   c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
@@ -3208,6 +3275,7 @@ QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "sessionize": q_sessionize,
     "top_orders_per_priority": q_top_orders_per_priority,
     "region_customer_rollup": q_region_customer_rollup,

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "manifest_fold",
     "latest_event_per_user",
     "asof_join",
+    "range_join",
     "sessionize",
     "top_orders_per_priority",
     "region_customer_rollup",

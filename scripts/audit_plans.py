@@ -174,6 +174,16 @@ CHECKS = {
         "sampled rangepartitioning exchange that could re-run with "
         "different boundaries; phase-1 totals are metadata-sized",
     ),
+    "range_join": (
+        ["BroadcastHashJoin"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "range join via bin decomposition: ranges explode into the "
+        "fixed-width bins they overlap, events equi-join on their "
+        "single bin with the interval predicate as residual — an "
+        "EQUI-join (hash, broadcast here; shuffled-hash at scale), "
+        "never the quadratic BroadcastNestedLoopJoin a raw interval "
+        "predicate compiles to",
+    ),
     "asof_join": (
         ["Window", "Union"],
         [
