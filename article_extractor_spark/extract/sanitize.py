@@ -186,7 +186,7 @@ def _pass_memo(root: Node) -> DocMemo:
     4 × O(nodes + bytes) instead of the lazy path's O(nodes × depth)
     (a 5000-deep adversarial nest went 26 s → <0.1 s)."""
     memo = DocMemo()
-    memo.prime(root, img_pred=has_valid_image_src)
+    memo.prime(root, img_pred=has_valid_image_src, paragraphs=False)
     return memo
 
 

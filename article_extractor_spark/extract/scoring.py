@@ -30,7 +30,7 @@ class DocMemo:
         self._psum: dict[int, float] | None = None
         self._img: dict[int, bool] | None = None
 
-    def prime(self, root: Node, img_pred=None) -> None:
+    def prime(self, root: Node, img_pred=None, paragraphs: bool = True) -> None:
         """Fill every cache for the whole tree in ONE post-order pass.
 
         The lazy per-node path recomputes each node's subtree walk from
@@ -47,7 +47,10 @@ class DocMemo:
 
         ``img_pred`` (sanitize passes): an img-node validity predicate;
         when given, a strict-descendant "has a valid <img>" boolean is
-        folded alongside so ``has_visible_content`` is O(1) per node."""
+        folded alongside so ``has_visible_content`` is O(1) per node.
+        ``paragraphs=False`` skips the paragraph-score fold (sanitize
+        sweeps never read it — scoring text for every <p> would be pure
+        overhead on the shallow-document hot path)."""
         txt = self._text
         linked: dict[int, int] = {}
         psum: dict[int, float] = {}
@@ -81,7 +84,7 @@ class DocMemo:
                 ps += psum[ck]
                 if c.name == "a":
                     lsum += len(t)
-                elif c.name == "p":
+                elif paragraphs and c.name == "p":
                     p_score = paragraph_score(c, self)
                     if p_score > 0:
                         ps += p_score
@@ -96,7 +99,10 @@ class DocMemo:
             if img is not None:
                 img[key] = any_img
         self._linked = linked
-        self._psum = psum
+        # A psum folded with paragraphs=False is all-zero, not "no
+        # paragraphs scored" — leave it unprimed so candidate_score
+        # falls back to the real walk rather than silently using 0.
+        self._psum = psum if paragraphs else None
         self._img = img
 
     def text(self, node: Node) -> str:
