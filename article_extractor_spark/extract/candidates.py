@@ -36,6 +36,45 @@ def discover_candidates(doc: Node, memo: DocMemo) -> list[Node]:
         seen.add(key)
         found.append(node)
 
+    elements = memo.elements()
+    if elements is not None:
+        # Primed fast path: ONE pass over the document-order element
+        # list replaces five full-tree query() walks.  Group order
+        # (article, main, [role=main], then div/section wrappers) is
+        # preserved by bucketing the single pass; within each group the
+        # list is already document order — exactly what the per-selector
+        # query() walks produced.
+        arts: list[Node] = []
+        mains: list[Node] = []
+        role_mains: list[Node] = []
+        wrappers: list[Node] = []
+        for node in elements:
+            if node is doc:
+                continue  # query() yields strict descendants only
+            name = node.name
+            if name == "article":
+                arts.append(node)
+            elif name == "main":
+                mains.append(node)
+            # exact twin of the [role="main"] selector matcher
+            # (selector.py str-coerced equality)
+            if str(node.attrs.get("role", "")) == "main":
+                role_mains.append(node)
+            if name in ("div", "section"):
+                wrappers.append(node)
+        for node in arts:
+            consider(node)
+        for node in mains:
+            consider(node)
+        for node in role_mains:
+            consider(node)
+        # div/section wrappers are scanned even when semantic tags
+        # exist: many pages put the body inside <main> + extra chrome.
+        for node in wrappers:
+            if memo.text_len(node) > rules.MIN_CANDIDATE_CHARS:
+                consider(node)
+        return found
+
     for node in doc.query("article"):
         consider(node)
     for node in doc.query("main"):

@@ -190,23 +190,38 @@ def _pass_memo(root: Node) -> DocMemo:
     return memo
 
 
+def _sweep(memo: DocMemo, root: Node, tags: tuple[str, ...], keep) -> None:
+    """One removal sweep over the primed document-order element list —
+    same node set and order as ``nodes_with_tags`` (the root's position
+    differs but the root is never removable), without re-walking the
+    tree."""
+    wanted = set(tags)
+    for node in memo.elements():
+        if node is root or node.name not in wanted or keep(node):
+            continue
+        if node.parent is not None:
+            node.parent.remove_child(node)
+
+
 def sanitize_content(root: Node, *, remove_boilerplate: bool = True) -> None:
     """Empty links → invalid images → (boilerplate blocks) → empty blocks."""
     memo = _pass_memo(root)
-    _drop_failing(root, ("a",), lambda n: has_visible_content(n, memo))
-    _drop_failing(root, ("img",), has_valid_image_src)
+    _sweep(memo, root, ("a",), lambda n: has_visible_content(n, memo))
+    _sweep(memo, root, ("img",), has_valid_image_src)
     if remove_boilerplate:
         bp_memo = _pass_memo(root)
-        for node in nodes_with_tags(
-            root, ("div", "section", "aside", "ul", "ol", "p")
-        ):
-            if node is root or not looks_like_boilerplate(node, bp_memo):
-                continue
-            if node.parent is not None:
-                node.parent.remove_child(node)
+        _sweep(
+            bp_memo,
+            root,
+            ("div", "section", "aside", "ul", "ol", "p"),
+            lambda n: not looks_like_boilerplate(n, bp_memo),
+        )
     final_memo = _pass_memo(root)
-    _drop_failing(
-        root, ("li", "p", "div"), lambda n: has_visible_content(n, final_memo)
+    _sweep(
+        final_memo,
+        root,
+        ("li", "p", "div"),
+        lambda n: has_visible_content(n, final_memo),
     )
 
 

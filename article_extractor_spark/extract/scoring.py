@@ -21,7 +21,7 @@ class DocMemo:
     ExtractionCache, cache.py:15-93).
     """
 
-    __slots__ = ("_text", "_density", "_linked", "_psum", "_img")
+    __slots__ = ("_text", "_density", "_linked", "_psum", "_img", "_order")
 
     def __init__(self) -> None:
         self._text: dict[int, str] = {}
@@ -29,6 +29,7 @@ class DocMemo:
         self._linked: dict[int, int] | None = None
         self._psum: dict[int, float] | None = None
         self._img: dict[int, bool] | None = None
+        self._order: list[Node] | None = None
 
     def prime(self, root: Node, img_pred=None, paragraphs: bool = True) -> None:
         """Fill every cache for the whole tree in ONE post-order pass.
@@ -50,14 +51,29 @@ class DocMemo:
         folded alongside so ``has_visible_content`` is O(1) per node.
         ``paragraphs=False`` skips the paragraph-score fold (sanitize
         sweeps never read it — scoring text for every <p> would be pure
-        overhead on the shallow-document hot path)."""
+        overhead on the shallow-document hot path).
+
+        Shape: one DFS builds the document-order (pre-order) node list,
+        then the fold runs over it REVERSED — reversed pre-order visits
+        every descendant before its ancestor, so children's values are
+        always ready without (node, done) re-push bookkeeping.  The
+        element-only pre-order list is kept (``elements()``) so sweeps
+        that would re-walk the tree can reuse it."""
         txt = self._text
         linked: dict[int, int] = {}
         psum: dict[int, float] = {}
         img: dict[int, bool] | None = {} if img_pred is not None else None
-        stack: list[tuple[Node, bool]] = [(root, False)]
+        order: list[Node] = []
+        stack: list[Node] = [root]
+        pop = stack.pop
+        push = stack.extend
+        add = order.append
         while stack:
-            node, done = stack.pop()
+            node = pop()
+            add(node)
+            if node.children:
+                push(node.children[::-1])
+        for node in reversed(order):
             key = id(node)
             if node.name == TEXT:
                 txt[key] = (node.text or "").strip()
@@ -65,11 +81,6 @@ class DocMemo:
                 psum[key] = 0.0
                 if img is not None:
                     img[key] = False
-                continue
-            if not done:
-                stack.append((node, True))
-                for c in node.children:
-                    stack.append((c, False))
                 continue
             parts: list[str] = []
             lsum = 0
@@ -104,6 +115,7 @@ class DocMemo:
         # falls back to the real walk rather than silently using 0.
         self._psum = psum if paragraphs else None
         self._img = img
+        self._order = [n for n in order if n.name != TEXT]
 
     def text(self, node: Node) -> str:
         key = id(node)
@@ -146,6 +158,12 @@ class DocMemo:
         if self._psum is None:
             return None
         return self._psum.get(id(node))
+
+    def elements(self) -> list[Node] | None:
+        """Primed document-order element list (root first, then every
+        element descendant), or None when not primed.  Valid only while
+        the tree is unchanged since ``prime``."""
+        return self._order
 
     def desc_img_ok(self, node: Node) -> bool | None:
         """Primed "some strict-descendant <img> passes img_pred", or
