@@ -787,6 +787,77 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(VOCAB_TOP_K)
 
 
+BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "join", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 15
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval: score every document against a fixed term
+    query (Robertson/Sparck-Jones idf, k1/b length normalization) and
+    return the best ``BM25_TOP_K`` — the lexical counterpart of the
+    embedding ANN family (decontamination lookups, eval-set retrieval,
+    quality probes against a 100 TB corpus).
+
+    Scale shape: per-document tf for the query terms comes from
+    ``size(filter(tokens, ...))`` higher-order expressions — no explode
+    of the token stream, no shuffle; the corpus statistics the formula
+    needs (N, total token count, per-term document frequencies) are ONE
+    fully partial-aggregable job that collects a single metadata row;
+    idf weights are then baked into a second shuffle-free scoring pass
+    whose top-k compiles to TakeOrderedAndProject (K rows per
+    partition, never a global sort).  An inverted index would only pay
+    for itself under high query volume; for one-off pipeline probes the
+    two-pass scan IS the optimal plan.
+
+    Cross-engine exactness: idf is computed with driver-side
+    ``math.log`` (glibc libm — bit-identical to DuckDB's ``ln``), every
+    constant is interpolated into the oracle SQL via ``repr`` so both
+    engines evaluate the same IEEE-754 expression tree, and the final
+    score is rounded to 6 places (the ``cosine_topk`` convention)."""
+    import math
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", X.ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    def _tf(term: str) -> Column:
+        # a plain 1-arg lambda: a default-arg capture would make PySpark
+        # treat it as the 2-arg (element, index) lambda form
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    per_doc = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY_TERMS)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    ).first()
+    n = stats["n"]
+    avgdl = stats["total_dl"] / n  # IEEE double division, as in the SQL
+    score = F.lit(0.0)
+    for i in range(len(BM25_QUERY_TERMS)):
+        idf = math.log((n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0)
+        tf = F.col(f"tf{i}")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+        )
+        score = score + F.lit(idf) * (tf * F.lit(BM25_K1 + 1.0)) / denom
+    scored = per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+    return (
+        scored.filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
 PACK_CHUNK_TOKENS = 512
 
 
@@ -2974,6 +3045,40 @@ SELECT token, CAST(SUM(tf) AS BIGINT) AS term_freq,
 FROM per_doc GROUP BY token
 ORDER BY term_freq DESC, token ASC LIMIT {VOCAB_TOP_K}
 """,
+    # Same IEEE-754 expression tree as the Spark query: idf via ln (the
+    # same libm the driver's math.log calls), constants interpolated by
+    # repr, score rounded to 6 places before the order/limit.
+    "bm25_topk": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+    {', '.join(
+        f"CAST(len(list_filter(toks, x -> x = {t!r})) AS INT) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )}
+  FROM t
+), s AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS total_dl,
+    {', '.join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )}
+  FROM d
+), scored AS (
+  SELECT doc_id,
+    round({' + '.join(
+        f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * {BM25_K1 + 1.0!r})"
+        f" / (tf{i} + {BM25_K1!r} * ({1.0 - BM25_B!r}"
+        f" + {BM25_B!r} * dl / (CAST(s.total_dl AS DOUBLE) / s.n)))"
+        for i in range(len(BM25_QUERY_TERMS))
+    )}, 6) AS bm25
+  FROM d, s
+)
+SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_K}
+""",
     # Single-node global-window prefix sum — the ground truth the
     # distributed two-phase scan must reproduce exactly.
     "sequence_pack": f"""
@@ -3311,6 +3416,7 @@ QUERY_FNS: dict[str, Query] = {
     "stratified_sample": q_stratified_sample,
     "domain_quota": q_domain_quota,
     "vocab_topk": q_vocab_topk,
+    "bm25_topk": q_bm25_topk,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,

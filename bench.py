@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "domain_quota",
     "vocab_topk",
+    "bm25_topk",
     "exact_dedup",
     "jaccard_pairs",
     "token_counts",
