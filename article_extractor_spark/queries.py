@@ -1121,6 +1121,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    embedding-cosine near-duplicate pairs → connected components →
+    one canonical representative per semantic cluster, with a ``keep``
+    flag for every vector (the training-set filter is
+    ``WHERE keep``).
+
+    Pure composition of two already-verified primitives:
+    ``similarity.embedding_neardup_pairs`` (LSH-blocked, bucket-capped
+    — never a cross product) feeds ``dedup.connected_components``
+    (min-label propagation to an exact fixpoint, persisted edges,
+    per-round ``localCheckpoint``).  The canonical rule (min vec_id
+    reachable) matches SemDeDup's keep-one-per-cluster semantics with
+    a deterministic representative.  The oracle recomputes true
+    min-reachable labels with a recursive CTE over the same pair SQL,
+    so convergence bugs cannot hash-match."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs(emb, threshold=0.3).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = D.connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("cc_label"),
+    )
+    canon = emb.select("vec_id").join(labels, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("cc_label", F.col("vec_id")).alias("canonical_id"),
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return canon.join(sizes, "canonical_id").select(
+        "vec_id",
+        "canonical_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("canonical_id")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -2433,7 +2472,9 @@ SELECT doc_id, CAST(MIN(depth) AS INT) AS depth FROM reach GROUP BY doc_id
 _CRAWL_FRONTIER_SQL = _crawl_frontier_sql(3)
 
 
-def _embedding_neardup_sql(threshold: float = 0.3) -> str:
+def _embedding_neardup_ctes() -> str:
+    """CTE block ending in ``scored`` (vec_a, vec_b, cosine) — shared by
+    the pair-list oracle and the semantic-dedup recursive oracle."""
     plane_projs = []
     for j in range(S.N_PLANES):
         proj = (
@@ -2445,8 +2486,7 @@ def _embedding_neardup_sql(threshold: float = 0.3) -> str:
     dot = _IDOT.format(a="p.qa", b="p.qb")
     na = _IDOT.format(a="p.qa", b="p.qa")
     nb = _IDOT.format(a="p.qb", b="p.qb")
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT vec_id, {_QUANT} AS q FROM embeddings
 ), bucketed AS (
   SELECT vec_id, q, CAST({bucket} AS INT) AS bucket FROM base
@@ -2466,8 +2506,39 @@ WITH base AS (
           (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6)
       AS cosine
   FROM p
-)
+)"""
+
+
+def _embedding_neardup_sql(threshold: float = 0.3) -> str:
+    return f"""
+WITH {_embedding_neardup_ctes()}
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+def _semantic_dedup_sql(threshold: float = 0.3) -> str:
+    """True min-reachable components over the near-dup pair graph —
+    a non-converged or mis-propagated Spark result cannot hash-match."""
+    return f"""
+WITH RECURSIVE {_embedding_neardup_ctes()}, nd AS (
+  SELECT vec_a, vec_b FROM scored WHERE cosine >= {threshold}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM nd
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM nd
+), reach(start, node) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.start, e.dst FROM reach r JOIN edges e ON e.src = r.node
+), canon AS (
+  SELECT start AS vec_id, MIN(node) AS canonical_id FROM reach GROUP BY start
+), sized AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size
+  FROM canon GROUP BY canonical_id
+)
+SELECT c.vec_id, c.canonical_id, s.cluster_size,
+  c.vec_id = c.canonical_id AS keep
+FROM canon c JOIN sized s USING (canonical_id)
 """
 
 
@@ -3137,6 +3208,7 @@ SELECT c.doc_id, c.canonical_id, s.cluster_size
 FROM canon c JOIN sized s USING (canonical_id)
 """,
     "embedding_neardup": _embedding_neardup_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
     "simhash": _simhash_sql(),
     "decontaminate": f"""
 WITH t AS (
@@ -3407,6 +3479,7 @@ QUERY_FNS: dict[str, Query] = {
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "incremental_dedup": q_incremental_dedup,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "decontaminate",
     "dedup_clusters",
+    "semantic_dedup",
     "quality_filter",
     "sequence_pack",
     "pii_scrub",
