@@ -752,6 +752,80 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_BUCKETS = 8
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing to a token budget (Dolma/Pile-style mixture
+    construction: balance every source down to the smallest source's
+    token count so no domain dominates the training mix).  Every doc
+    gets a deterministic hash priority; each source keeps docs in
+    priority order while its running token total stays under the
+    budget — reproducible months later because the whole decision is a
+    pure function of doc_id (never ``rand()``).
+
+    Scale shape: the per-source running token total is a prefix sum,
+    and a window partitioned only by source serializes each source
+    through ONE task (fatal for a 10-TB source).  Same decomposition
+    as ``q_sequence_pack``: priorities are uniform 60-bit hashes, so
+    ``priority DIV (2^60/MIX_BUCKETS)`` is an ORDER-RESPECTING pure
+    bucketing; the window runs per (source, bucket), per-bucket totals
+    collect to the driver (sources x MIX_BUCKETS rows — metadata), and
+    base offsets come back via a broadcast join.  The budget (min
+    source total) falls out of the same metadata.  One shuffle on
+    (source, bucket).  The DuckDB oracle uses the single-node
+    per-source global window — agreeing with it is evidence the
+    bucketed decomposition is exact."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    width = (1 << 60) // MIX_BUCKETS
+    t = docs.select(
+        "doc_id",
+        "source",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.md5_int(F.col("doc_id").cast("string")).alias("priority"),
+    ).withColumn("bkt", F.expr(f"priority DIV {width}").cast("int"))
+    # phase 1: (source, bucket) totals -> driver (metadata, not data)
+    per_source: dict[str, dict[int, int]] = {}
+    for r in (
+        t.groupBy("source", "bkt")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    ):
+        per_source.setdefault(r["source"], {})[r["bkt"]] = r["tot"]
+    budget = min(sum(b.values()) for b in per_source.values())
+    base_rows = []
+    for s, bks in per_source.items():
+        acc = 0
+        for bkt in sorted(bks):
+            base_rows.append((s, bkt, acc))
+            acc += bks[bkt]
+    base = spark.createDataFrame(
+        base_rows, "source string, bkt int, base long"
+    )
+    # phase 2: bucket-local running sum + broadcast base offset
+    w = (
+        Window.partitionBy("source", "bkt")
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.join(F.broadcast(base), ["source", "bkt"])
+        .withColumn("cum_before", F.col("base") + local)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_before",
+            (
+                (F.col("cum_before") + F.col("n_tokens")) <= F.lit(budget)
+            ).alias("kept"),
+        )
+    )
+
+
 VOCAB_TOP_K = 20
 
 
@@ -3116,6 +3190,30 @@ SELECT token, CAST(SUM(tf) AS BIGINT) AS term_freq,
 FROM per_doc GROUP BY token
 ORDER BY term_freq DESC, token ASC LIMIT {VOCAB_TOP_K}
 """,
+    # Single-node per-source global window — ground truth for the
+    # (source, bucket) two-phase prefix-sum decomposition.
+    "source_mixture": f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len({_TOKS.format(c='text')}) AS INT) AS n_tokens,
+    {_MD5INT.format(expr='CAST(doc_id AS VARCHAR)')} AS priority
+  FROM documents
+), totals AS (
+  SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY source
+), budget AS (
+  SELECT MIN(tot) AS budget FROM totals
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY priority, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM t
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_before,
+  c.cum_before + c.n_tokens <= b.budget AS kept
+FROM c, budget b
+""",
     # Same IEEE-754 expression tree as the Spark query: idf via ln (the
     # same libm the driver's math.log calls), constants interpolated by
     # repr, score rounded to 6 places before the order/limit.
@@ -3489,6 +3587,7 @@ QUERY_FNS: dict[str, Query] = {
     "stratified_sample": q_stratified_sample,
     "domain_quota": q_domain_quota,
     "vocab_topk": q_vocab_topk,
+    "source_mixture": q_source_mixture,
     "bm25_topk": q_bm25_topk,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "domain_quota",
     "vocab_topk",
+    "source_mixture",
     "bm25_topk",
     "exact_dedup",
     "jaccard_pairs",

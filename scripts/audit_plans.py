@@ -258,6 +258,29 @@ CHECKS = {
         "skip-list check is one codegen'd regex + set membership (no "
         "35-way endswith chain, no join); partial aggregation map-side",
     ),
+    "source_mixture": (
+        ["windowspecdefinition(source", "BroadcastHashJoin"],
+        ["SortMergeJoin", "Exchange rangepartitioning"],
+        "source mixing: per-source prefix sum decomposed over "
+        "(source, priority-bucket) so no source serializes through "
+        "one task; phase-1 totals are metadata-sized and come back "
+        "as a broadcast join, not a shuffled one",
+    ),
+    "bm25_topk": (
+        ["TakeOrderedAndProject", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Generate", "SortMergeJoin"],
+        "BM25 scoring pass: per-term tf via size(filter(...)) higher-"
+        "order expressions (no explode of the token stream), idf "
+        "constants baked in from the one-row stats job, top-k is "
+        "TakeOrderedAndProject — ZERO exchanges in the scoring plan",
+    ),
+    "semantic_dedup": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "semantic dedup completion: LSH-blocked capped bucket join "
+        "feeds converged min-label components — no all-pairs "
+        "expansion anywhere in the plan",
+    ),
 }
 
 
