@@ -1673,6 +1673,54 @@ def q_extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption pair mining from interleaved extraction output —
+    the (image, nearby text) rows CLIP-style multimodal training runs
+    on.  For every media span, pair its media_ref with the text spans
+    nearest before and after it in reading order, truncated to the 120
+    characters closest to the image.
+
+    Scale shape: the pairing is pure array algebra over each document's
+    own spans column (transform-with-index + slice + filter higher-order
+    expressions), riding the same shuffle-free extraction map — never an
+    explode-then-self-join or a window over a global span stream (which
+    would shuffle every span of a 10^12-doc corpus to find neighbors
+    that always live in the same row).  The only Generate is the final
+    one-row-per-media-span explode.  The oracle predicts the engine's
+    span sequence analytically (corpus-purity regime, as
+    extract_spans_full) and applies the same neighbor/truncation rule in
+    SQL."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = render_spans_to_html(documents_as_interleaved_corpus(docs))
+    result = extract_articles(corpus, min_word_count=10)
+    pairs = F.expr(
+        """
+        filter(
+          transform(spans, (s, i) ->
+            CASE WHEN s.kind = 'media' THEN named_struct(
+              'media_ref', s.media_ref,
+              'cap_before', right(try_element_at(
+                 transform(filter(slice(spans, 1, i), x -> x.kind = 'text'),
+                           x -> x.text), -1), 120),
+              'cap_after', left(try_element_at(
+                 transform(filter(slice(spans, i + 2, size(spans)),
+                                  x -> x.kind = 'text'),
+                           x -> x.text), 1), 120)
+            ) END),
+          p -> p IS NOT NULL)
+        """
+    )
+    return result.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(pairs).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.media_ref").alias("media_ref"),
+        F.col("p.cap_before").alias("cap_before"),
+        F.col("p.cap_after").alias("cap_after"),
+    )
+
+
 def q_transient_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E30 transient-404 salvage heuristic (extractor.py:434-455) as a
     pushed-down pre-filter: documents worth extracting have ≥500 chars
@@ -3413,6 +3461,21 @@ FROM t, UNNEST(generate_series(0, n_frames - 1, 3)) AS u(i)
 WHERE n_frames > 0
 """,
     "extract_interleaved": _extract_interleaved_sql(),
+    # Analytic prediction of the engine's span sequence (corpus-purity
+    # regime, as extract_spans_full) + the same neighbor/truncation
+    # rule: cap_before = last 120 chars of the preceding text span,
+    # cap_after = first 120 of the following one.
+    "caption_pairs": f"""
+WITH t AS (
+  SELECT doc_id, {_SPAN0_SQL} AS span0 FROM documents
+)
+SELECT doc_id,
+  'https://cdn.example/img-' || CAST(doc_id AS VARCHAR) || '.jpg'
+    AS media_ref,
+  right(span0, 120) AS cap_before,
+  left('End of synthetic document body.', 120) AS cap_after
+FROM t
+""",
     "extract_spans_full": _EXTRACT_SPANS_FULL_SQL,
     # Analytic reconstruction of the PDF round-trip (same technique as
     # the flagship oracle): title block, fixed-width body lines joined
@@ -3607,6 +3670,7 @@ QUERY_FNS: dict[str, Query] = {
     "transient_prefilter": q_transient_prefilter,
     "extract_excerpt": q_extract_excerpt,
     "extract_interleaved": q_extract_interleaved,
+    "caption_pairs": q_caption_pairs,
     "extract_markdown": q_extract_markdown,
     "pdf_extract": q_pdf_extract,
     "mixed_extract": q_mixed_extract,

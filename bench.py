@@ -23,6 +23,7 @@ from article_extractor_spark.session import build_session  # noqa: E402
 BENCH_QUERIES = [
     "extract_spans_full",
     "extract_interleaved",
+    "caption_pairs",
     "extract_markdown",
     "pdf_extract",
     "mixed_extract",

@@ -258,6 +258,14 @@ CHECKS = {
         "skip-list check is one codegen'd regex + set membership (no "
         "35-way endswith chain, no join); partial aggregation map-side",
     ),
+    "caption_pairs": (
+        ["MapInArrow", "Generate"],
+        ["Exchange", "SortMergeJoin", "Window"],
+        "image-caption mining: neighbor lookup is array algebra inside "
+        "each row (transform-with-index + slice higher-order exprs) "
+        "riding the shuffle-free extraction map — no span-stream "
+        "window, no self-join; one Generate for the per-media explode",
+    ),
     "source_mixture": (
         ["windowspecdefinition(source", "BroadcastHashJoin"],
         ["SortMergeJoin", "Exchange rangepartitioning"],
