@@ -828,3 +828,83 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 return labels
     finally:
         edges.unpersist()
+
+
+# --- Line-level corpus dedup (C4/RefinedWeb-style) -------------------
+
+LINE_TOKENS = 3  # tokens per "line" (segment) in the synthetic corpus
+
+
+def doc_lines(docs: DataFrame, text_col: str = "text", k: int = LINE_TOKENS) -> DataFrame:
+    """Segment each document into fixed-``k``-token lines.
+
+    Real web corpora dedup on newline-delimited lines (C4 drops
+    repeated 3-sentence spans; RefinedWeb drops duplicated lines); the
+    synthetic corpus has no newlines, so the segmentation rule is a
+    parameter: consecutive ``k``-token windows.  Swap ``doc_lines`` for
+    a ``split(text, '\\n')`` and every downstream operator is the
+    production pipeline.  All segmentation is JVM array algebra
+    (split → sequence → transform/slice): no Python, no shuffle.
+
+    Returns (doc_id, pos, line) — one row per segment, ``pos`` is the
+    0-based segment index inside its document.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    return docs.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text", k: int = LINE_TOKENS) -> DataFrame:
+    """Corpus-wide line dedup, keep-first-occurrence semantics: a line
+    survives only in the document where it first appears (global order
+    = (doc_id, pos)).  Documents are reassembled from their surviving
+    lines.  Reference scope: the reference extracts per-document only
+    (src/article_extractor/extraction.py); corpus-level line dedup is
+    part of the training-data layer this engine adds on top.
+
+    Returns (doc_id, n_lines, n_kept, dedup_text).
+
+    Scale shape (100 TB): first-occurrence is computed as a
+    ``min(struct(doc_id, pos))`` hash-aggregate per line key — partial
+    aggregation runs map-side, so a boilerplate line repeated 10^9
+    times collapses to one row per map task before the shuffle.  The
+    keyed join back to the exploded lines is an equi-join on the same
+    key whose skew AQE splits (`spark.sql.adaptive.skewJoin`).  A
+    window ``row_number() OVER (PARTITION BY line_key)`` would be one
+    fewer exchange but concentrates that hot key in a single
+    unsplittable sort partition — the agg+join shape is the one that
+    survives adversarial boilerplate.  Reassembly groups by doc_id
+    (second aggregate); collect_list is bounded by document size.
+    """
+    keyed = doc_lines(docs, text_col, k).withColumn("line_key", F.md5("line"))
+    firsts = keyed.groupBy("line_key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    flagged = keyed.join(firsts, "line_key").select(
+        "doc_id",
+        "pos",
+        "line",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        ).alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

@@ -1070,6 +1070,15 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load(spark, sf_dir, "documents"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-wide line dedup: a line survives only
+    in the document where it first appears (global (doc_id, pos)
+    order); documents are reassembled from surviving lines.  See
+    ``functions/dedup.py::line_dedup`` for the skew-robust
+    min-struct-aggregate + AQE-skew-join shape."""
+    return D.line_dedup(load(spark, sf_dir, "documents"))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
@@ -3328,6 +3337,32 @@ SELECT md5({_NORM.format(c='text')}) AS content_key,
   MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
 FROM documents GROUP BY 1
 """,
+    # Keep-first-occurrence line dedup: rn=1 over (doc_id, pos) order
+    # is exactly the engine's min(struct(doc_id, pos)) per line key.
+    "line_dedup": f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), la AS (
+  SELECT doc_id,
+    [array_to_string(toks[(i*{D.LINE_TOKENS}+1):(i*{D.LINE_TOKENS}+{D.LINE_TOKENS})], ' ')
+     FOR i IN range(CAST(ceil(len(toks)/{D.LINE_TOKENS}.0) AS INT))] AS ls
+  FROM t
+), lines AS (
+  SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos,
+    unnest(ls) AS line
+  FROM la
+), ranked AS (
+  SELECT doc_id, pos, line,
+    row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+  FROM lines
+)
+SELECT doc_id, COUNT(*) AS n_lines,
+  COUNT(*) FILTER (rn = 1) AS n_kept,
+  COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (rn = 1), '')
+    AS dedup_text
+FROM ranked GROUP BY doc_id
+""",
     "minhash_pairs": _minhash_pairs_sql(),
     "minhash_verified_pairs": _minhash_verified_sql(),
     "incremental_dedup": _incremental_dedup_sql(),
@@ -3636,6 +3671,7 @@ QUERY_FNS: dict[str, Query] = {
     "dup_ngram_stats": q_dup_ngram_stats,
     "fingerprints": q_fingerprints,
     "exact_dedup": q_exact_dedup,
+    "line_dedup": q_line_dedup,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "incremental_dedup": q_incremental_dedup,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "source_mixture",
     "bm25_topk",
     "exact_dedup",
+    "line_dedup",
     "jaccard_pairs",
     "token_counts",
     "quality_scores",

@@ -203,6 +203,17 @@ CHECKS = {
         "spec (one exchange, one sort), session rollup partial-"
         "aggregates map-side",
     ),
+    "line_dedup": (
+        ["partial_min", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoop",
+         "Exchange rangepartitioning"],
+        "corpus line dedup: first-occurrence is a min(struct) hash "
+        "aggregate whose partial runs MAP-side (a boilerplate line "
+        "repeated 10^9 times collapses to one row per task before "
+        "the shuffle), join back is an equi-join AQE can skew-split "
+        "— never a window sort concentrating the hot key; doc "
+        "reassembly partial-aggregates map-side too",
+    ),
     "incremental_dedup": (
         ["WindowGroupLimit"],
         ["CartesianProduct", "Exchange rangepartitioning"],

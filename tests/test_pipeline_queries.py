@@ -928,3 +928,31 @@ def test_incremental_dedup_probes_written_index(spark, tmp_path):
     shards = [p.name for p in (tmp_path / "band_index").iterdir()
               if p.name.startswith("shard=")]
     assert len(shards) > 1
+
+
+def test_line_dedup_keep_first_occurrence(spark):
+    """Corpus-wide line dedup: a line survives only at its globally
+    first (doc_id, pos); later docs lose it, a doc whose every line
+    was seen before reassembles to '', and within-doc repeats keep
+    only the first copy."""
+    from article_extractor_spark.functions.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "d e f g h i"),
+            (2, "a b c d e f"),
+            (3, "x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["dedup_text"])
+        for r in line_dedup(df).collect()
+    }
+    assert got == {
+        0: (2, 2, "a b c d e f"),
+        1: (2, 1, "g h i"),
+        2: (2, 0, ""),
+        3: (2, 1, "x y z"),
+    }
