@@ -621,6 +621,31 @@ QF_MIN_TTR = 0.35
 QF_MAX_TOP_WORD = 0.15
 
 
+def _quality_metrics(docs: DataFrame, *extra: Column) -> DataFrame:
+    """doc_id + the five filter metrics (plus any extra columns)."""
+    return docs.select(
+        "doc_id",
+        *extra,
+        X.langid(F.col("text")).alias("lang"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.quality_score(F.col("text")).alias("quality"),
+        X.type_token_ratio(F.col("text")).alias("ttr"),
+        X.top_word_fraction(F.col("text")).alias("twf"),
+    )
+
+
+def _quality_reason_expr() -> Column:
+    """First-failing-rule verdict over the metric columns."""
+    return (
+        F.when(F.col("lang") != "en", F.lit("non_english"))
+        .when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("quality") < QF_MIN_QUALITY, F.lit("low_quality"))
+        .when(F.col("ttr") < QF_MIN_TTR, F.lit("low_diversity"))
+        .when(F.col("twf") > QF_MAX_TOP_WORD, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data document filter (the C4/Gopher pattern:
     several cheap heuristics, first failing rule wins, verdict + reason
@@ -629,23 +654,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles; the oracle reuses the SAME per-metric SQL the
     individual metric oracles are green on, so this can only disagree
     if the rule composition itself drifts."""
-    docs = load(spark, sf_dir, "documents")
-    m = docs.select(
-        "doc_id",
-        X.langid(F.col("text")).alias("lang"),
-        X.token_count(F.col("text")).alias("n_tokens"),
-        X.quality_score(F.col("text")).alias("quality"),
-        X.type_token_ratio(F.col("text")).alias("ttr"),
-        X.top_word_fraction(F.col("text")).alias("twf"),
-    )
-    reason = (
-        F.when(F.col("lang") != "en", F.lit("non_english"))
-        .when(F.col("n_tokens") < QF_MIN_TOKENS, F.lit("too_short"))
-        .when(F.col("quality") < QF_MIN_QUALITY, F.lit("low_quality"))
-        .when(F.col("ttr") < QF_MIN_TTR, F.lit("low_diversity"))
-        .when(F.col("twf") > QF_MAX_TOP_WORD, F.lit("repetitive"))
-        .otherwise(F.lit("ok"))
-    )
+    m = _quality_metrics(load(spark, sf_dir, "documents"))
+    reason = _quality_reason_expr()
     return m.select(
         "doc_id",
         reason.alias("reason"),
@@ -717,6 +727,40 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("sampled").cast("int")).alias("n_sampled"),
         )
+    )
+
+
+# Train/val/test split: hash-bucket thresholds out of SPLIT_BUCKETS.
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90  # buckets [0, 90)  -> train
+SPLIT_VAL_LT = 95    # buckets [90, 95) -> val; rest -> test
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    Training pipelines need the split to be a pure function of the
+    document key — stable across runs, machines, and re-shards (never
+    ``rand()``/``randomSplit``, whose outcome depends on partitioning).
+    The bucket hash is salted ('split:' prefix) so it is independent
+    of every other hash-derived decision in the pipeline (sampling,
+    quotas, LSH) — correlated splits leak filter decisions into the
+    eval set.  Pure map over the scan: zero shuffles, zero joins at
+    any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        X.md5_int(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 
@@ -929,6 +973,99 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("bm25") > 0.0)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP_K)
+    )
+
+
+# Lexical quality scorer: broadcastable vocabulary cap.
+QSCORE_VOCAB = 4096
+
+
+def q_quality_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained lexical quality scorer (the DCLM/fastText-
+    classifier pattern: learn token weights from weak labels, score
+    every document with the learned model).  The weak labels are the
+    rule-based ``quality_filter`` verdicts; the model is a
+    difference-of-document-frequency linear classifier with INTEGER
+    weights: w(t) = df_keep(t)·N_drop − df_drop(t)·N_keep (sign =
+    class association, cross-multiplied so class imbalance cancels
+    without fractions).  A doc's score is the sum of w(t) over its
+    DISTINCT tokens; pred_keep = score above the corpus MEAN score,
+    compared in exact integers (score·N > Σscores — the raw sign is
+    length-dominated because keep-docs are longer, so the zero
+    threshold degenerates to all-True; mean-calibration is the
+    standard operating-point fix and stays bit-exact).
+
+    Scale shape: training is one explode → hash-aggregate on token
+    (partial map-side), capped to the top-``QSCORE_VOCAB`` tokens by
+    document frequency via TakeOrderedAndProject — the broadcast is
+    bounded by construction, the hashing-trick analog of fastText's
+    fixed bucket table.  Scoring folds the broadcast token→weight map
+    over each doc's token array with a higher-order ``aggregate`` —
+    the corpus-side pass has ZERO exchanges (same one-row-metadata
+    pattern as ``bm25_topk``).  Integer weights are the cross-engine
+    exactness device at test scale; at 10^12 docs the cross-products
+    overflow int64, so the production variant scales the counts to
+    per-million rates or uses float log-odds — the plan shape is
+    identical."""
+    docs = load(spark, sf_dir, "documents")
+    m = _quality_metrics(
+        docs,
+        F.array_distinct(X.ws_tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    base = m.select(
+        "doc_id", "toks", (_quality_reason_expr() == "ok").alias("keep")
+    )
+    totals = base.agg(
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+    ).first()
+    n_keep, n_drop = totals["n_keep"], totals["n_drop"]
+    counts = (
+        base.select(F.explode("toks").alias("token"), "keep")
+        .groupBy("token")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("df_keep"),
+            F.sum((~F.col("keep")).cast("long")).alias("df_drop"),
+        )
+    )
+    weights = (
+        counts.orderBy(
+            F.desc(F.col("df_keep") + F.col("df_drop")), F.asc("token")
+        )
+        .limit(QSCORE_VOCAB)
+        .select(
+            "token",
+            (
+                F.col("df_keep") * F.lit(n_drop)
+                - F.col("df_drop") * F.lit(n_keep)
+            ).alias("w"),
+        )
+    )
+    wmap = weights.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("token", "w"))
+        ).alias("wm")
+    )
+    scored = base.crossJoin(F.broadcast(wmap)).select(
+        "doc_id",
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.coalesce(F.element_at(F.col("wm"), t), F.lit(0).cast("long")),
+        ).alias("score"),
+        F.col("keep").alias("label_keep"),
+    )
+    cal = scored.agg(
+        F.sum("score").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).first()
+    return scored.select(
+        "doc_id",
+        "score",
+        (F.col("score") * F.lit(cal["n"]) > F.lit(cal["tot"])).alias(
+            "pred_keep"
+        ),
+        "label_keep",
     )
 
 
@@ -3212,6 +3349,17 @@ SELECT doc_id,
         '{PII_PHONE_RE}', '<PHONE>', 'g')) AS clean_digest
 FROM t
 """,
+    "split_assign": f"""
+SELECT doc_id, source,
+  CAST({_MD5INT.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}
+       % {SPLIT_BUCKETS} AS INT) AS bucket,
+  CASE WHEN {_MD5INT.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}
+            % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT} THEN 'train'
+       WHEN {_MD5INT.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}
+            % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
     "stratified_sample": f"""
 SELECT source, COUNT(*) AS n_docs,
   CAST(SUM(CASE WHEN {_MD5INT.format(
@@ -3644,6 +3792,55 @@ SELECT doc_id, reason, reason = 'ok' AS keep FROM (
 )
 """
 
+# Lexical quality scorer: the weak labels are the quality_filter SQL
+# verbatim; training (token-class document frequencies, capped vocab)
+# and scoring (distinct-token weight sum) replayed relationally.
+# Integer weights ⇒ bit-exact across engines.
+ORACLE_SQL["quality_lexical"] = f"""
+WITH labels AS ({ORACLE_SQL["quality_filter"]}),
+base AS (
+  SELECT d.doc_id,
+    list_distinct({_TOKS.format(c='lower(d.text)')}) AS toks,
+    l.keep
+  FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+),
+totals AS (
+  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_drop
+  FROM base
+),
+tok AS (SELECT doc_id, unnest(toks) AS token, keep FROM base),
+counts AS (
+  SELECT token,
+    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS df_keep,
+    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS df_drop
+  FROM tok GROUP BY token
+),
+weights AS (
+  SELECT token,
+    df_keep * (SELECT n_drop FROM totals)
+      - df_drop * (SELECT n_keep FROM totals) AS w
+  FROM counts
+  ORDER BY df_keep + df_drop DESC, token
+  LIMIT {QSCORE_VOCAB}
+),
+scores AS (
+  SELECT t.doc_id, CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS score
+  FROM tok t LEFT JOIN weights w ON t.token = w.token
+  GROUP BY t.doc_id
+),
+cal AS (
+  SELECT CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base b LEFT JOIN scores s ON b.doc_id = s.doc_id
+)
+SELECT b.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+  CAST(COALESCE(s.score, 0) AS BIGINT) * (SELECT n FROM cal)
+    > (SELECT tot FROM cal) AS pred_keep,
+  b.keep AS label_keep
+FROM base b LEFT JOIN scores s ON b.doc_id = s.doc_id
+"""
+
 QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
@@ -3681,9 +3878,11 @@ QUERY_FNS: dict[str, Query] = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "quality_filter": q_quality_filter,
+    "quality_lexical": q_quality_lexical,
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
+    "split_assign": q_split_assign,
     "domain_quota": q_domain_quota,
     "vocab_topk": q_vocab_topk,
     "source_mixture": q_source_mixture,

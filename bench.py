@@ -38,9 +38,11 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "semantic_dedup",
     "quality_filter",
+    "quality_lexical",
     "sequence_pack",
     "pii_scrub",
     "stratified_sample",
+    "split_assign",
     "domain_quota",
     "vocab_topk",
     "source_mixture",

@@ -203,6 +203,22 @@ CHECKS = {
         "spec (one exchange, one sort), session rollup partial-"
         "aggregates map-side",
     ),
+    "split_assign": (
+        ["ReadSchema"],
+        ["Exchange", "Join"],
+        "train/val/test assignment is a pure function of doc_id: "
+        "scan → project, zero shuffles at any scale",
+    ),
+    "quality_lexical": (
+        ["TakeOrderedAndProject", "partial_sum"],
+        ["SortMergeJoin", "CartesianProduct",
+         "Exchange rangepartitioning"],
+        "corpus-trained lexical scorer: token-class counts partial-"
+        "aggregate map-side, vocabulary cap is TakeOrderedAndProject "
+        "(bounded broadcast by construction), scoring folds the "
+        "broadcast weight map over each doc's tokens — the corpus-"
+        "side pass has no shuffle and no per-token join",
+    ),
     "line_dedup": (
         ["partial_min", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoop",

@@ -956,3 +956,33 @@ def test_line_dedup_keep_first_occurrence(spark):
         2: (2, 0, ""),
         3: (2, 1, "x y z"),
     }
+
+
+def test_split_assign_is_deterministic_and_ratioed(spark):
+    """Split assignment must be a pure function of doc_id (stable
+    re-materialization) and land near the 90/5/5 bucket design."""
+    from article_extractor_spark.queries import q_split_assign
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r["split"] for r in q_split_assign(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["split"] for r in q_split_assign(spark, sf_dir).collect()}
+    assert a == b and len(a) == 500
+    n_train = sum(1 for s in a.values() if s == "train")
+    assert 0.85 <= n_train / len(a) <= 0.95
+    assert {"train", "val", "test"} == set(a.values())
+
+
+def test_quality_lexical_learns_nondegenerate_model(spark):
+    """Mean-calibrated lexical scorer must split the corpus into both
+    predicted classes (the raw sign threshold degenerates to all-True
+    because keep-docs are longer — this pins the calibration) and the
+    learned scores must separate the classes in the right direction."""
+    from article_extractor_spark.queries import q_quality_lexical
+
+    rows = q_quality_lexical(spark, "/root/testdata/sf0.001").collect()
+    assert {r["pred_keep"] for r in rows} == {True, False}
+    keep_scores = [r["score"] for r in rows if r["label_keep"]]
+    drop_scores = [r["score"] for r in rows if not r["label_keep"]]
+    assert keep_scores and drop_scores
+    assert (sum(keep_scores) / len(keep_scores)
+            > sum(drop_scores) / len(drop_scores))
