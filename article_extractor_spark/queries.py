@@ -1012,9 +1012,13 @@ def q_quality_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         F.array_distinct(X.ws_tokens(F.lower(F.col("text")))).alias("toks"),
     )
+    # Three downstream passes (class totals, token-class counts, the
+    # scoring map) all consume this projection; materialize it once —
+    # the regex-heavy text metrics are the dominant cost and a real
+    # training pipeline would persist its feature table anyway.
     base = m.select(
         "doc_id", "toks", (_quality_reason_expr() == "ok").alias("keep")
-    )
+    ).localCheckpoint(eager=True)
     totals = base.agg(
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
         F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
