@@ -1073,6 +1073,109 @@ def q_quality_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR importance weighting: hashing-trick feature space + target set.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_bucket(tok: Column) -> Column:
+    """Hashed unigram feature bucket (the DSIR hashing trick): md5-
+    derived 60-bit integer mod DSIR_BUCKETS.  SQL twin inlined in the
+    oracle via _MD5INT."""
+    return F.pmod(X.md5_int(tok), F.lit(DSIR_BUCKETS))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): estimate hashed-
+    unigram bag-of-words models for a TARGET domain (here the
+    ``lang = 'en'`` slice — the Wikipedia/Books stand-in) and for the
+    RAW corpus, then score every document with its log importance
+    weight  Σ_t [ log p̂(b(t)) − log q̂(b(t)) ]  (add-1 smoothed), the
+    quantity DSIR resamples by.  ``selected`` marks docs above the
+    corpus-mean weight — the same exact-integer mean calibration as
+    ``quality_lexical`` (a deterministic stand-in for Gumbel-top-k
+    resampling, which is noise by construction).
+
+    Scale shape: feature estimation is ONE explode → hash-aggregate
+    pass whose key space is fixed at DSIR_BUCKETS=256 (map-side
+    partial agg collapses every partition to ≤256 rows before the
+    exchange — at 10^12 docs the shuffle moves KB, not the corpus);
+    both class counts ride the same pass as conditional sums.  The
+    256-entry weight table is driver-side metadata (the IVF-codebook
+    pattern), baked into the scoring pass as an array literal indexed
+    by bucket — scoring is a ZERO-exchange map over the corpus.
+
+    Cross-engine exactness: per-bucket weights are integers
+    floor(1e6 · log-ratio) — driver ``math.log`` is bit-identical to
+    DuckDB ``ln`` (same libm, the ``bm25_topk`` precedent), ``floor``
+    avoids round-half tie divergence, and integer sums are
+    order-independent, so the oracle reproduces scores exactly."""
+    import math
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        X.ws_tokens(F.lower(F.col("text"))).alias("toks"),
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+    )
+    counts = (
+        base.select(
+            F.explode(
+                F.transform(F.col("toks"), _dsir_bucket)
+            ).alias("bucket"),
+            "is_target",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("q_cnt"),
+            F.sum(F.col("is_target").cast("long")).alias("p_cnt"),
+        )
+        .collect()
+    )
+    p = {r["bucket"]: r["p_cnt"] for r in counts}
+    q = {r["bucket"]: r["q_cnt"] for r in counts}
+    tp = sum(p.values()) + DSIR_BUCKETS
+    tq = sum(q.values()) + DSIR_BUCKETS
+    # floor(1e6·(((ln(p+1) − ln tp) − ln(q+1)) + ln tq)) — association
+    # order mirrors the oracle's `a - b - c + d` (left-assoc) exactly.
+    warr = F.array(
+        *[
+            F.lit(
+                math.floor(
+                    1e6
+                    * (
+                        math.log(p.get(b, 0) + 1)
+                        - math.log(tp)
+                        - math.log(q.get(b, 0) + 1)
+                        + math.log(tq)
+                    )
+                )
+            ).cast("long")
+            for b in range(DSIR_BUCKETS)
+        ]
+    )
+    scored = base.select(
+        "doc_id",
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(warr, (_dsir_bucket(t) + 1).cast("int")),
+        ).alias("iw"),
+    )
+    cal = scored.agg(
+        F.sum("iw").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).first()
+    return scored.select(
+        "doc_id",
+        "iw",
+        (F.col("iw") * F.lit(cal["n"]) > F.lit(cal["tot"])).alias(
+            "selected"
+        ),
+    )
+
+
 PACK_CHUNK_TOKENS = 512
 
 
@@ -3845,6 +3948,55 @@ SELECT b.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
 FROM base b LEFT JOIN scores s ON b.doc_id = s.doc_id
 """
 
+# DSIR importance weights: hashed-unigram counts, integer floor(1e6·ln)
+# weights (libm-identical across engines), order-independent int sums.
+ORACLE_SQL["dsir_weights"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks,
+    lang = '{DSIR_TARGET_LANG}' AS is_target
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, is_target,
+    ({_MD5INT.format(expr='t')} % {DSIR_BUCKETS}) AS bucket
+  FROM (SELECT doc_id, is_target, unnest(toks) AS t FROM base)
+),
+cnt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS q_cnt,
+    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+  FROM tok GROUP BY bucket
+),
+tot AS (
+  SELECT SUM(p_cnt) + {DSIR_BUCKETS} AS tp,
+         SUM(q_cnt) + {DSIR_BUCKETS} AS tq
+  FROM cnt
+),
+w AS (
+  SELECT br.b AS bucket,
+    CAST(FLOOR(1e6 * (
+      ln(COALESCE(c.p_cnt, 0) + 1) - ln(t.tp)
+      - ln(COALESCE(c.q_cnt, 0) + 1) + ln(t.tq)
+    )) AS BIGINT) AS wgt
+  FROM (SELECT range AS b FROM range({DSIR_BUCKETS})) br
+  LEFT JOIN cnt c ON br.b = c.bucket
+  CROSS JOIN tot t
+),
+sc AS (
+  SELECT t.doc_id, CAST(SUM(w.wgt) AS BIGINT) AS iw
+  FROM tok t JOIN w ON t.bucket = w.bucket
+  GROUP BY t.doc_id
+),
+cal AS (
+  SELECT CAST(SUM(COALESCE(s.iw, 0)) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base b LEFT JOIN sc s ON b.doc_id = s.doc_id
+)
+SELECT b.doc_id, CAST(COALESCE(s.iw, 0) AS BIGINT) AS iw,
+  CAST(COALESCE(s.iw, 0) AS BIGINT) * (SELECT n FROM cal)
+    > (SELECT tot FROM cal) AS selected
+FROM base b LEFT JOIN sc s ON b.doc_id = s.doc_id
+"""
+
 QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
@@ -3883,6 +4035,7 @@ QUERY_FNS: dict[str, Query] = {
     "dedup_clusters": q_dedup_clusters,
     "quality_filter": q_quality_filter,
     "quality_lexical": q_quality_lexical,
+    "dsir_weights": q_dsir_weights,
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,

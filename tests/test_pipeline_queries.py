@@ -986,3 +986,27 @@ def test_quality_lexical_learns_nondegenerate_model(spark):
     assert keep_scores and drop_scores
     assert (sum(keep_scores) / len(keep_scores)
             > sum(drop_scores) / len(drop_scores))
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """DSIR log importance weights must rank the target-domain slice
+    (lang='en') above the rest on average — the defining property of
+    importance resampling — and mean calibration must select a
+    non-degenerate subset."""
+    from article_extractor_spark.queries import (
+        DSIR_TARGET_LANG,
+        q_dsir_weights,
+    )
+
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    rows = q_dsir_weights(spark, SF_DIR).collect()
+    target = [r["iw"] for r in rows if docs[r["doc_id"]] == DSIR_TARGET_LANG]
+    rest = [r["iw"] for r in rows if docs[r["doc_id"]] != DSIR_TARGET_LANG]
+    assert target and rest
+    assert sum(target) / len(target) > sum(rest) / len(rest)
+    assert {r["selected"] for r in rows} == {True, False}
