@@ -663,6 +663,55 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4-style token blocklist ("bad words" filter) + UT1-style domain
+# blocklist.  The term list is a tiny constant (C4's real list is ~400
+# entries — still an in-expression broadcast); domain blocklists are
+# millions of rows at production scale, so the host check is a JOIN
+# against a blocklist relation, not a literal IN.
+BLOCK_TERMS: tuple[str, ...] = ("slow", "error", "dup")
+BLOCK_HOSTS: tuple[str, ...] = ("src3.example.com", "src7.example.com")
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering (the C4 badwords rule + UT1 domain
+    blocklist): a document is dropped if any token is on the term
+    blocklist or its host is on the domain blocklist; both verdicts
+    are recorded so the filter is auditable (same contract as
+    ``quality_filter``).
+
+    Scale shape: the term check is ``arrays_overlap`` against a
+    constant array — pure map-side JVM, zero shuffles.  The host check
+    is a LEFT join against the blocklist relation: at 2-row test size
+    Catalyst broadcasts it, and at UT1 scale (millions of domains,
+    still ≪ corpus) the same plan broadcasts a few hundred MB — the
+    corpus side never shuffles either way.  Null-safe: blank text →
+    empty token array → no overlap."""
+    docs = load(spark, sf_dir, "documents")
+    hosts = spark.createDataFrame(
+        [(h,) for h in BLOCK_HOSTS], "blocked_host_key string"
+    )
+    base = docs.select(
+        "doc_id",
+        X.ws_tokens(F.lower(F.col("text"))).alias("toks"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+    )
+    joined = base.join(
+        F.broadcast(hosts),
+        base["host"] == hosts["blocked_host_key"],
+        "left",
+    )
+    blocked_term = F.arrays_overlap(
+        F.col("toks"), F.array(*[F.lit(t) for t in BLOCK_TERMS])
+    )
+    blocked_host = F.col("blocked_host_key").isNotNull()
+    return joined.select(
+        "doc_id",
+        blocked_term.alias("blocked_term"),
+        blocked_host.alias("blocked_host"),
+        (~blocked_term & ~blocked_host).alias("keep"),
+    )
+
+
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_PHONE_RE = "555-[0-9]{4}"
 
@@ -3997,6 +4046,24 @@ SELECT b.doc_id, CAST(COALESCE(s.iw, 0) AS BIGINT) AS iw,
 FROM base b LEFT JOIN sc s ON b.doc_id = s.doc_id
 """
 
+_BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
+_BLOCK_HOSTS_SQL = ", ".join(f"('{h}')" for h in BLOCK_HOSTS)
+
+ORACLE_SQL["blocklist_filter"] = f"""
+WITH hosts(blocked_host_key) AS (VALUES {_BLOCK_HOSTS_SQL}),
+base AS (
+  SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks,
+    source || '.example.com' AS host
+  FROM documents
+)
+SELECT b.doc_id,
+  list_has_any(b.toks, [{_BLOCK_TERMS_SQL}]) AS blocked_term,
+  h.blocked_host_key IS NOT NULL AS blocked_host,
+  NOT list_has_any(b.toks, [{_BLOCK_TERMS_SQL}])
+    AND h.blocked_host_key IS NULL AS keep
+FROM base b LEFT JOIN hosts h ON b.host = h.blocked_host_key
+"""
+
 QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
@@ -4036,6 +4103,7 @@ QUERY_FNS: dict[str, Query] = {
     "quality_filter": q_quality_filter,
     "quality_lexical": q_quality_lexical,
     "dsir_weights": q_dsir_weights,
+    "blocklist_filter": q_blocklist_filter,
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,

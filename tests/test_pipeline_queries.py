@@ -1010,3 +1010,22 @@ def test_dsir_weights_favor_target_domain(spark):
     assert target and rest
     assert sum(target) / len(target) > sum(rest) / len(rest)
     assert {r["selected"] for r in rows} == {True, False}
+
+
+def test_blocklist_filter_both_rules_fire_and_broadcasts(spark):
+    """Both blocklist rules (C4 badword terms, UT1-style host
+    blocklist) must actually fire on the corpus, keep must be their
+    conjunction, and the host check must compile to a broadcast join
+    (the corpus side never shuffles)."""
+    from article_extractor_spark.queries import q_blocklist_filter
+
+    df = q_blocklist_filter(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert any(r["blocked_term"] for r in rows)
+    assert any(r["blocked_host"] for r in rows)
+    assert any(r["keep"] for r in rows)
+    for r in rows:
+        assert r["keep"] == (not r["blocked_term"] and not r["blocked_host"])
