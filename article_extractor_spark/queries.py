@@ -1674,6 +1674,65 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-corpus job
+    (anchor corpora feed ranking features, title fallbacks, and
+    DSIR-style seed sets; the reference extracts links —
+    crawler.py:635-670 — but never aggregates what they SAY).  Rides
+    the same synthetic edge graph as the crawl frontier / PageRank
+    (doc i → (2i+1) mod N, (3i+7) mod N); each edge's anchor text is
+    a token drawn from the SOURCE document at a target-dependent
+    position (so targets accumulate anchor distributions with real
+    collisions), falling back to 'link' when the source is too short.
+
+    Output per target URL: inlink count, distinct-anchor count, and
+    the top anchor (most frequent, ties → lexicographically smallest).
+
+    Scale shape: two-level aggregation — groupBy(dst, anchor) partial
+    count (map-side combine eats the duplicate mass; at web scale this
+    is the shuffle that matters and it moves (target, anchor) pairs,
+    not edges), then groupBy(dst) where the top anchor is
+    ``min(struct(-cnt, anchor))`` — a plain partial-aggregable min,
+    no window, no second sort.  distinct_anchors is a COUNT over the
+    first-level groups, so no count-distinct Expand appears."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id")
+    toks = X.ws_tokens(F.lower(F.col("text")))
+    edges = docs.select(
+        toks.alias("toks"),
+        F.explode(F.array((src * 2 + 1) % n, (src * 3 + 7) % n)).alias(
+            "dst"
+        ),
+    ).select(
+        "dst",
+        F.coalesce(
+            F.element_at(
+                "toks", (F.lit(1) + F.pmod(F.col("dst"), F.lit(7))).cast("int")
+            ),
+            F.lit("link"),
+        ).alias("anchor"),
+    )
+    per_anchor = edges.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = per_anchor.groupBy("dst").agg(
+        F.sum("cnt").alias("n_inlinks"),
+        F.count(F.lit(1)).alias("n_distinct_anchors"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("anchor").alias("a"))
+        )["a"].alias("top_anchor"),
+    )
+    return agg.select(
+        F.concat(
+            F.lit("https://synth.example/docs/"), F.col("dst").cast("string")
+        ).alias("url"),
+        "n_inlinks",
+        "n_distinct_anchors",
+        "top_anchor",
+    )
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
@@ -4046,6 +4105,50 @@ SELECT b.doc_id, CAST(COALESCE(s.iw, 0) AS BIGINT) AS iw,
 FROM base b LEFT JOIN sc s ON b.doc_id = s.doc_id
 """
 
+# Anchor-text aggregation: same synthetic edge graph as PageRank; top
+# anchor = (max count, lexicographically smallest) — the oracle spells
+# the tie-break as a window, the engine as a partial-aggregable
+# min(struct(-cnt, anchor)).
+ORACLE_SQL["anchor_texts"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks FROM documents
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+edges AS (
+  SELECT toks, unnest([
+    (doc_id * 2 + 1) % (SELECT n FROM nn),
+    (doc_id * 3 + 7) % (SELECT n FROM nn)
+  ]) AS dst
+  FROM base
+),
+anch AS (
+  SELECT dst,
+    COALESCE(toks[CAST(1 + (dst % 7) AS INT)], 'link') AS anchor
+  FROM edges
+),
+pa AS (
+  SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM anch GROUP BY dst, anchor
+),
+agg AS (
+  SELECT dst, CAST(SUM(cnt) AS BIGINT) AS n_inlinks,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct_anchors
+  FROM pa GROUP BY dst
+),
+top AS (
+  SELECT dst, anchor AS top_anchor FROM (
+    SELECT dst, anchor,
+      row_number() OVER (
+        PARTITION BY dst ORDER BY cnt DESC, anchor ASC
+      ) AS rn
+    FROM pa
+  ) WHERE rn = 1
+)
+SELECT 'https://synth.example/docs/' || CAST(a.dst AS VARCHAR) AS url,
+  a.n_inlinks, a.n_distinct_anchors, t.top_anchor
+FROM agg a JOIN top t ON a.dst = t.dst
+"""
+
 _BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
 _BLOCK_HOSTS_SQL = ", ".join(f"('{h}')" for h in BLOCK_HOSTS)
 
@@ -4104,6 +4207,7 @@ QUERY_FNS: dict[str, Query] = {
     "quality_lexical": q_quality_lexical,
     "dsir_weights": q_dsir_weights,
     "blocklist_filter": q_blocklist_filter,
+    "anchor_texts": q_anchor_texts,
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,

@@ -1029,3 +1029,21 @@ def test_blocklist_filter_both_rules_fire_and_broadcasts(spark):
     assert any(r["keep"] for r in rows)
     for r in rows:
         assert r["keep"] == (not r["blocked_term"] and not r["blocked_host"])
+
+
+def test_anchor_texts_aggregates_without_window(spark):
+    """Anchor aggregation must be pure hash aggregation (the top-anchor
+    tie-break is a partial-aggregable min(struct), never a per-target
+    window sort), and the synthetic graph must actually produce anchor
+    collisions for the top-anchor rule to resolve."""
+    from article_extractor_spark.queries import q_anchor_texts
+
+    df = q_anchor_texts(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = df.collect()
+    assert rows
+    assert any(r["n_distinct_anchors"] < r["n_inlinks"] for r in rows)
+    for r in rows:
+        assert r["n_distinct_anchors"] <= r["n_inlinks"]
+        assert r["top_anchor"]
