@@ -954,6 +954,91 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(VOCAB_TOP_K)
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016 /
+    subword-nmt): learn the first ``BPE_MERGES`` merge rules from the
+    corpus word-frequency table — per iteration, count adjacent symbol
+    pairs weighted by word frequency, pick the most frequent (ties →
+    lexicographically smallest pair), and merge its occurrences
+    greedily left-to-right in every word.
+
+    BPE trains on the (word, freq) VOCABULARY, not the token stream —
+    the corpus-sized work is ONE explode → hash-aggregate pass; after
+    that every iteration touches only the vocabulary relation:
+    pair counting is explode → partial-aggregable sum whose argmax
+    compiles to TakeOrderedAndProject (1 row collected — the merge
+    table is driver metadata by definition), and the merge itself is a
+    map-side string ``replace``.  Per-iteration ``localCheckpoint``
+    truncates the growing plan (the PageRank/frontier lesson), keeping
+    cost linear in merges.
+
+    The symbol sequence is encoded as a space-padded, double-space-
+    joined STRING (`` a  b  c ``): the pair pattern `` L  R `` can
+    then only match full-symbol boundaries, adjacent occurrences share
+    no characters, and one non-overlapping left-to-right ``replace``
+    IS the BPE greedy merge — bit-identical in Java and DuckDB, which
+    makes the unrolled-CTE oracle exact.  ``tests/test_pipeline_
+    queries.py::test_bpe_merges_match_python_reference`` pins the
+    semantics against an independent plain-Python subword-nmt
+    implementation."""
+    docs = load(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
+    cur = (
+        docs.select(
+            F.explode(X.ws_tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.concat(
+                F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(BPE_MERGES):
+        syms = F.split(F.trim(F.col("syms")), "  ")
+        pairs = F.transform(
+            F.slice(syms, 1, F.size(syms) - 1),
+            lambda x, i: F.concat(
+                F.lit(" "),
+                x,
+                F.lit("  "),
+                F.element_at(syms, (i + F.lit(2)).cast("int")),
+                F.lit(" "),
+            ),
+        )
+        best = (
+            cur.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], best[0]["cnt"]
+        lhs, rhs = pair[1:-1].split("  ", 1)
+        merges.append((rank, lhs, rhs, int(cnt)))
+        cur = cur.select(
+            "w",
+            "freq",
+            F.replace(
+                F.col("syms"), F.lit(pair), F.lit(f" {lhs}{rhs} ")
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
+    )
+
+
 BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "join", "filter")
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -4105,6 +4190,49 @@ SELECT b.doc_id, CAST(COALESCE(s.iw, 0) AS BIGINT) AS iw,
 FROM base b LEFT JOIN sc s ON b.doc_id = s.doc_id
 """
 
+def _bpe_sql() -> str:
+    """Unrolled-CTE BPE training oracle: one (p_k, b_k, w_{k+1}) block
+    per merge iteration over the same space-padded symbol-string
+    encoding the engine uses (`` a  b  c ``), so DuckDB's ``replace``
+    performs the identical greedy left-to-right merge."""
+    toks = _TOKS.format(c="lower(text)")
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms
+  FROM (SELECT unnest({toks}) AS w FROM documents)
+  GROUP BY w
+)"""
+    ]
+    for k in range(BPE_MERGES):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(l)),
+      i -> ' ' || l[i] || '  ' || l[i+1] || ' ')) AS pair
+    FROM (SELECT freq, string_split(trim(syms), '  ') AS l FROM w{k})
+  ) GROUP BY pair
+), b{k} AS MATERIALIZED (
+  SELECT {k} AS merge_rank,
+    split_part(trim(pair), '  ', 1) AS lhs,
+    split_part(trim(pair), '  ', 2) AS rhs,
+    cnt AS pair_freq, pair
+  FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1
+), w{k + 1} AS MATERIALIZED (
+  SELECT w, freq, replace(syms, (SELECT pair FROM b{k}),
+    ' ' || (SELECT lhs || rhs FROM b{k}) || ' ') AS syms
+  FROM w{k}
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT merge_rank, lhs, rhs, pair_freq FROM b{k}"
+        for k in range(BPE_MERGES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+ORACLE_SQL["bpe_merges"] = _bpe_sql()
+
 # Anchor-text aggregation: same synthetic edge graph as PageRank; top
 # anchor = (max count, lexicographically smallest) — the oracle spells
 # the tie-break as a window, the engine as a partial-aggregable
@@ -4208,6 +4336,7 @@ QUERY_FNS: dict[str, Query] = {
     "dsir_weights": q_dsir_weights,
     "blocklist_filter": q_blocklist_filter,
     "anchor_texts": q_anchor_texts,
+    "bpe_merges": q_bpe_merges,
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,

@@ -1031,6 +1031,57 @@ def test_blocklist_filter_both_rules_fire_and_broadcasts(spark):
         assert r["keep"] == (not r["blocked_term"] and not r["blocked_host"])
 
 
+def test_bpe_merges_match_python_reference(spark):
+    """The distributed BPE trainer must reproduce, merge for merge, an
+    independent plain-Python subword-nmt implementation (dict-counted
+    pairs, greedy left-to-right merge, ties to the lexicographically
+    smallest pair) run over the same word-frequency table — this pins
+    the string-encoded merge semantics independently of both engines."""
+    from collections import Counter
+
+    import duckdb
+
+    from article_extractor_spark.queries import BPE_MERGES, q_bpe_merges
+
+    freqs = dict(
+        duckdb.sql(
+            "SELECT w, COUNT(*) FROM (SELECT unnest(string_split_regex("
+            "trim(lower(text)), '\\s+')) AS w FROM "
+            f"'{SF_DIR}/documents.parquet' WHERE trim(text) != '') GROUP BY w"
+        ).fetchall()
+    )
+    vocab = {tuple(w): f for w, f in freqs.items()}
+    expected = []
+    for rank in range(BPE_MERGES):
+        counts = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        expected.append((rank, best[0], best[1], counts[best]))
+        merged = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + f
+        vocab = merged
+
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_freq"])
+        for r in q_bpe_merges(spark, SF_DIR).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+    assert len(got) == BPE_MERGES
+
+
 def test_anchor_texts_aggregates_without_window(spark):
     """Anchor aggregation must be pure hash aggregation (the top-anchor
     tie-break is a partial-aggregable min(struct), never a per-target
