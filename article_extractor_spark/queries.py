@@ -1039,6 +1039,61 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the TRAINED tokenizer (the budget metric
+    every mixture/packing decision actually uses — ``bpe_token_count``
+    is the regex approximation; this is the real thing): apply the
+    learned ``q_bpe_merges`` rules in rank order and count each
+    document's subword tokens.
+
+    Scale shape: merges are applied to the DISTINCT-word vocabulary
+    (not the token stream) — a chain of K map-side string replaces on
+    the same symbol-string encoding the trainer used; per-document
+    counts then come from folding a broadcast word→n_subwords map over
+    the token array (the ``quality_lexical`` pattern) — ZERO exchanges
+    over the corpus beyond the vocabulary aggregate.  At web scale an
+    uncapped vocabulary map stops broadcasting; the spelling becomes
+    explode → broadcast/bucketed join → re-agg by doc_id (one
+    partial-aggregable shuffle) — the plan-shape switch is noted here
+    because the test corpus can't exercise it.  A real pipeline would
+    persist the merge table instead of retraining it inline."""
+    merge_rows = q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", X.ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
+    syms = F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+    for r in merge_rows:
+        syms = F.replace(
+            syms,
+            F.lit(f" {r['lhs']}  {r['rhs']} "),
+            F.lit(f" {r['lhs']}{r['rhs']} "),
+        )
+    vocab = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "w",
+            F.size(F.split(F.trim(syms), "  ")).cast("long").alias("n_sub"),
+        )
+    )
+    wmap = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "n_sub"))).alias(
+            "wm"
+        )
+    )
+    return base.crossJoin(F.broadcast(wmap)).select(
+        "doc_id",
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.element_at(F.col("wm"), t),
+        ).alias("n_subwords"),
+    )
+
+
 BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "join", "filter")
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -4224,14 +4279,41 @@ def _bpe_sql() -> str:
   FROM w{k}
 )"""
         )
+    return ",\n".join(ctes)
+
+
+def _bpe_merges_sql() -> str:
     unions = " UNION ALL ".join(
         f"SELECT merge_rank, lhs, rhs, pair_freq FROM b{k}"
         for k in range(BPE_MERGES)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return "WITH " + _bpe_sql() + "\n" + unions
 
 
-ORACLE_SQL["bpe_merges"] = _bpe_sql()
+def _bpe_subword_counts_sql() -> str:
+    """Per-document token count under the TRAINED tokenizer: the fully
+    merged vocabulary w{K} gives each word's subword count; summing it
+    over the document's tokens replays the engine's broadcast-map fold."""
+    toks = _TOKS.format(c="lower(text)")
+    return f"""WITH {_bpe_sql()},
+vocab AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(syms), '  ')) AS BIGINT) AS n_sub
+  FROM w{BPE_MERGES}
+),
+tok AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+),
+sums AS (
+  SELECT tok.doc_id, CAST(SUM(v.n_sub) AS BIGINT) AS n_subwords
+  FROM tok JOIN vocab v ON tok.t = v.w
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n_subwords, 0) AS BIGINT) AS n_subwords
+FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id"""
+
+
+ORACLE_SQL["bpe_merges"] = _bpe_merges_sql()
+ORACLE_SQL["bpe_subword_counts"] = _bpe_subword_counts_sql()
 
 # Anchor-text aggregation: same synthetic edge graph as PageRank; top
 # anchor = (max count, lexicographically smallest) — the oracle spells
@@ -4337,6 +4419,7 @@ QUERY_FNS: dict[str, Query] = {
     "blocklist_filter": q_blocklist_filter,
     "anchor_texts": q_anchor_texts,
     "bpe_merges": q_bpe_merges,
+    "bpe_subword_counts": q_bpe_subword_counts,
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,

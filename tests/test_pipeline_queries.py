@@ -1082,6 +1082,30 @@ def test_bpe_merges_match_python_reference(spark):
     assert len(got) == BPE_MERGES
 
 
+def test_bpe_subword_counts_bounded_and_compressive(spark):
+    """Subword counts under the trained tokenizer must lie between the
+    whitespace token count (every word ≥ 1 subword) and the non-space
+    character count (merges only shrink), and the learned merges must
+    actually compress the corpus (strictly fewer subwords than chars
+    overall)."""
+    from article_extractor_spark.queries import q_bpe_subword_counts
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    rows = q_bpe_subword_counts(spark, SF_DIR).collect()
+    assert len(rows) == len(docs)
+    total_sub = total_chars = 0
+    for r in rows:
+        words = docs[r["doc_id"]].lower().split()
+        n_chars = sum(len(w) for w in words)
+        assert len(words) <= r["n_subwords"] <= n_chars
+        total_sub += r["n_subwords"]
+        total_chars += n_chars
+    assert total_sub < total_chars
+
+
 def test_anchor_texts_aggregates_without_window(spark):
     """Anchor aggregation must be pure hash aggregation (the top-anchor
     tie-break is a partial-aggregable min(struct), never a per-target
