@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "bm25_topk",
     "exact_dedup",
     "line_dedup",
+    "dsir_weights",
+    "blocklist_filter",
+    "anchor_texts",
+    "bpe_merges",
+    "bpe_subword_counts",
     "jaccard_pairs",
     "token_counts",
     "quality_scores",

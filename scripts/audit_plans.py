@@ -316,6 +316,40 @@ CHECKS = {
         "feeds converged min-label components — no all-pairs "
         "expansion anywhere in the plan",
     ),
+    "dsir_weights": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Generate", "SortMergeJoin"],
+        "DSIR scoring pass: the 256-entry integer weight array is "
+        "baked in as a literal (driver metadata from the one "
+        "fixed-key counting job), so the corpus-side plan is scan → "
+        "project with the per-token fold inline — ZERO exchanges, "
+        "no explode",
+    ),
+    "blocklist_filter": (
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "Exchange hashpartitioning"],
+        "blocklist verdicts: term check is a map-side arrays_overlap; "
+        "the domain blocklist joins as a broadcast — the corpus side "
+        "never shuffles",
+    ),
+    "anchor_texts": (
+        ["HashAggregate", "partial_min", "partial_sum"],
+        ["Window", "SortMergeJoin", "CartesianProduct"],
+        "anchor aggregation: two-level hash agg — map-side combine on "
+        "(target, anchor) eats duplicate anchor mass before the "
+        "exchange; the top-anchor tie-break is a partial-aggregable "
+        "min(struct), never a per-target window sort",
+    ),
+    "bpe_subword_counts": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["SortMergeJoin", "Exchange hashpartitioning(doc_id"],
+        "tokenize-under-trained-merges: the merged vocabulary folds "
+        "over each doc's tokens as a broadcast map — the doc side is "
+        "scan → project with no per-token join; the single hash "
+        "exchange in the plan is the vocabulary aggregate feeding "
+        "the broadcast (keyed on w, corpus-sized input, ≤|vocab| out)",
+        {"Exchange hashpartitioning": 1},
+    ),
 }
 
 
