@@ -121,18 +121,13 @@ def type_token_ratio(col: Column) -> Column:
     )
 
 
-def top_word_fraction(col: Column) -> Column:
-    """Fraction of the document occupied by its single most frequent
-    word (Gopher repetition rule).  Computed WITHOUT a shuffle: sort
-    the token array, then a single aggregate fold tracks the longest
-    equal-run — at 10^12 docs the explode→groupBy(doc, word) form
-    would shuffle every token in the corpus; this stays map-side.
-    The fold is an interpreted HOF (CodegenFallback), fine for
-    bounded per-doc arrays; kept single-pass with a struct
-    accumulator (see memory: no common-subexpression elimination in
-    HOFs)."""
-    toks = ws_tokens(col)
-    sorted_toks = F.array_sort(toks)
+def _longest_run(arr: Column) -> Column:
+    """Max multiplicity of any element: sort, then a single fold
+    tracking the longest equal run — stays map-side (the explode→
+    groupBy(doc, elem) form would shuffle every element in the
+    corpus).  The fold is an interpreted HOF (CodegenFallback), fine
+    for bounded per-doc arrays; kept single-pass with a struct
+    accumulator (no common-subexpression elimination in HOFs)."""
     acc0 = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).alias("run"),
@@ -149,9 +144,59 @@ def top_word_fraction(col: Column) -> Column:
             F.greatest(acc["best"], new_run).alias("best"),
         )
 
-    best = F.aggregate(sorted_toks, acc0, step, lambda acc: acc["best"])
+    return F.aggregate(F.array_sort(arr), acc0, step, lambda acc: acc["best"])
+
+
+def top_word_fraction(col: Column) -> Column:
+    """Fraction of the document occupied by its single most frequent
+    word (Gopher repetition rule).  Map-side via the sorted-run fold."""
+    toks = ws_tokens(col)
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        F.round(best.cast("double") / F.size(toks).cast("double"), 6)
+        F.round(
+            _longest_run(toks).cast("double") / F.size(toks).cast("double"),
+            6,
+        )
+    )
+
+
+def top_bigram_fraction(col: Column) -> Column:
+    """Fraction of the document's word bigrams occupied by the single
+    most frequent bigram (the Gopher top-2-gram repetition rule —
+    catches two-word boilerplate ``top_word_fraction`` misses).  Same
+    zero-shuffle shape: bigrams are built by array algebra (slice +
+    transform-with-index), then the sorted-run fold."""
+    toks = ws_tokens(col)
+    grams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat(
+            x, F.lit(" "), F.element_at(toks, (i + F.lit(2)).cast("int"))
+        ),
+    )
+    n = F.size(toks) - 1
+    return F.when(F.size(toks) < 2, F.lit(0.0)).otherwise(
+        F.round(_longest_run(grams).cast("double") / n.cast("double"), 6)
+    )
+
+
+def dup_line_fraction(col: Column, k: int = 3) -> Column:
+    """Fraction of a document's lines that are repeats of another line
+    in the SAME document (the Gopher duplicate-line rule).  Lines are
+    the same fixed-``k``-token segments ``dedup.doc_lines`` uses (the
+    synthetic corpus has no newlines; swap in ``split(text, '\\n')``
+    for production).  Entirely map-side: segment by array algebra,
+    then 1 − distinct/total."""
+    toks = F.split(F.trim(col), "\\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    return F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / n_lines.cast("double"),
+            6,
+        )
     )
 
 

@@ -599,9 +599,10 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document repetition metrics: type-token ratio
-    (lexical diversity) and top-word fraction (share of the most
-    frequent word).  Both computed map-side from the token array — no
-    explode, no shuffle; at 10^12 docs the naive
+    (lexical diversity), top-word fraction, top-bigram fraction, and
+    intra-document duplicate-line fraction — the full Gopher
+    repetition rule family.  All computed map-side from the token
+    array — no explode, no shuffle; at 10^12 docs the naive
     explode→groupBy(doc, word) would shuffle every token in the
     corpus."""
     docs = load(spark, sf_dir, "documents")
@@ -609,6 +610,8 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         X.type_token_ratio(F.col("text")).alias("ttr"),
         X.top_word_fraction(F.col("text")).alias("top_word_frac"),
+        X.top_bigram_fraction(F.col("text")).alias("top_bigram_frac"),
+        X.dup_line_fraction(F.col("text")).alias("dup_line_frac"),
     )
 
 
@@ -3649,13 +3652,32 @@ FROM documents
     "langid": _langid_sql(),
     "repetition_scores": f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS.format(c='text')} AS w FROM documents
+  SELECT doc_id, {_TOKS.format(c='text')} AS w,
+    string_split_regex(trim(text), '\\s+') AS raww
+  FROM documents
 ), e AS (
   SELECT doc_id, unnest(w) AS word FROM t
 ), c AS (
   SELECT doc_id, word, count(*) AS n FROM e GROUP BY 1, 2
 ), m AS (
   SELECT doc_id, max(n) AS top_n FROM c GROUP BY 1
+), bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM t, UNNEST(CASE WHEN len(w) >= 2
+                      THEN generate_series(1, len(w) - 1)
+                      ELSE []::BIGINT[] END) AS u(i)
+), bc AS (
+  SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2
+), bm AS (
+  SELECT doc_id, max(n) AS top_bn FROM bc GROUP BY 1
+), ln AS (
+  SELECT doc_id,
+    CAST(ceil(len(raww) / 3.0) AS BIGINT) AS n_lines,
+    len(list_distinct(list_transform(
+      range(1, CAST(ceil(len(raww) / 3.0) AS BIGINT) + 1),
+      j -> array_to_string(raww[(j - 1) * 3 + 1 : (j - 1) * 3 + 3], ' ')
+    ))) AS n_distinct_lines
+  FROM t
 )
 SELECT t.doc_id,
   CASE WHEN len(w) = 0 THEN 0.0
@@ -3663,8 +3685,18 @@ SELECT t.doc_id,
   END AS ttr,
   CASE WHEN len(w) = 0 THEN 0.0
        ELSE round(CAST(m.top_n AS DOUBLE) / len(w), 6)
-  END AS top_word_frac
-FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+  END AS top_word_frac,
+  CASE WHEN len(w) < 2 THEN 0.0
+       ELSE round(CAST(bm.top_bn AS DOUBLE) / (len(w) - 1), 6)
+  END AS top_bigram_frac,
+  CASE WHEN ln.n_lines <= 0 THEN 0.0
+       ELSE round(CAST(ln.n_lines - ln.n_distinct_lines AS DOUBLE)
+                  / ln.n_lines, 6)
+  END AS dup_line_frac
+FROM t
+LEFT JOIN m ON t.doc_id = m.doc_id
+LEFT JOIN bm ON t.doc_id = bm.doc_id
+LEFT JOIN ln ON t.doc_id = ln.doc_id
 """,
     "dup_ngram_stats": f"""
 WITH t AS (

@@ -1031,6 +1031,40 @@ def test_blocklist_filter_both_rules_fire_and_broadcasts(spark):
         assert r["keep"] == (not r["blocked_term"] and not r["blocked_host"])
 
 
+def test_gopher_repetition_extensions_hand_computed(spark):
+    """top_bigram_fraction and dup_line_fraction against hand-computed
+    values on crafted documents (k=3-token lines)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import text as X
+
+    rows = spark.createDataFrame(
+        [
+            # bigrams: "a b","b a","a b","b c" → top "a b" 2/4; lines
+            # (k=3): "a b a", "b c" → no dup
+            ("a b a b c",),
+            # 12 tokens, 4 identical lines → dup_line_frac 3/4;
+            # bigrams: "x y" 8/11... wait: x y x | y x y ... compute in SQL
+            ("x y x x y x x y x x y x",),
+            ("",),
+            ("solo",),
+        ],
+        ["text"],
+    )
+    got = rows.select(
+        X.top_bigram_fraction(F.col("text")).alias("bg"),
+        X.dup_line_fraction(F.col("text")).alias("dl"),
+    ).collect()
+    assert got[0]["bg"] == round(2 / 4, 6)
+    assert got[0]["dl"] == 0.0
+    # "x y x" * 4: lines are ["x y x"] * 4 → 3/4 duplicated
+    assert got[1]["dl"] == 0.75
+    # bigrams: 11 total; "x y" 4, "y x" 4, "x x" 3 → top 4/11
+    assert got[1]["bg"] == round(4 / 11, 6)
+    assert got[2]["bg"] == 0.0 and got[2]["dl"] == 0.0
+    assert got[3]["bg"] == 0.0 and got[3]["dl"] == 0.0
+
+
 def test_bpe_merges_match_python_reference(spark):
     """The distributed BPE trainer must reproduce, merge for merge, an
     independent plain-Python subword-nmt implementation (dict-counted
