@@ -1368,6 +1368,144 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style perplexity filter: hashed-bigram LM trained on the
+# target slice; head/middle/tail buckets relative to the CORPUS-level
+# cross-entropy H = Σnll/Σn (per-mille factors, compared in exact
+# integers — absolute cuts can't survive corpus-size shifts: more
+# training mass lowers every xent).
+PPLX_U_BUCKETS = 256
+PPLX_B_BUCKETS = 4096
+PPLX_HEAD_PM = 995  # head: xent ≤ 0.995·H
+PPLX_TAIL_PM = 1005  # tail: xent > 1.005·H
+
+
+def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter (Wenzek et al. 2020): score
+    every document by its cross-entropy under a language model trained
+    on the target domain (CCNet uses a Wikipedia KenLM; here a
+    hashing-trick add-1-smoothed BIGRAM model over the ``lang='en'``
+    slice — the same target as ``dsir_weights``), then bucket into
+    head/middle/tail, the split CCNet pipelines keep/sample/drop.
+
+    Model: ln p(w2|w1) ≈ ln(c(b2(w1,w2)) + 1) − ln(c(b1(w1)) + B)
+    with bigrams hashed jointly into ``PPLX_B_BUCKETS`` and prefixes
+    into ``PPLX_U_BUCKETS`` (bounded-size model by construction — the
+    fixed-artifact property the real KenLM has).  xent = −mean per
+    bigram position; docs with <2 tokens land in 'short'.
+
+    Scale shape: training is one explode over TARGET bigram positions
+    feeding two fixed-key hash aggregates (≤4096/≤256 rows out of the
+    partial agg per partition); both count tables are driver metadata
+    baked into the scoring pass as literal arrays, so corpus scoring
+    is scan → project, ZERO exchanges, no explode (per-token work is
+    an in-row fold).  Cross-engine exactness: per-position integer
+    weights floor(1e6·ln), order-independent integer sums, and the
+    head/tail split is relative to the corpus cross-entropy H=Σnll/Σn
+    compared in exact cross-multiplied integers (nll_d·Σn·1000 vs
+    Σnll·τ‰·n_d) — the rounded double xent is display-only."""
+    import math
+
+    docs = load(spark, sf_dir, "documents")
+
+    def bigram_cols(toks: Column) -> Column:
+        return F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda x, i: F.struct(
+                F.pmod(X.md5_int(x), F.lit(PPLX_U_BUCKETS)).alias("b1"),
+                F.pmod(
+                    X.md5_int(
+                        F.concat(
+                            x,
+                            F.lit(" "),
+                            F.element_at(toks, (i + F.lit(2)).cast("int")),
+                        )
+                    ),
+                    F.lit(PPLX_B_BUCKETS),
+                ).alias("b2"),
+            ),
+        )
+
+    toks = X.ws_tokens(F.lower(F.col("text")))
+    target_pairs = (
+        docs.where(F.col("lang") == DSIR_TARGET_LANG)
+        .select(F.explode(bigram_cols(toks)).alias("bg"))
+        .select("bg.b1", "bg.b2")
+    )
+    c2 = {
+        r["b2"]: r["c"]
+        for r in target_pairs.groupBy("b2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    c1 = {
+        r["b1"]: r["c"]
+        for r in target_pairs.groupBy("b1")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    barr = F.array(
+        *[
+            F.lit(math.floor(1e6 * math.log(c2.get(j, 0) + 1))).cast("long")
+            for j in range(PPLX_B_BUCKETS)
+        ]
+    )
+    uarr = F.array(
+        *[
+            F.lit(
+                math.floor(1e6 * math.log(c1.get(i, 0) + PPLX_B_BUCKETS))
+            ).cast("long")
+            for i in range(PPLX_U_BUCKETS)
+        ]
+    )
+    lp = F.aggregate(
+        bigram_cols(toks),
+        F.lit(0).cast("long"),
+        lambda acc, bg: acc
+        + F.element_at(barr, (bg["b2"] + 1).cast("int"))
+        - F.element_at(uarr, (bg["b1"] + 1).cast("int")),
+    )
+    n = F.size(toks) - 1
+    scored = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_bigrams"),
+        (-lp).alias("nll_scaled"),
+    ).localCheckpoint(eager=True)
+    tot = scored.agg(
+        F.sum("nll_scaled").alias("nll"),
+        F.sum(F.greatest(F.col("n_bigrams"), F.lit(0))).alias("n"),
+    ).first()
+    # bucket: nll_d·(Σn·1000) vs (Σnll·τ)·n_d — exact int64 at test
+    # scale (overflow headroom documented; production uses doubles)
+    a = int(tot["n"]) * 1000
+    b_head = int(tot["nll"]) * PPLX_HEAD_PM
+    b_tail = int(tot["nll"]) * PPLX_TAIL_PM
+    return scored.select(
+        "doc_id",
+        F.when(F.col("n_bigrams") <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("nll_scaled").cast("double")
+                / (F.col("n_bigrams").cast("double") * 1e6),
+                6,
+            )
+        )
+        .alias("xent"),
+        F.when(F.col("n_bigrams") <= 0, F.lit("short"))
+        .when(
+            F.col("nll_scaled") * F.lit(a)
+            <= F.lit(b_head) * F.col("n_bigrams"),
+            F.lit("head"),
+        )
+        .when(
+            F.col("nll_scaled") * F.lit(a)
+            > F.lit(b_tail) * F.col("n_bigrams"),
+            F.lit("tail"),
+        )
+        .otherwise(F.lit("middle"))
+        .alias("bucket"),
+    )
+
+
 PACK_CHUNK_TOKENS = 512
 
 
@@ -4391,6 +4529,64 @@ SELECT 'https://synth.example/docs/' || CAST(a.dst AS VARCHAR) AS url,
 FROM agg a JOIN top t ON a.dst = t.dst
 """
 
+# CCNet perplexity filter: hashed-bigram LM weights replayed in SQL —
+# same floor(1e6·ln) integer device as dsir_weights.
+ORACLE_SQL["ccnet_perplexity"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKS.format(c='lower(text)')} AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, lang,
+    ({_MD5INT.format(expr='w[i]')} % {PPLX_U_BUCKETS}) AS b1,
+    ({_MD5INT.format(expr="w[i] || ' ' || w[i + 1]")} % {PPLX_B_BUCKETS})
+      AS b2
+  FROM base, UNNEST(CASE WHEN len(w) >= 2
+                         THEN generate_series(1, len(w) - 1)
+                         ELSE []::BIGINT[] END) AS u(i)
+),
+c2 AS (
+  SELECT b2, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b2
+),
+c1 AS (
+  SELECT b1, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b1
+),
+w2 AS (
+  SELECT br.j AS b2,
+    CAST(FLOOR(1e6 * ln(COALESCE(c.c, 0) + 1)) AS BIGINT) AS wgt
+  FROM (SELECT range AS j FROM range({PPLX_B_BUCKETS})) br
+  LEFT JOIN c2 c ON br.j = c.b2
+),
+w1 AS (
+  SELECT br.i AS b1,
+    CAST(FLOOR(1e6 * ln(COALESCE(c.c, 0) + {PPLX_B_BUCKETS})) AS BIGINT)
+      AS wgt
+  FROM (SELECT range AS i FROM range({PPLX_U_BUCKETS})) br
+  LEFT JOIN c1 c ON br.i = c.b1
+),
+s AS (
+  SELECT bg.doc_id, CAST(SUM(w1.wgt - w2.wgt) AS BIGINT) AS nll,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM bg JOIN w2 ON bg.b2 = w2.b2 JOIN w1 ON bg.b1 = w1.b1
+  GROUP BY bg.doc_id
+),
+tot AS (
+  SELECT CAST(SUM(nll) AS BIGINT) AS nll, CAST(SUM(n) AS BIGINT) AS n
+  FROM s
+)
+SELECT b.doc_id,
+  CASE WHEN COALESCE(s.n, 0) <= 0 THEN 0.0
+       ELSE round(CAST(s.nll AS DOUBLE) / (s.n * 1e6), 6) END AS xent,
+  CASE WHEN COALESCE(s.n, 0) <= 0 THEN 'short'
+       WHEN s.nll * ((SELECT n FROM tot) * 1000)
+            <= ((SELECT nll FROM tot) * {PPLX_HEAD_PM}) * s.n THEN 'head'
+       WHEN s.nll * ((SELECT n FROM tot) * 1000)
+            > ((SELECT nll FROM tot) * {PPLX_TAIL_PM}) * s.n THEN 'tail'
+       ELSE 'middle' END AS bucket
+FROM base b LEFT JOIN s ON b.doc_id = s.doc_id
+"""
+
 _BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
 _BLOCK_HOSTS_SQL = ", ".join(f"('{h}')" for h in BLOCK_HOSTS)
 
@@ -4449,6 +4645,7 @@ QUERY_FNS: dict[str, Query] = {
     "quality_lexical": q_quality_lexical,
     "dsir_weights": q_dsir_weights,
     "blocklist_filter": q_blocklist_filter,
+    "ccnet_perplexity": q_ccnet_perplexity,
     "anchor_texts": q_anchor_texts,
     "bpe_merges": q_bpe_merges,
     "bpe_subword_counts": q_bpe_subword_counts,

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "line_dedup",
     "dsir_weights",
+    "ccnet_perplexity",
     "blocklist_filter",
     "anchor_texts",
     "bpe_merges",

@@ -325,6 +325,16 @@ CHECKS = {
         "project with the per-token fold inline — ZERO exchanges, "
         "no explode",
     ),
+    "ccnet_perplexity": (
+        ["Scan ExistingRDD"],
+        ["Exchange", "Generate", "SortMergeJoin"],
+        "CCNet perplexity scoring pass: both LM weight tables are "
+        "literal arrays (driver metadata from the fixed-key training "
+        "aggregates), per-token log-probs fold in-row — the corpus "
+        "scan → project has ZERO exchanges and no explode "
+        "(localCheckpoint upstream makes the scored relation the "
+        "plan root's input)",
+    ),
     "blocklist_filter": (
         ["BroadcastHashJoin"],
         ["SortMergeJoin", "Exchange hashpartitioning"],

@@ -1031,6 +1031,31 @@ def test_blocklist_filter_both_rules_fire_and_broadcasts(spark):
         assert r["keep"] == (not r["blocked_term"] and not r["blocked_host"])
 
 
+def test_ccnet_perplexity_buckets_and_target_preference(spark):
+    """All three CCNet buckets must be populated (corpus-relative cuts
+    — absolute cuts collapse when corpus size shifts the xent scale),
+    and target-domain (lang='en') docs must score LOWER cross-entropy
+    under the LM trained on them than the rest do."""
+    from article_extractor_spark.queries import (
+        DSIR_TARGET_LANG,
+        q_ccnet_perplexity,
+    )
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    rows = q_ccnet_perplexity(spark, SF_DIR).collect()
+    buckets = {r["bucket"] for r in rows}
+    assert {"head", "middle", "tail"} <= buckets
+    tgt = [r["xent"] for r in rows if langs[r["doc_id"]] == DSIR_TARGET_LANG]
+    rest = [r["xent"] for r in rows if langs[r["doc_id"]] != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) < sum(rest) / len(rest)
+
+
 def test_gopher_repetition_extensions_hand_computed(spark):
     """top_bigram_fraction and dup_line_fraction against hand-computed
     values on crafted documents (k=3-token lines)."""
