@@ -1331,19 +1331,19 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = sum(q.values()) + DSIR_BUCKETS
     # floor(1e6·(((ln(p+1) − ln tp) − ln(q+1)) + ln tq)) — association
     # order mirrors the oracle's `a - b - c + d` (left-assoc) exactly.
-    warr = F.array(
-        *[
-            F.lit(
-                math.floor(
-                    1e6
-                    * (
-                        math.log(p.get(b, 0) + 1)
-                        - math.log(tp)
-                        - math.log(q.get(b, 0) + 1)
-                        + math.log(tq)
-                    )
+    # F.lit(list) → one array Literal (a 256 × F.lit CreateArray is
+    # re-evaluated per element_at inside the interpreted fold).
+    warr = F.lit(
+        [
+            math.floor(
+                1e6
+                * (
+                    math.log(p.get(b, 0) + 1)
+                    - math.log(tp)
+                    - math.log(q.get(b, 0) + 1)
+                    + math.log(tq)
                 )
-            ).cast("long")
+            )
             for b in range(DSIR_BUCKETS)
         ]
     )
@@ -1407,53 +1407,68 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
 
-    def bigram_cols(toks: Column) -> Column:
-        return F.transform(
-            F.slice(toks, 1, F.size(toks) - 1),
-            lambda x, i: F.struct(
-                F.pmod(X.md5_int(x), F.lit(PPLX_U_BUCKETS)).alias("b1"),
-                F.pmod(
-                    X.md5_int(
-                        F.concat(
-                            x,
-                            F.lit(" "),
-                            F.element_at(toks, (i + F.lit(2)).cast("int")),
-                        )
+    def bigram_cols(toks_expr: Column) -> Column:
+        # let-bound: an unbound token expr referenced inside the
+        # transform lambda re-splits the text per bigram position
+        # (O(tokens²) — the dup_ngram_stats lesson; 15 s → ~2 s here)
+        def body(toks: Column) -> Column:
+            return F.transform(
+                F.slice(toks, 1, F.size(toks) - 1),
+                lambda x, i: F.struct(
+                    F.pmod(X.md5_int(x), F.lit(PPLX_U_BUCKETS)).alias(
+                        "b1"
                     ),
-                    F.lit(PPLX_B_BUCKETS),
-                ).alias("b2"),
-            ),
-        )
+                    F.pmod(
+                        X.md5_int(
+                            F.concat(
+                                x,
+                                F.lit(" "),
+                                F.element_at(
+                                    toks, (i + F.lit(2)).cast("int")
+                                ),
+                            )
+                        ),
+                        F.lit(PPLX_B_BUCKETS),
+                    ).alias("b2"),
+                ),
+            )
+
+        return X.let(toks_expr, body)
 
     toks = X.ws_tokens(F.lower(F.col("text")))
     target_pairs = (
         docs.where(F.col("lang") == DSIR_TARGET_LANG)
         .select(F.explode(bigram_cols(toks)).alias("bg"))
         .select("bg.b1", "bg.b2")
+        .persist()  # two count jobs share one bigram+hash pass
     )
-    c2 = {
-        r["b2"]: r["c"]
-        for r in target_pairs.groupBy("b2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    c1 = {
-        r["b1"]: r["c"]
-        for r in target_pairs.groupBy("b1")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    barr = F.array(
-        *[
-            F.lit(math.floor(1e6 * math.log(c2.get(j, 0) + 1))).cast("long")
+    try:
+        c2 = {
+            r["b2"]: r["c"]
+            for r in target_pairs.groupBy("b2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        c1 = {
+            r["b1"]: r["c"]
+            for r in target_pairs.groupBy("b1")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+    finally:
+        target_pairs.unpersist()
+    # F.lit(list) → ONE array Literal; F.array(4096 × F.lit) builds a
+    # CreateArray re-evaluated per element_at inside the interpreted
+    # fold (measured: the difference between 12 s and 2 s at sf0.1)
+    barr = F.lit(
+        [
+            math.floor(1e6 * math.log(c2.get(j, 0) + 1))
             for j in range(PPLX_B_BUCKETS)
         ]
     )
-    uarr = F.array(
-        *[
-            F.lit(
-                math.floor(1e6 * math.log(c1.get(i, 0) + PPLX_B_BUCKETS))
-            ).cast("long")
+    uarr = F.lit(
+        [
+            math.floor(1e6 * math.log(c1.get(i, 0) + PPLX_B_BUCKETS))
             for i in range(PPLX_U_BUCKETS)
         ]
     )
