@@ -1031,6 +1031,38 @@ def test_blocklist_filter_both_rules_fire_and_broadcasts(spark):
         assert r["keep"] == (not r["blocked_term"] and not r["blocked_host"])
 
 
+def test_new_text_operators_survive_adversarial_inputs(spark):
+    """The session's fold/array operators must not throw or mis-handle
+    degenerate documents: empty text, single token, a 50k-token
+    repeated-word doc (the fold is O(n), not O(n²) — guarded by a
+    wall-clock bound), and unicode."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import text as X
+
+    big = "word " * 50_000
+    rows = spark.createDataFrame(
+        [("",), ("solo",), (big,), ("héllo wörld héllo wörld",)],
+        ["text"],
+    )
+    t0 = time.time()
+    got = rows.select(
+        X.top_bigram_fraction(F.col("text")).alias("bg"),
+        X.dup_line_fraction(F.col("text")).alias("dl"),
+        X.top_word_fraction(F.col("text")).alias("tw"),
+    ).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"fold not linear? {elapsed:.1f}s"
+    assert got[0]["bg"] == 0.0 and got[1]["bg"] == 0.0
+    # 50k identical words: top bigram == all bigrams, all lines dup
+    assert got[2]["bg"] == 1.0
+    assert got[2]["tw"] == 1.0
+    assert got[2]["dl"] > 0.99
+    assert 0.0 <= got[3]["bg"] <= 1.0
+
+
 def test_ccnet_perplexity_buckets_and_target_preference(spark):
     """All three CCNet buckets must be populated (corpus-relative cuts
     — absolute cuts collapse when corpus size shifts the xent scale),
