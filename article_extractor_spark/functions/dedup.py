@@ -908,3 +908,110 @@ def line_dedup(docs: DataFrame, text_col: str = "text", k: int = LINE_TOKENS) ->
             " ",
         ).alias("dedup_text"),
     )
+
+
+# Exact-substring dedup window width, in tokens.  Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better") uses 50
+# BPE tokens over a suffix array; the synthetic corpus averages ~60
+# words per doc, so 8 keeps the operator observable at test scale.  At
+# production scale only this constant changes.
+EXSUB_W = 8
+
+
+def doc_windows(
+    docs: DataFrame, text_col: str = "text", w: int = EXSUB_W
+) -> DataFrame:
+    """Every overlapping ``w``-token window of every document:
+    (doc_id, s, win_key) with ``s`` the 0-based start token position
+    and ``win_key`` = md5 of the space-joined window (md5 so the DuckDB
+    oracle reproduces keys bit-identically; at 100 TB the fixed 32-byte
+    key is also what you want shuffling instead of raw token runs).
+
+    Window generation is pure JVM array algebra on the document scan —
+    map-side, zero exchanges before the explode.  The token array is
+    let-bound (HOFs are interpreted with no CSE; an unbound split
+    re-tokenizes per window position — the measured O(n²) trap)."""
+    wins = _let(
+        ws_tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) < w, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - w),
+                lambda i: F.md5(F.array_join(F.slice(toks, i + 1, w), " ")),
+            )
+        ),
+    )
+    return docs.select("doc_id", F.posexplode(wins).alias("s", "win_key"))
+
+
+def exact_substring_dedup(
+    docs: DataFrame, text_col: str = "text", w: int = EXSUB_W
+) -> DataFrame:
+    """Cross-document exact-substring dedup (ExactSubstr, Lee et al.
+    2022), keep-first-occurrence semantics: any ``w``-token run that
+    also occurs elsewhere in the corpus survives only at its globally
+    first occurrence (min (doc_id, s)); every other occurrence is cut
+    out of its document TOKEN-WISE and the remainder reassembled.
+    Positional removal is what distinguishes this from ``line_dedup``
+    (fixed segmentation) and ``dup_ngram_stats`` (stats only): shared
+    boilerplate is excised mid-document while unique text around it
+    survives.  Reference scope: the reference extracts per-document
+    only; corpus-level dedup is the training-data layer this engine
+    adds.
+
+    Returns (doc_id, n_tokens, n_removed, kept_text).
+
+    Scale shape (100 TB): the paper's suffix array is a single-machine
+    structure; the distributed equivalent is this window-hash shuffle.
+    Window stats aggregate count + min(struct) IN ONE hash-aggregate
+    pass (both partial-aggregable — a boilerplate window repeated 10^9
+    times collapses map-side), and only duplicated window keys
+    (``cnt > 1``) survive the aggregate into the join, so the join's
+    build side is the duplicated subset, not the corpus.  Per-doc
+    removal starts ride one doc_id-keyed shuffle; the final coverage
+    test is a per-row array fold over that doc's own dup starts — no
+    token-level join, no window functions over the corpus."""
+    wins = doc_windows(docs, text_col, w)
+    stats = (
+        wins.groupBy("win_key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "s")).alias("first"),
+        )
+        .where(F.col("cnt") > 1)
+    )
+    dup_starts = (
+        wins.join(stats, "win_key")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("s") == F.col("first.s"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("dup_starts"))
+    )
+    joined = docs.join(dup_starts, "doc_id", "left")
+    row = _let(
+        ws_tokens(F.col(text_col)),
+        lambda toks: _let(
+            F.coalesce(F.col("dup_starts"), F.array().cast("array<int>")),
+            lambda ss: _let(
+                F.filter(
+                    toks,
+                    lambda t, p: ~F.exists(
+                        ss, lambda s: (s <= p) & (p < s + w)
+                    ),
+                ),
+                lambda kept: F.struct(
+                    F.size(toks).alias("n_tokens"),
+                    (F.size(toks) - F.size(kept)).alias("n_removed"),
+                    F.array_join(kept, " ").alias("kept_text"),
+                ),
+            ),
+        ),
+    )
+    return joined.select("doc_id", row.alias("r")).select(
+        "doc_id", "r.n_tokens", "r.n_removed", "r.kept_text"
+    )

@@ -1668,6 +1668,15 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup(load(spark, sf_dir, "documents"))
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): duplicated ``EXSUB_W``-token
+    runs are excised from every occurrence but the global first, and
+    documents reassembled token-wise.  See
+    ``functions/dedup.py::exact_substring_dedup`` for the
+    one-aggregate-pass + dup-only-join scale shape."""
+    return D.exact_substring_dedup(load(spark, sf_dir, "documents"))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
@@ -4051,6 +4060,49 @@ SELECT doc_id, COUNT(*) AS n_lines,
     AS dedup_text
 FROM ranked GROUP BY doc_id
 """,
+    # ExactSubstr (Lee et al. 2022), keep-first: rn=1 over (doc_id, s)
+    # per window key is the engine's min(struct(doc_id, s)); token p is
+    # cut iff a non-first duplicated window [s, s+W) covers it.
+    "exact_substring_dedup": f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+), win AS (
+  SELECT doc_id, i AS s,
+    md5(array_to_string(w[(i+1):(i+{D.EXSUB_W})], ' ')) AS win_key
+  FROM t, UNNEST(CASE WHEN len(w) >= {D.EXSUB_W}
+                      THEN generate_series(0, len(w) - {D.EXSUB_W})
+                      ELSE [] END) AS u(i)
+), marked AS (
+  SELECT doc_id, s,
+    count(*) OVER (PARTITION BY win_key) AS cnt,
+    row_number() OVER (PARTITION BY win_key ORDER BY doc_id, s) AS rn
+  FROM win
+), dup AS (
+  SELECT doc_id, s FROM marked WHERE cnt > 1 AND rn > 1
+), tok AS (
+  SELECT doc_id, CAST(p - 1 AS INT) AS p, w[CAST(p AS INT)] AS tk
+  FROM t, UNNEST(generate_series(1, len(w))) AS u(p)
+), keep AS (
+  SELECT tok.doc_id, tok.p, tok.tk
+  FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup
+    WHERE dup.doc_id = tok.doc_id
+      AND tok.p >= dup.s AND tok.p < dup.s + {D.EXSUB_W})
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(tk, ' ' ORDER BY p) AS kept_text
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.w) AS INT) AS n_tokens,
+  CAST(len(t.w) - COALESCE(agg.n_kept, 0) AS INT) AS n_removed,
+  COALESCE(agg.kept_text, '') AS kept_text
+FROM t LEFT JOIN agg USING (doc_id)
+""",
     "minhash_pairs": _minhash_pairs_sql(),
     "minhash_verified_pairs": _minhash_verified_sql(),
     "incremental_dedup": _incremental_dedup_sql(),
@@ -4648,6 +4700,7 @@ QUERY_FNS: dict[str, Query] = {
     "fingerprints": q_fingerprints,
     "exact_dedup": q_exact_dedup,
     "line_dedup": q_line_dedup,
+    "exact_substring_dedup": q_exact_substring_dedup,
     "minhash_pairs": q_minhash_pairs,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "incremental_dedup": q_incremental_dedup,

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "exact_dedup",
     "line_dedup",
+    "exact_substring_dedup",
     "dsir_weights",
     "ccnet_perplexity",
     "blocklist_filter",

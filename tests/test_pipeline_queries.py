@@ -958,6 +958,35 @@ def test_line_dedup_keep_first_occurrence(spark):
     }
 
 
+def test_exact_substring_dedup_excises_mid_document(spark):
+    """ExactSubstr keep-first: a duplicated 8-token run is cut from the
+    LATER document only — mid-document, with the unique text on both
+    sides surviving; the first occurrence and sub-window docs are
+    untouched; an exact duplicate doc empties entirely."""
+    from article_extractor_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    shared = "a b c d e f g h"  # exactly EXSUB_W tokens
+    df = spark.createDataFrame(
+        [
+            (0, f"{shared} tail0 tail1"),
+            (1, f"pre0 {shared} post0 post1"),  # run cut mid-doc
+            (2, "a b c d e f g"),  # 7 tokens: below window width
+            (3, f"{shared} tail0 tail1"),  # exact duplicate of doc 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_text"])
+        for r in exact_substring_dedup(df).collect()
+    }
+    assert got[0] == (10, 0, "a b c d e f g h tail0 tail1")
+    assert got[1] == (11, 8, "pre0 post0 post1")
+    assert got[2] == (7, 0, "a b c d e f g")
+    assert got[3] == (10, 10, "")
+
+
 def test_split_assign_is_deterministic_and_ratioed(spark):
     """Split assignment must be a pure function of doc_id (stable
     re-materialization) and land near the 90/5/5 bucket design."""
