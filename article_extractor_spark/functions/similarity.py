@@ -41,6 +41,24 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def sq_norm(col: Column) -> Column:
+    """Integer squared norm of a quantized vector (one fold)."""
+    return int_dot(col, col)
+
+
+def cosine_sim_prenorm(a: Column, b: Column, a_n2: Column, b_n2: Column) -> Column:
+    """Cosine where both squared norms were precomputed PER VECTOR
+    (``sq_norm``): one interpreted fold per pair instead of three.
+    Norms are a per-vector quantity — computing them inside the
+    pairwise expression redoes |pairs|/|vectors| times the work.
+    Bit-identical to ``cosine_sim``: same integer dot, same
+    ``sqrt(double)`` of the same integer, same rounding."""
+    dot = int_dot(a, b).cast("double")
+    return F.round(
+        dot / (F.sqrt(a_n2.cast("double")) * F.sqrt(b_n2.cast("double"))), 6
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine over quantized vectors, rounded to 6 decimals.
 
@@ -214,45 +232,75 @@ def embedding_neardup_pairs(
 
     Adversarial-bucket guard (same failure mode as minhash_lsh_pairs):
     a flood of identical/near-identical vectors lands in ONE bucket and
-    makes the in-bucket self-join quadratic.  A ``row_number`` over the
+    makes the in-bucket pairing quadratic.  A ``row_number`` over the
     bucket caps membership at ``bucket_cap`` (deterministic: smallest
-    vec_ids) before the join; the ranking shuffles on the same bucket
-    key the join needs.  Beyond the cap the vectors are duplicates of
-    ones already paired — exact dedup is the right tool at that
-    density; still, recall loss must be visible: pass an
+    vec_ids) before any pair is formed; the ranking shuffles on the
+    same bucket key the grouping needs.  Beyond the cap the vectors
+    are duplicates of ones already paired — exact dedup is the right
+    tool at that density; still, recall loss must be visible: pass an
     ``Observation`` as ``drop_metrics`` to read ``capped_out_members``
     / ``bucket_members`` after any action on the result (same contract
     as ``dedup.minhash_lsh_pairs``).
+
+    Single-branch plan (collect-then-expand, the ``capped_bucket_pairs``
+    shape): one scan computes quantized vector + squared norm + bucket
+    ONCE per vector, one shuffle on the bucket key serves both the cap
+    rank and the per-bucket collect (capped ≤ ``bucket_cap`` members),
+    and (i < j) pairs expand from the collected array JVM-side.  The
+    earlier self-join formulation evaluated every interpreted
+    per-vector fold TWICE (two scan branches, no exchange reuse) and
+    re-derived both norms per PAIR — measured ~2× slower at sf0.1.
+    Norms are precomputed per vector (``sq_norm``) so the pairwise
+    expression is one fold: the integer dot.
     """
     from pyspark.sql.window import Window
 
-    ranked = emb.select(
-        F.col("vec_id"),
-        quantized(F.col(vec_col)).alias("qv"),
-        lsh_bucket(F.col(vec_col)).alias("bucket"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("bucket").orderBy("vec_id")
-        ),
+    ranked = (
+        emb.select(
+            F.col("vec_id"),
+            quantized(F.col(vec_col)).alias("qv"),
+            lsh_bucket(F.col(vec_col)).alias("bucket"),
+        )
+        .withColumn("n2", sq_norm(F.col("qv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("bucket").orderBy("vec_id")
+            ),
+        )
     )
     if drop_metrics is not None:
         from .dedup import observe_cap_drops
 
         ranked = observe_cap_drops(ranked, drop_metrics, bucket_cap)
-    with_bucket = ranked.where(F.col("rn") <= bucket_cap).drop("rn")
-    a = with_bucket.alias("a")
-    b = with_bucket.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    capped = ranked.where(F.col("rn") <= bucket_cap).select(
+        "bucket", F.struct("vec_id", "qv", "n2").alias("m")
+    )
+    buckets = (
+        capped.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pair_array).alias("p"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine_sim(F.col("a.qv"), F.col("b.qv")).alias("cosine"),
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            cosine_sim_prenorm(
+                F.col("p.a.qv"),
+                F.col("p.b.qv"),
+                F.col("p.a.n2"),
+                F.col("p.b.n2"),
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -230,6 +230,17 @@ CHECKS = {
         "— never a window sort concentrating the hot key; doc "
         "reassembly partial-aggregates map-side too",
     ),
+    "exact_substring_dedup": (
+        ["partial_min", "partial_count"],
+        ["CartesianProduct", "BroadcastNestedLoop",
+         "Exchange rangepartitioning", "Window "],
+        "ExactSubstr: window hashes generated map-side from the scan; "
+        "count + min(struct) ride ONE aggregate whose partials run "
+        "map-side (a 10^9-occurrence boilerplate window collapses per "
+        "task before the shuffle); cnt>1 prunes the join-back build "
+        "side to duplicated keys only; positional excision is a "
+        "per-row fold — no corpus-wide window sort anywhere",
+    ),
     "incremental_dedup": (
         ["WindowGroupLimit"],
         ["CartesianProduct", "Exchange rangepartitioning"],
