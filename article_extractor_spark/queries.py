@@ -585,6 +585,17 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher structural quality filter (Rae et al. 2021): per-rule
+    metrics + pass flags + final keep verdict, one map-side struct per
+    document — see ``functions/text.py::gopher_metrics``.  The
+    repetition rule family lives in ``repetition_scores``."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.gopher_metrics(F.col("text")).alias("g")
+    ).select("doc_id", "g.*")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", X.langid(F.col("text")).alias("lang_pred"))
@@ -3083,6 +3094,60 @@ FROM r
 """
 
 
+def _gopher_sql() -> str:
+    toks = _TOKS.format(c="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS w, string_split(text, chr(10)) AS ls
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    CASE WHEN len(w) = 0 THEN 0.0
+         ELSE round(CAST(length(regexp_replace(text, '\\s', '', 'g'))
+                         AS DOUBLE) / len(w), 6) END AS mean_word_length,
+    CASE WHEN len(w) = 0 THEN 0.0
+         ELSE round(CAST(len(regexp_extract_all(text,
+                '{X.GOPHER_SYMBOL_RE}')) AS DOUBLE) / len(w), 6)
+         END AS symbol_ratio,
+    round(CAST(len(list_filter(ls, x ->
+        regexp_matches(trim(x), '{X.GOPHER_BULLET_RE}'))) AS DOUBLE)
+      / len(ls), 6) AS bullet_frac,
+    round(CAST(len(list_filter(ls, x ->
+        regexp_matches(trim(x), '{X.GOPHER_ELLIPSIS_RE}'))) AS DOUBLE)
+      / len(ls), 6) AS ellipsis_frac,
+    CASE WHEN len(w) = 0 THEN 0.0
+         ELSE round(CAST(len(list_filter(w, x ->
+                regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w), 6)
+         END AS alpha_frac,
+    CAST(len(list_filter([{_STOP_EN}], s -> list_contains(w, s)))
+         AS INT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_length, symbol_ratio, bullet_frac,
+  ellipsis_frac, alpha_frac, n_stopwords,
+  (n_words >= {X.GOPHER_MIN_WORDS}
+   AND n_words <= {X.GOPHER_MAX_WORDS}) AS wc_ok,
+  (mean_word_length >= {X.GOPHER_MIN_MWL}
+   AND mean_word_length <= {X.GOPHER_MAX_MWL}) AS mwl_ok,
+  (symbol_ratio <= {X.GOPHER_MAX_SYMBOL_RATIO}) AS symbol_ok,
+  (bullet_frac <= {X.GOPHER_MAX_BULLET_FRAC}) AS bullet_ok,
+  (ellipsis_frac <= {X.GOPHER_MAX_ELLIPSIS_FRAC}) AS ellipsis_ok,
+  (alpha_frac >= {X.GOPHER_MIN_ALPHA_FRAC}) AS alpha_ok,
+  (n_stopwords >= {X.GOPHER_MIN_STOPWORDS}) AS stop_ok,
+  (n_words >= {X.GOPHER_MIN_WORDS}
+   AND n_words <= {X.GOPHER_MAX_WORDS}
+   AND mean_word_length >= {X.GOPHER_MIN_MWL}
+   AND mean_word_length <= {X.GOPHER_MAX_MWL}
+   AND symbol_ratio <= {X.GOPHER_MAX_SYMBOL_RATIO}
+   AND bullet_frac <= {X.GOPHER_MAX_BULLET_FRAC}
+   AND ellipsis_frac <= {X.GOPHER_MAX_ELLIPSIS_FRAC}
+   AND alpha_frac >= {X.GOPHER_MIN_ALPHA_FRAC}
+   AND n_stopwords >= {X.GOPHER_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+
 def _langid_sql() -> str:
     toks = _TOKS.format(c="text")
     return f"""
@@ -3811,6 +3876,7 @@ SELECT doc_id,
 FROM documents
 """,
     "quality_scores": _quality_sql(),
+    "gopher_filter": _gopher_sql(),
     "langid": _langid_sql(),
     "repetition_scores": f"""
 WITH t AS (
@@ -4694,6 +4760,7 @@ QUERY_FNS: dict[str, Query] = {
     "doc_slugs": q_doc_slugs,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
+    "gopher_filter": q_gopher_filter,
     "langid": q_langid,
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,

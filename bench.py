@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "token_counts",
     "quality_scores",
+    "gopher_filter",
     "langid",
     "repetition_scores",
     "dup_ngram_stats",

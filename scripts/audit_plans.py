@@ -230,6 +230,13 @@ CHECKS = {
         "— never a window sort concentrating the hot key; doc "
         "reassembly partial-aggregates map-side too",
     ),
+    "gopher_filter": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange"],
+        "the whole Gopher structural-rule family is ONE map-side "
+        "struct projection over a pruned (doc_id, text) scan — zero "
+        "shuffles, zero Python",
+    ),
     "exact_substring_dedup": (
         ["partial_min", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoop",

@@ -958,6 +958,45 @@ def test_line_dedup_keep_first_occurrence(spark):
     }
 
 
+def test_gopher_filter_rules_fire_individually(spark):
+    """Each Gopher structural rule must fire on a document built to
+    violate exactly it (the synthetic corpus never exercises bullets /
+    ellipses / symbols / empties), and a clean 50+-word document with
+    stopwords must keep=True."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions import text as X
+
+    # 50 words, mean word length 4.0, stopwords present
+    good = ("the quick brown foxes were inside it and of today " * 5).strip()
+    rows = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "the of " + "word " * 48),  # 50 words, fine too
+            (2, "short the of doc"),  # wc_ok fails (4 words)
+            (3, ("# " * 30 + "the of " + "x " * 20).strip()),  # symbols
+            (4, "- the of one\n- two\n- three\n- four"),  # all bullets
+            (5, ("the of " + "y " * 48).strip() + "..."),  # single line ends ...
+            (6, ""),  # empty: everything structural fails
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in rows.select(
+            "doc_id", X.gopher_metrics(F.col("text")).alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+    assert got[0]["keep"] and got[0]["wc_ok"] and got[0]["stop_ok"]
+    assert got[1]["keep"]
+    assert not got[2]["wc_ok"] and not got[2]["keep"]
+    assert not got[3]["symbol_ok"]
+    assert got[4]["bullet_frac"] == 1.0 and not got[4]["bullet_ok"]
+    assert got[5]["ellipsis_frac"] == 1.0 and not got[5]["ellipsis_ok"]
+    assert got[6]["n_words"] == 0 and not got[6]["keep"]
+    assert got[6]["mean_word_length"] == 0.0
+
+
 def test_exact_substring_dedup_excises_mid_document(spark):
     """ExactSubstr keep-first: a duplicated 8-token run is cut from the
     LATER document only — mid-document, with the unique text on both
