@@ -596,6 +596,44 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "g.*")
 
 
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus distribution stats: doc count, mean char
+    length, and exact interpolated p50/p90/p99 of token and char
+    counts — the dashboard a data-mixture owner reads before setting
+    source weights.  ``percentile`` (exact, linear interpolation) is
+    chosen over ``percentile_approx`` because the DuckDB oracle's
+    ``quantile_cont`` implements the same definition, so the row
+    hash-matches; at 100 TB swap in ``percentile_approx`` (t-digest,
+    partial-aggregable, bounded memory) — same plan shape, one
+    map-side-partial aggregate per source — since exact percentile
+    buffers each group's values.  Interpolation arithmetic on integer
+    inputs is identical across engines (verified: all sources match
+    at 6 decimals)."""
+    docs = load(spark, sf_dir, "documents")
+    pre = docs.select(
+        "source",
+        X.token_count(F.col("text")).alias("n_toks"),
+        F.col("n_chars"),
+    )
+    agg = pre.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.expr("percentile(n_toks, array(0.5, 0.9, 0.99))").alias("tp"),
+        F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("cp"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "mean_chars",
+        F.round(F.col("tp")[0], 6).alias("tok_p50"),
+        F.round(F.col("tp")[1], 6).alias("tok_p90"),
+        F.round(F.col("tp")[2], 6).alias("tok_p99"),
+        F.round(F.col("cp")[0], 6).alias("chars_p50"),
+        F.round(F.col("cp")[1], 6).alias("chars_p90"),
+        F.round(F.col("cp")[2], 6).alias("chars_p99"),
+    )
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", X.langid(F.col("text")).alias("lang_pred"))
@@ -3877,6 +3915,21 @@ FROM documents
 """,
     "quality_scores": _quality_sql(),
     "gopher_filter": _gopher_sql(),
+    "corpus_percentiles": f"""
+WITH t AS (
+  SELECT source, len({_TOKS.format(c='text')}) AS n_toks, n_chars
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+  round(avg(n_chars), 6) AS mean_chars,
+  round(quantile_cont(n_toks, 0.5), 6) AS tok_p50,
+  round(quantile_cont(n_toks, 0.9), 6) AS tok_p90,
+  round(quantile_cont(n_toks, 0.99), 6) AS tok_p99,
+  round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+  round(quantile_cont(n_chars, 0.9), 6) AS chars_p90,
+  round(quantile_cont(n_chars, 0.99), 6) AS chars_p99
+FROM t GROUP BY source
+""",
     "langid": _langid_sql(),
     "repetition_scores": f"""
 WITH t AS (
@@ -4761,6 +4814,7 @@ QUERY_FNS: dict[str, Query] = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "gopher_filter": q_gopher_filter,
+    "corpus_percentiles": q_corpus_percentiles,
     "langid": q_langid,
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,

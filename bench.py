@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "token_counts",
     "quality_scores",
     "gopher_filter",
+    "corpus_percentiles",
     "langid",
     "repetition_scores",
     "dup_ngram_stats",
