@@ -1026,6 +1026,41 @@ def test_exact_substring_dedup_excises_mid_document(spark):
     assert got[3] == (10, 10, "")
 
 
+def test_exact_substring_dedup_adversarial_inputs(spark):
+    """Degenerate corpora must neither throw nor blow up: a 20k-token
+    document (window generation is O(n·w) with a let-bound token array
+    — an unbound split would be O(n²); guarded by a wall-clock bound),
+    an all-identical flood (every window duplicated; only the min doc
+    survives intact), empty text, and below-window-width docs."""
+    import time
+
+    from article_extractor_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    big = ("w%d " % 0) * 20_000
+    flood = [(10 + i, "f a b c d e f g h i j k") for i in range(6)]
+    df = spark.createDataFrame(
+        [(0, big.strip()), (1, ""), (2, "a b c")] + flood,
+        "doc_id long, text string",
+    )
+    t0 = time.time()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_text"])
+        for r in exact_substring_dedup(df).collect()
+    }
+    assert time.time() - t0 < 90, "window generation not linear?"
+    # the giant doc is w0 repeated: every window but s=0 is an
+    # intra-document duplicate, and those windows cover every position
+    # except position 0 — a single token survives
+    assert got[0] == (20_000, 19_999, "w0")
+    assert got[1] == (0, 0, "")
+    assert got[2] == (3, 0, "a b c")
+    assert got[10][1] == 0  # min doc of the flood intact
+    for i in range(11, 16):
+        assert got[i] == (12, 12, "")  # later clones fully excised
+
+
 def test_split_assign_is_deterministic_and_ratioed(spark):
     """Split assignment must be a pure function of doc_id (stable
     re-materialization) and land near the 90/5/5 bucket design."""
