@@ -537,10 +537,15 @@ def train_ivf_codebook(
     (k×dim cells, never the corpus re-keyed).  Centroids live
     DRIVER-side between iterations (k×dim integers), so lineage stays
     flat — no iterative plan growth, the same discipline as the BFS
-    frontier's localCheckpoint.  New centroids are re-quantized
-    (floor of the mean) so cell assignment stays exact integer L2;
-    empty cells keep their previous centroid.  Returns a
-    (cid, cvec:array<bigint>) DataFrame for ``assign_cells``."""
+    frontier's localCheckpoint.  New centroids are floor(mean)
+    computed as EXACT integer floordiv of the exact bigint sum —
+    ``(s - pmod(s, n)) / n`` (the double division of an exactly
+    divisible pair is exact for |s| < 2^53), never a float avg — so
+    training is bit-reproducible under any partitioning and the whole
+    iterative loop is SQL-oracle-able with unrolled CTEs; cell
+    assignment stays exact integer L2; empty cells keep their previous
+    centroid.  Returns a (cid, cvec:array<bigint>) DataFrame for
+    ``assign_cells``."""
     spark = emb.sparkSession
     init = (
         emb.where(F.col("vec_id") < k)
@@ -561,14 +566,16 @@ def train_ivf_codebook(
         means = (
             assigned.select("cell", F.posexplode("qv"))
             .groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(F.sum("col").alias("s"), F.count("col").alias("n"))
             .groupBy("cell")
             .agg(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("pos", "m"))
+                        F.collect_list(F.struct("pos", "s", "n"))
                     ),
-                    lambda s: F.floor(s["m"]).cast("long"),
+                    lambda t: (
+                        (t["s"] - F.pmod(t["s"], t["n"])) / t["n"]
+                    ).cast("long"),
                 ).alias("cvec")
             )
             .collect()
@@ -587,11 +594,12 @@ def ivf_ann_topk_trained(
 ) -> DataFrame:
     """``ivf_ann_topk`` with a k-means codebook from
     ``train_ivf_codebook`` — identical probe dataflow, better-balanced
-    cells than the first-N seed.  No SQL oracle (iterative float
-    means); correctness is pinned by tests asserting (a) within-cell
-    SSE is non-increasing over iterations and (b) the probe returns
-    exactly the brute-force cosine ranking restricted to the query's
-    cell."""
+    cells than the first-N seed.  Training is exact integer
+    arithmetic, so the full train+probe chain has an unrolled-CTE SQL
+    oracle (queries._ivf_ann_trained_sql); tests additionally pin
+    (a) non-increasing within-cell SSE over iterations and (b) the
+    probe returning exactly the brute-force cosine ranking restricted
+    to the query's cell."""
     codebook = train_ivf_codebook(emb, N_CENTROIDS, iters, vec_col)
     return ivf_ann_topk(emb, query_id, k, vec_col, codebook=codebook)
 

@@ -2153,11 +2153,12 @@ def q_ivf_ann_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over a k-means-trained codebook (2 Lloyd's
-    iterations, similarity.train_ivf_codebook).  Intentionally NO SQL
-    oracle — iterative distributed float means are not
-    SQL-expressible; correctness is pinned by tests asserting
-    non-increasing within-cell SSE and exact within-cell brute-force
-    ranking (test_trained_ivf_codebook)."""
+    iterations, similarity.train_ivf_codebook).  The centroid update
+    is exact integer floordiv of exact bigint sums, so the entire
+    train+probe chain replays bit-for-bit as unrolled CTEs
+    (_ivf_ann_sql(train_iters=2)) — the last formerly-no-oracle query;
+    tests additionally pin non-increasing within-cell SSE and exact
+    within-cell brute-force ranking (test_trained_ivf_codebook)."""
     emb = load(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk_trained(emb, query_id=0, k=10, iters=2)
 
@@ -3266,7 +3267,12 @@ LIMIT 10
 """
 
 
-def _ivf_ann_sql(nprobe: int = 1) -> str:
+def _ivf_ann_sql(nprobe: int = 1, train_iters: int = 0) -> str:
+    """IVF probe oracle; with ``train_iters`` > 0, prepends that many
+    unrolled Lloyd's-iteration CTEs (the BPE-merges technique) — exact
+    because the engine's centroid update is integer floordiv of exact
+    bigint sums (similarity.train_ivf_codebook), so assignment (integer
+    L2, ties → smallest cid) and update replay bit-for-bit in SQL."""
     sq = (
         "list_aggregate(list_transform(range(1, len({a}) + 1), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
@@ -3278,22 +3284,50 @@ def _ivf_ann_sql(nprobe: int = 1) -> str:
     dot = _IDOT.format(a="s.qv", b="s.qvec")
     na = _IDOT.format(a="s.qv", b="s.qv")
     nb = _IDOT.format(a="s.qvec", b="s.qvec")
+    train = []
+    for t in range(1, train_iters + 1):
+        prev = "cents" if t == 1 else f"cb{t - 1}"
+        train.append(
+            f"""a{t} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT e.vec_id, e.qv, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {sq} ASC, c.cid ASC) AS rn
+    FROM base e, {prev} c
+  ) WHERE rn = 1
+), x{t} AS (
+  SELECT cell, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+  FROM a{t}
+), m{t} AS (
+  SELECT cell, pos, SUM(v) AS s, COUNT(*) AS n FROM x{t}
+  GROUP BY cell, pos
+), u{t} AS (
+  SELECT cell AS cid,
+    list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cvec
+  FROM m{t} GROUP BY cell
+), cb{t} AS (
+  SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN u{t} u ON p.cid = u.cid
+)"""
+        )
+    cents = "cents" if train_iters == 0 else f"cb{train_iters}"
+    train_sql = (", " + ", ".join(train)) if train else ""
     return f"""
 WITH base AS (
   SELECT vec_id, {_QUANT} AS qv FROM embeddings
 ), cents AS (
   SELECT vec_id AS cid, qv AS cvec FROM base WHERE vec_id < {S.N_CENTROIDS}
-), assigned AS (
+){train_sql}, assigned AS (
   SELECT vec_id, qv, cell FROM (
     SELECT e.vec_id, e.qv, c.cid AS cell,
       row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY {sq} ASC, c.cid ASC) AS rn
-    FROM base e, cents c
+    FROM base e, {cents} c
   ) WHERE rn = 1
 ), qvec AS (
   SELECT qv AS qvec FROM base WHERE vec_id = 0
 ), qcells AS (
-  SELECT c.cid AS qcell FROM cents c, qvec q
+  SELECT c.cid AS qcell FROM {cents} c, qvec q
   ORDER BY {qsq} ASC, c.cid ASC LIMIT {nprobe}
 ), s AS (
   SELECT a.vec_id, a.cell, a.qv, (SELECT qvec FROM qvec) AS qvec
@@ -4320,6 +4354,9 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     "ivf_ann_topk": _ivf_ann_sql(),
     "ivf_ann_topk_pruned": _ivf_ann_sql(),
     "ivf_ann_topk_nprobe": _ivf_ann_sql(nprobe=2),
+    # the trained variant replays 2 Lloyd's iterations as unrolled
+    # CTEs — exact because training is integer-only (similarity.py)
+    "ivf_ann_topk_trained": _ivf_ann_sql(train_iters=2),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "crawl_frontier_deep": _crawl_frontier_sql(8),
     "link_pagerank": _pagerank_sql(),
