@@ -1,0 +1,119 @@
+"""Deterministic, mergeable cardinality sketches (classic HyperLogLog).
+
+Spark's built-in ``approx_count_distinct`` is a HLL++ whose internal
+xxhash has no DuckDB twin, so its estimates cannot be oracle-checked
+exactly.  This module implements the classic Flajolet et al. 2007 HLL
+over the repo's shared md5 60-bit hash (``text.md5_int``): register
+assignment, rank (rho), register maxima, and the harmonic sum are all
+exact integer arithmetic, so the whole sketch replays bit-for-bit in a
+SQL oracle — while keeping the aggregation shape that matters at
+100 TB:
+
+- the per-register ``max`` is a map-side partial aggregate, so the
+  shuffle carries at most ``groups x HLL_M`` tiny rows regardless of
+  corpus size (vs. a full ``distinct`` whose shuffle carries every
+  unique item);
+- sketches merge across partitions / waves / tables by the same
+  register-wise ``max`` (the standard HLL union), so incremental jobs
+  can maintain running distinct counts without re-scanning history.
+
+Use cases in this engine: shingle-space sizing for MinHash/LSH tuning
+(how many distinct shingles does a source contribute?), distinct-URL
+accounting in crawl lineage, and vocabulary-growth tracking during
+BPE corpus preparation.
+
+The reference engine has no sketches; this extends the
+training-data-pipeline family (SURVEY SS2 "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_int
+
+HLL_BITS = 8
+HLL_M = 1 << HLL_BITS  # 256 registers -> ~1.04/sqrt(m) = 6.5% std error
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # Flajolet bias constant
+
+# alpha * m^2 * 2^53: numerator of the scaled harmonic-mean estimate.
+# The denominator (sum_scaled) is an exact integer, so the estimate is
+# ONE double division of deterministically-derived operands; the repr
+# of this constant is interpolated verbatim into the SQL oracle so
+# both sides divide identical doubles.
+HLL_EST_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+
+# Remaining hash width after the register index is peeled off:
+# md5_int is 60 bits, minus HLL_BITS -> 52-bit rank domain, so
+# rho = 53 - bit_length(w) in [1, 52], and rho = 53 when w == 0.
+_RANK_BITS = 60 - HLL_BITS
+_RHO_CAP = _RANK_BITS + 1
+
+
+def hll_rho(h: Column) -> Column:
+    """Rank of the post-index hash bits: leading-zero count + 1 over
+    the ``_RANK_BITS``-wide remainder.  Integer-only: ``bin()`` drops
+    leading zeros on both engines, so
+    ``rho = (_RANK_BITS+1) - length(bin(w))`` — no float log2."""
+    w = F.shiftright(h, HLL_BITS)
+    return F.when(w == 0, F.lit(_RHO_CAP)).otherwise(
+        F.lit(_RHO_CAP) - F.length(F.bin(w))
+    )
+
+
+def hll_registers(
+    df: DataFrame, item_col: str, group_cols: tuple[str, ...]
+) -> DataFrame:
+    """Per-group HLL register table (group..., reg, r).
+
+    This IS the sketch: at most ``HLL_M`` rows per group, built with
+    one hash projection + one partial-aggregable ``max`` — the only
+    shuffle is the tiny register table.  Merging two register tables
+    (e.g. from incremental waves) is ``union -> groupBy(reg).max(r)``,
+    exactly this aggregate re-run."""
+    h = md5_int(F.col(item_col))
+    return (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(HLL_M - 1).alias("reg"),
+            hll_rho(h).alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, item_col: str, group_cols: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Distinct-count estimate per group from the HLL register table.
+
+    Output per group: (m, zero_registers, sum_scaled, est_distinct)
+    where ``sum_scaled = sum over registers of 2^(53 - r)`` (absent
+    registers contribute 2^53) is the harmonic sum scaled to exact
+    integers — max 256 * 2^53 = 2^61, no bigint overflow — and
+    ``est_distinct = round(HLL_EST_NUM / sum_scaled, 6)`` is the raw
+    HLL estimate.  ``zero_registers`` is emitted so a consumer can
+    apply linear-counting small-range correction; it is not applied
+    here because ``ln()`` is the one operation whose last-ulp behavior
+    is not guaranteed identical across engines (the CCNet operator
+    documents the same boundary)."""
+    regs = hll_registers(df, item_col, tuple(group_cols))
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RANK_BITS + 1} - r)")
+        ).alias("sum_present"),
+    )
+    zero = F.lit(HLL_M) - F.col("n_present")
+    sum_scaled = F.col("sum_present") + zero.cast("long") * F.lit(
+        1 << (_RANK_BITS + 1)
+    )
+    return per.select(
+        *group_cols,
+        F.lit(HLL_M).alias("m"),
+        zero.cast("long").alias("zero_registers"),
+        sum_scaled.alias("sum_scaled"),
+        F.round(F.lit(HLL_EST_NUM) / sum_scaled, 6).alias("est_distinct"),
+    )

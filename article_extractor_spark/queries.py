@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .functions import dedup as D
 from .functions import multimodal as M
 from .functions import similarity as S
+from .functions import sketches as K
 from .functions import text as X
 from .operators.extraction import (
     extract_articles,
@@ -594,6 +595,29 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", X.gopher_metrics(F.col("text")).alias("g")
     ).select("doc_id", "g.*")
+
+
+def q_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 3-shingle cardinality via the deterministic
+    HLL sketch (functions/sketches.py) — the shingle-space sizing a
+    MinHash/LSH tuner reads (band/row choice depends on how many
+    distinct shingles a source contributes).  At 100 TB this is the
+    whole point of the sketch: the shuffle carries at most 256
+    register rows per source instead of every unique shingle (an
+    exact ``countDistinct`` would shuffle the full shingle set), the
+    register max is a map-side partial aggregate, and wave-over-wave
+    union is a register-wise max merge.  Exact SQL oracle: md5-based
+    register assignment + integer rank + scaled harmonic sum replay
+    bit-for-bit (one double division at the end, identical operands
+    both sides)."""
+    from .functions.dedup import word_shingles
+    from .functions.sketches import hll_estimate
+
+    docs = load(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    return hll_estimate(items, "shingle", group_cols=("source",))
 
 
 def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3949,6 +3973,46 @@ FROM documents
 """,
     "quality_scores": _quality_sql(),
     "gopher_filter": _gopher_sql(),
+    # deterministic HLL: register index = h & (m-1), rank = 53 -
+    # length(bin(h >> 8)) (bin drops leading zeros on both engines),
+    # harmonic sum scaled to exact integers; the single double
+    # division uses the repr-interpolated constant from sketches.py
+    "distinct_shingles": f"""
+WITH toks AS (
+  SELECT source, {_NORM.format(c='text')} AS t,
+    {_TOKS.format(c=_NORM.format(c='text'))} AS w
+  FROM documents
+), sh AS (
+  SELECT source,
+    CASE WHEN len(w) < 3 THEN [t]
+    ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS shingles
+  FROM toks
+), items AS (
+  SELECT source, unnest(shingles) AS s FROM sh
+), hashed AS (
+  SELECT source, {_MD5INT.format(expr='s')} AS h FROM items
+), regs AS (
+  SELECT source, h & {K.HLL_M - 1} AS reg,
+    MAX(CASE WHEN (h >> {K.HLL_BITS}) = 0 THEN {K._RHO_CAP}
+        ELSE {K._RHO_CAP} - length(bin(h >> {K.HLL_BITS})) END) AS r
+  FROM hashed GROUP BY source, h & {K.HLL_M - 1}
+), agg AS (
+  SELECT source, COUNT(*) AS n_present,
+    SUM(1::BIGINT << ({K._RHO_CAP} - r))::BIGINT AS sum_present
+  FROM regs GROUP BY source
+)
+SELECT source, {K.HLL_M} AS m,
+  CAST({K.HLL_M} - n_present AS BIGINT) AS zero_registers,
+  (sum_present
+   + ({K.HLL_M} - n_present) * (1::BIGINT << {K._RHO_CAP}))::BIGINT
+    AS sum_scaled,
+  round({K.HLL_EST_NUM!r} /
+        (sum_present
+         + ({K.HLL_M} - n_present) * (1::BIGINT << {K._RHO_CAP})), 6)
+    AS est_distinct
+FROM agg
+""",
     "corpus_percentiles": f"""
 WITH t AS (
   SELECT source, len({_TOKS.format(c='text')}) AS n_toks, n_chars
@@ -4852,6 +4916,7 @@ QUERY_FNS: dict[str, Query] = {
     "quality_scores": q_quality_scores,
     "gopher_filter": q_gopher_filter,
     "corpus_percentiles": q_corpus_percentiles,
+    "distinct_shingles": q_distinct_shingles,
     "langid": q_langid,
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "quality_scores",
     "gopher_filter",
     "corpus_percentiles",
+    "distinct_shingles",
     "langid",
     "repetition_scores",
     "dup_ngram_stats",

@@ -1061,6 +1061,48 @@ def test_exact_substring_dedup_adversarial_inputs(spark):
         assert got[i] == (12, 12, "")  # later clones fully excised
 
 
+def test_hll_sketch_accuracy_and_merge(spark):
+    """The deterministic HLL must (a) estimate within the theoretical
+    error band (std error 6.5% at m=256; allow 3 sigma ~ 20%) and
+    (b) merge: the sketch of a union equals the register-wise max of
+    the part sketches — the property that makes it a sketch rather
+    than a statistic."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 3000
+    rows = [("g", f"item-{i % n}") for i in range(2 * n)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    est = hll_estimate(df, "item", group_cols=("grp",)).collect()[0]
+    assert est["m"] == HLL_M
+    assert abs(est["est_distinct"] - n) / n < 0.20
+
+    # merge property: union registers == max-merge of half registers
+    halves = [
+        df.where(F.md5("item").substr(1, 1) < "8"),
+        df.where(F.md5("item").substr(1, 1) >= "8"),
+    ]
+    merged = (
+        halves[0]
+        .unionByName(halves[1])
+        .transform(lambda d: hll_registers(d, "item", ("grp",)))
+    )
+    part_merge = (
+        hll_registers(halves[0], "item", ("grp",))
+        .unionByName(hll_registers(halves[1], "item", ("grp",)))
+        .groupBy("grp", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    got = {(r["reg"], r["r"]) for r in merged.collect()}
+    want = {(r["reg"], r["r"]) for r in part_merge.collect()}
+    assert got == want
+
+
 def test_split_assign_is_deterministic_and_ratioed(spark):
     """Split assignment must be a pure function of doc_id (stable
     re-materialization) and land near the 90/5/5 bucket design."""
