@@ -597,6 +597,85 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "g.*")
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout for two-dimensional data skipping
+    (functions/layout.py): interleave user bucket x hour index over
+    events, assign rows to files by the key's top 8 bits, and emit
+    each file's min/max stats for BOTH dimensions — the footer stats a
+    Parquet/Iceberg reader prunes on.  The user dimension is
+    HASH-SPREAD over the full 10-bit domain (md5 & 1023) before
+    interleaving: user ids occupy a narrow, corpus-dependent range, and
+    a dimension that fills only one curve cell gets zero pruning —
+    hashing spreads any cardinality across all cells while keeping
+    point predicates prunable (user = X ⇒ one known bucket; the time
+    dimension stays raw because it serves RANGE predicates).  Because
+    the curve keeps both ranges narrow, a point predicate on either
+    dimension alone hits ~sqrt(F) of F files (time-sorted layout:
+    every file contains every active user — zero user pruning); pinned
+    by test_zorder_layout_prunes_both_dimensions.  The key is pure
+    shift/mask integer expressions (whole-stage codegen, no shuffle to
+    compute); at 100 TB the one shuffle is the
+    repartitionByRange(zkey) write this plan feeds."""
+    from .functions.layout import zorder_key
+    from .functions.text import md5_int
+
+    ev = load(spark, sf_dir, "events")
+    x = md5_int(F.col("user_id").cast("string")).bitwiseAND(F.lit(1023))
+    secs = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+        F.lit("2024-01-01 00:00:00")
+    )
+    y = F.least(F.floor(secs / F.lit(3600)).cast("long"), F.lit(1023))
+    z = zorder_key(x, y, bits=10)
+    return (
+        ev.select(
+            x.alias("xu"),
+            y.alias("yh"),
+            F.shiftright(z, 12).alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xu").alias("min_ubucket"),
+            F.max("xu").alias("max_ubucket"),
+            F.min("yh").alias("min_hour"),
+            F.max("yh").alias("max_hour"),
+        )
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only small-file compaction planner: fold per-bucket
+    output files (stand-in: (source, doc_id%8) with bytes = sum of
+    n_chars — the shape of the lineage/manifest rows job.py commits)
+    into ~target-sized rewrite groups by cumulative-sum bucketing over
+    a deterministic order (bytes desc, source, bucket).  The window is
+    GLOBAL but runs over file *metadata* — O(files) rows, thousands at
+    100 TB, never the data — which is why a single-task window is the
+    right plan here and a scale smell anywhere else; the actual
+    rewrite is then one coalesced read per out_group.  This is the
+    planning half of Iceberg's rewrite_data_files(binpack)."""
+    from pyspark.sql.window import Window
+
+    target = 32768
+    docs = load(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        "source", F.pmod(F.col("doc_id"), F.lit(8)).alias("bucket")
+    ).agg(F.sum("n_chars").alias("bytes"))
+    w = (
+        Window.orderBy(F.desc("bytes"), F.asc("source"), F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("bytes").over(w)
+    return files.select(
+        "source",
+        "bucket",
+        "bytes",
+        F.floor((running - F.col("bytes")) / F.lit(target))
+        .cast("long")
+        .alias("out_group"),
+    )
+
+
 def q_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct 3-shingle cardinality via the deterministic
     HLL sketch (functions/sketches.py) — the shingle-space sizing a
@@ -3008,6 +3087,12 @@ _TOKS = (
 )
 
 
+def _zorder_sql_expr() -> str:
+    from .functions.layout import zorder_sql
+
+    return zorder_sql("xu", "yh", bits=10)
+
+
 def _minhash_sql() -> str:
     mins = []
     for j in range(D.MINHASH_H):
@@ -3973,6 +4058,37 @@ FROM documents
 """,
     "quality_scores": _quality_sql(),
     "gopher_filter": _gopher_sql(),
+    # Morton interleave spelled out bit-by-bit (layout.zorder_sql emits
+    # the identical expression the Spark Column tree builds)
+    "zorder_layout": f"""
+WITH b AS (
+  SELECT {_MD5INT.format(expr="CAST(user_id AS VARCHAR)")} & 1023 AS xu,
+    least(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+          // 3600, 1023) AS yh
+  FROM events
+), z AS (
+  SELECT xu, yh, {_zorder_sql_expr()} >> 12 AS file_id FROM b
+)
+SELECT file_id, COUNT(*) AS n_rows,
+  MIN(xu) AS min_ubucket, MAX(xu) AS max_ubucket,
+  MIN(yh) AS min_hour, MAX(yh) AS max_hour
+FROM z GROUP BY file_id
+""",
+    "compaction_plan": """
+WITH files AS (
+  SELECT source, doc_id % 8 AS bucket, SUM(n_chars)::BIGINT AS bytes
+  FROM documents GROUP BY source, doc_id % 8
+), r AS (
+  SELECT source, bucket, bytes,
+    SUM(bytes) OVER (ORDER BY bytes DESC, source ASC, bucket ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS running
+  FROM files
+)
+SELECT source, bucket, bytes,
+  ((running - bytes) // 32768)::BIGINT AS out_group
+FROM r
+""",
     # deterministic HLL: register index = h & (m-1), rank = 53 -
     # length(bin(h >> 8)) (bin drops leading zeros on both engines),
     # harmonic sum scaled to exact integers; the single double
@@ -4917,6 +5033,8 @@ QUERY_FNS: dict[str, Query] = {
     "gopher_filter": q_gopher_filter,
     "corpus_percentiles": q_corpus_percentiles,
     "distinct_shingles": q_distinct_shingles,
+    "zorder_layout": q_zorder_layout,
+    "compaction_plan": q_compaction_plan,
     "langid": q_langid,
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,

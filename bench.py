@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "gopher_filter",
     "corpus_percentiles",
     "distinct_shingles",
+    "zorder_layout",
+    "compaction_plan",
     "langid",
     "repetition_scores",
     "dup_ngram_stats",

@@ -1061,6 +1061,60 @@ def test_exact_substring_dedup_adversarial_inputs(spark):
         assert got[i] == (12, 12, "")  # later clones fully excised
 
 
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The point of the Morton layout: per-file min/max ranges are
+    narrow on BOTH dimensions, so a point predicate on either one
+    skips most files.  Compare against a time-sorted layout, where
+    every file's user range covers everything (zero user pruning)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import QUERY_FNS, load
+
+    import hashlib
+
+    zstats = QUERY_FNS["zorder_layout"](spark, SF_DIR).collect()
+    n_files = len(zstats)
+    assert n_files > 10
+    # probe a user that actually occurs throughout the corpus, via the
+    # same md5 bucket the layout hashes it into
+    user0 = (
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("user_id"))
+        .first()["user_id"]
+    )
+    u0 = int(hashlib.md5(str(user0).encode()).hexdigest()[:15], 16) & 1023
+    z_hit = sum(
+        1 for r in zstats if r["min_ubucket"] <= u0 <= r["max_ubucket"]
+    )
+
+    # time-sorted baseline: same file count target, files = hour ranges
+    ev = load(spark, SF_DIR, "events")
+    from article_extractor_spark.functions.text import md5_int
+
+    secs = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+        F.lit("2024-01-01 00:00:00")
+    )
+    hours = F.least(F.floor(secs / F.lit(3600)).cast("long"), F.lit(1023))
+    xu = md5_int(F.col("user_id").cast("string")).bitwiseAND(F.lit(1023))
+    tstats = (
+        ev.select(
+            xu.alias("xu"),
+            (hours * n_files / 1024).cast("long").alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(F.min("xu").alias("min_u"), F.max("xu").alias("max_u"))
+        .collect()
+    )
+    t_hit = sum(1 for r in tstats if r["min_u"] <= u0 <= r["max_u"])
+    z_frac = z_hit / n_files
+    t_frac = t_hit / len(tstats)
+    assert z_frac < 0.3, (z_hit, n_files)
+    # the z layout must prune several times harder than time-sorted
+    assert t_frac > 3 * z_frac, (t_hit, len(tstats), z_hit, n_files)
+
+
 def test_hll_sketch_accuracy_and_merge(spark):
     """The deterministic HLL must (a) estimate within the theoretical
     error band (std error 6.5% at m=256; allow 3 sigma ~ 20%) and
