@@ -1,0 +1,102 @@
+"""Deterministic Bloom filters: broadcast seen-set probes without a
+join.
+
+The anti-join shape ("drop URLs we already crawled", D7/D18) is exact
+but shuffles both sides on the key.  When the reference set is huge —
+a multi-billion-row crawl history — the at-scale alternative is a
+Bloom filter: build once over the reference keys (one partial-
+aggregable ``bit_or`` pass, output = a fixed-size word array),
+broadcast the words (kilobytes, 100-1000x smaller than the key set),
+and probe with pure bit arithmetic — the probe side never shuffles, at
+the price of a quantified false-positive rate (never a false negative,
+so a Bloom pre-filter in front of the exact anti-join preserves
+correctness while shrinking the join's input to ~FP x corpus).
+
+Spark's own ``bloomFilter``/runtime-filter machinery hashes with
+xxhash/murmur, which DuckDB cannot replay; this implementation bottoms
+out in the repo's shared md5 60-bit hash (``text.md5_int``) with k
+seed-prefixed probes, so build + probe replay bit-for-bit in the SQL
+oracles.  Words are 32 bits wide stored in longs: masks stay within
+[1, 2^31], so no shift ever touches the sign bit on either engine and
+the bit test is a literal mask-array lookup — no variable-shift
+expression needed at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_int
+
+M_BITS = 1 << 16  # default bitset: 64 Kbit -> 2048 32-bit words, 8 KiB
+K_HASHES = 4
+
+_MASKS = [1 << b for b in range(32)]
+
+
+def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
+    """k probe positions: md5 of the seed-prefixed key, mod m.
+    Seed-prefixing ("0:", "1:", ...) derives k independent hash
+    functions from the one shared md5 (same trick as the MinHash
+    permutation family)."""
+    return [
+        F.pmod(md5_int(F.concat(F.lit(f"{i}:"), key)), F.lit(m_bits))
+        for i in range(k)
+    ]
+
+
+def _mask_for(pos: Column) -> Column:
+    """2^(pos & 31) via a 32-long literal-array lookup."""
+    arr = F.array(*[F.lit(m).cast("long") for m in _MASKS])
+    return F.element_at(arr, (pos.bitwiseAND(F.lit(31)) + 1).cast("int"))
+
+
+def build_bloom_words(
+    df: DataFrame,
+    key_col: str,
+    k: int = K_HASHES,
+    m_bits: int = M_BITS,
+) -> list[int]:
+    """Dense bitset words for the keys of ``df``, driver-side.
+
+    One explode (k rows per key) + one ``bit_or`` aggregate whose
+    partials run map-side, so the shuffle carries at most
+    ``m_bits/32`` word rows per task regardless of key count; the
+    collect is the finished sketch (metadata-sized, the same class as
+    the IVF codebook collect), which the caller broadcasts as a
+    literal array.  Two Bloom words merge by OR — incremental waves
+    union for free, like the HLL registers."""
+    pos = F.explode(F.array(*_positions(F.col(key_col), k, m_bits)))
+    words = (
+        df.select(pos.alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("widx"),
+            _mask_for(F.col("pos")).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 32)
+    for r in words:
+        dense[int(r["widx"])] = int(r["word"])
+    return dense
+
+
+def bloom_probe(
+    key: Column,
+    words: list[int],
+    k: int = K_HASHES,
+    m_bits: int = M_BITS,
+) -> Column:
+    """Membership probe against built words: true iff all k bits are
+    set.  Pure bit arithmetic over a broadcast literal array — no
+    join, no shuffle on the probe side."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = None
+    for pos in _positions(key, k, m_bits):
+        word = F.element_at(arr, (F.shiftright(pos, 5) + 1).cast("int"))
+        bit_set = word.bitwiseAND(_mask_for(pos)) != 0
+        cond = bit_set if cond is None else cond & bit_set
+    return cond

@@ -597,6 +597,47 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "g.*")
 
 
+def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-URL probe (functions/bloom.py): build a
+    64 Kbit deterministic Bloom over the corpus URLs (one map-side
+    bit_or aggregate, ≤2048 word rows cross the shuffle), broadcast
+    the words as a literal array, and probe a candidate list — half
+    known URLs, half unseen — with pure bit arithmetic.  This is the
+    at-scale replacement for the D7 visited anti-join when the seen
+    set is a multi-billion-row crawl history: the probe side never
+    shuffles and the words are ~1000x smaller than the key set; FP
+    rate is quantified (never FN), pinned by
+    test_bloom_filter_fp_rate_and_no_false_negatives.  Exact SQL
+    oracle: md5 positions, 32-bit words, and the mask test replay
+    bit-for-bit."""
+    from .functions.bloom import bloom_probe, build_bloom_words
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    words = build_bloom_words(docs.select(url.alias("url")), "url")
+    probe = docs.select(
+        F.col("doc_id").alias("probe_id"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, url)
+        .otherwise(
+            F.concat(
+                F.lit("https://unseen.example.com/docs/"),
+                (F.col("doc_id") + 1000000).cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    return probe.select(
+        "probe_id",
+        "url",
+        bloom_probe(F.col("url"), words).alias("maybe_seen"),
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout for two-dimensional data skipping
     (functions/layout.py): interleave user bucket x hour index over
@@ -3093,6 +3134,49 @@ def _zorder_sql_expr() -> str:
     return zorder_sql("xu", "yh", bits=10)
 
 
+def _bloom_seen_sql() -> str:
+    """Replays functions/bloom.py build + probe: k seed-prefixed md5
+    positions, 32-bit words OR-folded, literal-array bit test."""
+    from .functions.bloom import K_HASHES, M_BITS
+
+    n_words = M_BITS // 32
+    pos_exprs = [
+        _MD5INT.format(expr=f"'{i}:' || url") + f" % {M_BITS}"
+        for i in range(K_HASHES)
+    ]
+    build_pos = ", ".join(pos_exprs)
+    checks = " AND ".join(
+        f"(a[(({p}) >> 5) + 1] & (1::BIGINT << (({p}) & 31))) != 0"
+        for p in pos_exprs
+    )
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/docs/' || doc_id AS url
+  FROM documents
+), pos AS (
+  SELECT unnest([{build_pos}]) AS pos FROM urls
+), words AS (
+  SELECT pos >> 5 AS widx,
+    bit_or(1::BIGINT << (pos & 31))::BIGINT AS word
+  FROM pos GROUP BY pos >> 5
+), dense AS (
+  SELECT r.range AS widx, COALESCE(w.word, 0) AS word
+  FROM range(0, {n_words}) r LEFT JOIN words w ON w.widx = r.range
+), arr AS (
+  SELECT list(word ORDER BY widx) AS a FROM dense
+), probe AS (
+  SELECT doc_id AS probe_id,
+    CASE WHEN doc_id % 2 = 0 THEN url
+    ELSE 'https://unseen.example.com/docs/' || (doc_id + 1000000)
+    END AS url
+  FROM urls
+)
+SELECT probe_id, url, ({checks}) AS maybe_seen
+FROM probe, arr
+"""
+
+
 def _minhash_sql() -> str:
     mins = []
     for j in range(D.MINHASH_H):
@@ -4058,6 +4142,7 @@ FROM documents
 """,
     "quality_scores": _quality_sql(),
     "gopher_filter": _gopher_sql(),
+    "bloom_seen_filter": _bloom_seen_sql(),
     # Morton interleave spelled out bit-by-bit (layout.zorder_sql emits
     # the identical expression the Spark Column tree builds)
     "zorder_layout": f"""
@@ -5035,6 +5120,7 @@ QUERY_FNS: dict[str, Query] = {
     "distinct_shingles": q_distinct_shingles,
     "zorder_layout": q_zorder_layout,
     "compaction_plan": q_compaction_plan,
+    "bloom_seen_filter": q_bloom_seen_filter,
     "langid": q_langid,
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,

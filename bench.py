@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "distinct_shingles",
     "zorder_layout",
     "compaction_plan",
+    "bloom_seen_filter",
     "langid",
     "repetition_scores",
     "dup_ngram_stats",

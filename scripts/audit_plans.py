@@ -378,6 +378,40 @@ CHECKS = {
         "the broadcast (keyed on w, corpus-sized input, ≤|vocab| out)",
         {"Exchange hashpartitioning": 1},
     ),
+    "distinct_shingles": (
+        ["partial_max", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct", "Expand",
+         "Exchange rangepartitioning"],
+        "HLL distinct sketch: register max partial-aggregates "
+        "MAP-side, so the shuffle carries ≤256 register rows per "
+        "source instead of every unique shingle (an exact "
+        "count-distinct would Expand + shuffle the full shingle set)",
+    ),
+    "zorder_layout": (
+        ["HashAggregate", "partial_min", "partial_max"],
+        ["SortMergeJoin", "CartesianProduct", "Generate",
+         "Exchange rangepartitioning"],
+        "Morton layout stats: the z-key is pure shift/mask projection "
+        "(codegen, no shuffle to compute); the single hash exchange "
+        "is the per-file stats rollup with map-side partials",
+    ),
+    "bloom_seen_filter": (
+        ["ReadSchema: struct<doc_id:bigint,source:string>"],
+        ["Join", "Exchange", "Generate"],
+        "Bloom probe: the words are a broadcast LITERAL array (built "
+        "once, metadata-sized), so the probe plan is scan → project "
+        "with zero joins and zero shuffles — the at-scale replacement "
+        "for the visited anti-join against a huge crawl history",
+    ),
+    "compaction_plan": (
+        ["Window", "Exchange SinglePartition"],
+        ["SortMergeJoin", "CartesianProduct"],
+        "compaction planning: the global cumulative-sum window IS "
+        "single-partition by design — it runs over file METADATA "
+        "(O(files) rows, thousands at 100 TB), never the data; the "
+        "corpus-sized input partial-aggregates into per-file rows "
+        "before the exchange",
+    ),
 }
 
 

@@ -1061,6 +1061,50 @@ def test_exact_substring_dedup_adversarial_inputs(spark):
         assert got[i] == (12, 12, "")  # later clones fully excised
 
 
+def test_bloom_filter_fp_rate_and_no_false_negatives(spark):
+    """Bloom guarantees: every inserted key probes true (no FN — the
+    property that lets a Bloom pre-filter preserve anti-join
+    correctness), unseen keys probe true at ~the analytic FP rate
+    ((1-e^(-kn/m))^k ≈ 2.2% at n=500, m=4096, k=4), and word arrays
+    built from disjoint halves merge by OR into the full build."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions.bloom import (
+        bloom_probe,
+        build_bloom_words,
+    )
+
+    m, k = 4096, 4
+    seen = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    words = build_bloom_words(seen, "key", k=k, m_bits=m)
+    hits = seen.select(
+        bloom_probe(F.col("key"), words, k=k, m_bits=m).alias("hit")
+    ).collect()
+    assert all(r["hit"] for r in hits)  # no false negatives
+
+    unseen = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("key")
+    )
+    fp = sum(
+        r["hit"]
+        for r in unseen.select(
+            bloom_probe(F.col("key"), words, k=k, m_bits=m).alias("hit")
+        ).collect()
+    )
+    assert fp / 2000 < 0.06, fp  # ~2.2% analytic, 3-sigma headroom
+    assert fp > 0  # small filter chosen so FPs actually occur
+
+    half_a = build_bloom_words(
+        seen.where(F.col("key").substr(2, 1) < "3"), "key", k=k, m_bits=m
+    )
+    half_b = build_bloom_words(
+        seen.where(F.col("key").substr(2, 1) >= "3"), "key", k=k, m_bits=m
+    )
+    assert [a | b for a, b in zip(half_a, half_b)] == words
+
+
 def test_zorder_layout_prunes_both_dimensions(spark):
     """The point of the Morton layout: per-file min/max ranges are
     narrow on BOTH dimensions, so a point predicate on either one
