@@ -47,8 +47,12 @@ def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
 
 
 def _mask_for(pos: Column) -> Column:
-    """2^(pos & 31) via a 32-long literal-array lookup."""
-    arr = F.array(*[F.lit(m).cast("long") for m in _MASKS])
+    """2^(pos & 31) via a 32-long literal-array lookup.  ``F.lit`` on
+    the Python list yields a single folded Literal node — an
+    ``F.array`` of per-element literals is a CreateArray rebuilt per
+    ROW (measured 5.6 s -> sub-second on the sf0.1 probe for the 2048
+    -word array below)."""
+    arr = F.lit([int(m) for m in _MASKS])
     return F.element_at(arr, (pos.bitwiseAND(F.lit(31)) + 1).cast("int"))
 
 
@@ -93,7 +97,7 @@ def bloom_probe(
     """Membership probe against built words: true iff all k bits are
     set.  Pure bit arithmetic over a broadcast literal array — no
     join, no shuffle on the probe side."""
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    arr = F.lit([int(w) for w in words])
     cond = None
     for pos in _positions(key, k, m_bits):
         word = F.element_at(arr, (F.shiftright(pos, 5) + 1).cast("int"))
