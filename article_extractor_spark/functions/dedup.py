@@ -774,9 +774,53 @@ def ngram_jaccard_pairs(
     )
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def _local_union_find(
+    spark, rows: list, schema: str = "doc_id long, label long"
+) -> DataFrame:
+    """Driver-side exact union-find (path compression + min-root
+    labels) for the small-graph fast path of
+    ``connected_components``."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = int(row[0]), int(row[1])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the canonical min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(node, find(node)) for node in parent]
+    return spark.createDataFrame(out, schema)
+
+
+def connected_components(
+    pairs: DataFrame, local_threshold: int = 2_000_000
+) -> DataFrame:
     """Connected components of an undirected pair graph — the dedup
     completion primitive (one canonical per duplicate cluster).
+
+    SIZE-GATED HYBRID, the same pattern as AQE's runtime
+    broadcast-join conversion: the edge count is known for free (the
+    distributed loop needs the edge frame persisted anyway), and when
+    it is at most ``local_threshold`` (default 2M edges ≈ 32 MB of
+    longs) the graph is solved exactly on the driver with union-find
+    (path compression, min-root labels) — iteration overhead for a
+    thousand-node graph is scheduler latency, not compute, and a
+    ~1000-round-trip label-propagation loop on it is pure waste.
+    Above the gate — the 100 TB regime, where the capped candidate
+    graph is corpus-sized — the distributed min-label propagation
+    below engages; pass ``local_threshold=0`` to force it (tests pin
+    both paths against each other).
 
     Min-label propagation iterated to an EXACT fixpoint: the loop
     exits only when a round changes no label, so multi-hop chains
@@ -804,12 +848,25 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     Input: (doc_a, doc_b) pairs.  Output: (doc_id, label) for every
     node that appears in a pair, label = min doc_id of its component.
     """
+    spark = pairs.sparkSession
+    und = pairs.select("doc_a", "doc_b").persist()
+    try:
+        if local_threshold and und.count() <= local_threshold:
+            return _local_union_find(spark, und.collect())
+        return _distributed_cc(und)
+    finally:
+        und.unpersist()
+
+
+def _distributed_cc(und: DataFrame) -> DataFrame:
+    """The at-scale min-label propagation loop (see
+    ``connected_components``)."""
     edges = (
-        pairs.select(
+        und.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
         .unionByName(
-            pairs.select(
+            und.select(
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )

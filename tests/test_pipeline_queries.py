@@ -860,11 +860,17 @@ def test_connected_components_multi_hop_fixpoint(spark):
     pairs = spark.createDataFrame(
         [(0, 7), (7, 3), (3, 9), (5, 6)], "doc_a long, doc_b long"
     )
-    labels = {
-        r["doc_id"]: r["label"]
-        for r in connected_components(pairs).collect()
-    }
-    assert labels == {0: 0, 7: 0, 3: 0, 9: 0, 5: 5, 6: 5}
+    want = {0: 0, 7: 0, 3: 0, 9: 0, 5: 5, 6: 5}
+    # both the driver-side union-find fast path (default gate) and the
+    # at-scale distributed loop (gate disabled) must agree exactly
+    for threshold in (2_000_000, 0):
+        labels = {
+            r["doc_id"]: r["label"]
+            for r in connected_components(
+                pairs, local_threshold=threshold
+            ).collect()
+        }
+        assert labels == want, threshold
 
 
 def test_pagerank_keeps_no_inbound_nodes(spark, tmp_path):
