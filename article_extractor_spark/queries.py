@@ -339,6 +339,75 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: customer segment
+    filter → 3-way join (customer ⋈ orders ⋈ lineitem) → per-order
+    revenue rollup → top 10.  The classic multi-join planning shape:
+    the filtered customer side broadcasts (asserted in PLANS.md), the
+    orders⋈lineitem equi-join shuffles on orderkey with both filters
+    pushed to the scans, and the final cut is TakeOrderedAndProject,
+    never a global sort.  Revenue in exact decimal so partial-agg
+    order can't perturb the hash (the pricing_summary discipline)."""
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-07-01")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (event_type, iso weekday): all four
+    grouping combinations in one pass via Expand — the grouping-sets
+    family the reference has nowhere (SURVEY §2.3 'no grouping
+    sets/cube/rollup'), completing it alongside lineage_rollup's
+    ROLLUP.  gid = GROUPING(event_type)*2 + GROUPING(dow) labels each
+    stratum; value sums in exact decimal."""
+    ev = load(spark, sf_dir, "events")
+    dow = (F.weekday(F.col("ts")) + 1).alias("dow")  # ISO: Mon=1
+    return (
+        ev.select("event_type", dow, "value")
+        .cube("event_type", "dow")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("dow"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("event_type", "dow", "gid", "n_events", "sum_value")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed-rate analog of the reference's rate-limiter event window
     (rate_limiter.py:111-118): events per user per hour bucket."""
@@ -4032,6 +4101,31 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
+    "shipping_priority": """
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+    "events_cube": """
+SELECT event_type, dow,
+  (GROUPING(event_type) * 2 + GROUPING(dow))::BIGINT AS gid,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, isodow(ts) AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+""",
     "events_hourly": """
 SELECT user_id,
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -5121,6 +5215,8 @@ QUERY_FNS: dict[str, Query] = {
     "zorder_layout": q_zorder_layout,
     "compaction_plan": q_compaction_plan,
     "bloom_seen_filter": q_bloom_seen_filter,
+    "shipping_priority": q_shipping_priority,
+    "events_cube": q_events_cube,
     "langid": q_langid,
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,

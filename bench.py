@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "sessionize",
+    "shipping_priority",
+    "events_cube",
     "top_orders_per_priority",
     "region_customer_rollup",
     "customers_without_orders",

@@ -395,6 +395,19 @@ CHECKS = {
         "(codegen, no shuffle to compute); the single hash exchange "
         "is the per-file stats rollup with map-side partials",
     ),
+    "shipping_priority": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "PushedFilters"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q3-shaped 3-way join: filtered customer side broadcast, "
+        "date filters pushed to both scans, top-10 is "
+        "TakeOrderedAndProject — no global sort",
+    ),
+    "events_cube": (
+        ["Expand", "HashAggregate"],
+        ["Join", "CartesianProduct"],
+        "CUBE via Expand + partial aggregation (one shuffle for all "
+        "four grouping sets)",
+    ),
     "bloom_seen_filter": (
         ["ReadSchema: struct<doc_id:bigint,source:string>"],
         ["Join", "Exchange", "Generate"],
