@@ -1067,6 +1067,36 @@ def test_exact_substring_dedup_adversarial_inputs(spark):
         assert got[i] == (12, 12, "")  # later clones fully excised
 
 
+def test_compaction_plan_group_size_bound(spark):
+    """Cumulative-sum bucketing guarantee: every rewrite group's total
+    is under target + the largest straddling file (the classic bin-fill
+    bound), and groups are contiguous in the planned order — no group
+    both undersized and followed by another (which would mean the
+    planner split where it didn't need to)."""
+    from collections import defaultdict
+
+    from article_extractor_spark.queries import QUERY_FNS
+
+    rows = QUERY_FNS["compaction_plan"](spark, SF_DIR).collect()
+    target = 32768
+    totals = defaultdict(int)
+    maxfile = defaultdict(int)
+    for r in rows:
+        totals[r["out_group"]] += r["bytes"]
+        maxfile[r["out_group"]] = max(maxfile[r["out_group"]], r["bytes"])
+    for g, tot in totals.items():
+        assert tot <= target + maxfile[g], (g, tot)
+    # contiguity: the cumulative prefix through each non-final group
+    # crosses that group's boundary (no premature cut; holds even when
+    # an oversized file overshoots and skips group ids entirely)
+    last = max(totals)
+    cum = 0
+    for g in sorted(totals):
+        cum += totals[g]
+        if g != last:
+            assert cum >= (g + 1) * target, (g, cum)
+
+
 def test_bloom_filter_fp_rate_and_no_false_negatives(spark):
     """Bloom guarantees: every inserted key probes true (no FN — the
     property that lets a Bloom pre-filter preserve anti-join
