@@ -408,6 +408,82 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over per-user event-type sets: which event
+    types a user emitted in BOTH calendar months vs ONLY the first —
+    the set-operation family (SURVEY §2.3 lists the reference as
+    union/distinct-only).  Spark compiles INTERSECT to a left-semi +
+    aggregate and EXCEPT to a left-anti + aggregate — both
+    partial-aggregable equi-joins, no cross product."""
+    ev = load(spark, sf_dir, "events")
+    month = F.month(F.col("ts"))
+    first = ev.where(month == 1).select("user_id", "event_type")
+    second = ev.where(month == 2).select("user_id", "event_type")
+    both = first.intersect(second).select(
+        F.lit("both_months").alias("kind"), "user_id", "event_type"
+    )
+    only_first = (
+        first.distinct()
+        .subtract(second.distinct())
+        .select(
+            F.lit("first_month_only").alias("kind"),
+            "user_id",
+            "event_type",
+        )
+    )
+    return both.unionByName(only_first)
+
+
+HIST_BIN_WIDTH = 16  # token-count histogram bin width
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles: per-source p50/p90/p99
+    of token counts estimated from ``HIST_BIN_WIDTH``-wide bins — the
+    bounded-memory, partial-aggregable shape that replaces the exact
+    buffering percentile at 100 TB (``corpus_percentiles`` documents
+    ``percentile_approx`` as the drop-in, but a t-digest cannot be
+    oracle-checked exactly; this estimator CAN).  All integer: bin =
+    n_toks / width, quantile estimate = midpoint of the smallest bin
+    whose cumulative count reaches ceil(q·n).  Bin-count tables merge
+    by summation across waves/partitions (the HLL-register property),
+    and the per-source state is at most max_tokens/width rows."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    bins = (
+        docs.select(
+            "source",
+            (X.token_count(F.col("text")) / F.lit(HIST_BIN_WIDTH))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.select(
+        "source",
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    )
+    mid = F.col("bin") * HIST_BIN_WIDTH + HIST_BIN_WIDTH // 2
+    qs = []
+    for name, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        # cum ≥ ceil(q·n)  ⇔  cum·den ≥ n·num (exact integers)
+        qs.append(
+            F.min(
+                F.when(F.col("cum") * den >= F.col("n") * num, mid)
+            ).alias(name)
+        )
+    return cum.groupBy("source").agg(*qs)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed-rate analog of the reference's rate-limiter event window
     (rate_limiter.py:111-118): events per user per hour bucket."""
@@ -4126,6 +4202,45 @@ SELECT event_type, dow,
 FROM (SELECT event_type, isodow(ts) AS dow, value FROM events)
 GROUP BY CUBE (event_type, dow)
 """,
+    "event_type_setops": """
+WITH first AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE month(ts) = 1
+), second AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE month(ts) = 2
+)
+SELECT 'both_months' AS kind, user_id, event_type
+FROM (SELECT user_id, event_type FROM first
+      INTERSECT SELECT user_id, event_type FROM second)
+UNION ALL
+SELECT 'first_month_only' AS kind, user_id, event_type
+FROM (SELECT user_id, event_type FROM first
+      EXCEPT SELECT user_id, event_type FROM second)
+""",
+    "histogram_quantiles": f"""
+WITH b AS (
+  SELECT source,
+    (len({_TOKS.format(c='text')}) // {HIST_BIN_WIDTH})::BIGINT AS bin,
+    COUNT(*) AS c
+  FROM documents GROUP BY source, bin
+), cum AS (
+  SELECT source, bin,
+    SUM(c) OVER (PARTITION BY source ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    SUM(c) OVER (PARTITION BY source) AS n
+  FROM b
+)
+SELECT source,
+  MIN(CASE WHEN cum * 2 >= n * 1
+      THEN bin * {HIST_BIN_WIDTH} + {HIST_BIN_WIDTH // 2} END) AS p50,
+  MIN(CASE WHEN cum * 10 >= n * 9
+      THEN bin * {HIST_BIN_WIDTH} + {HIST_BIN_WIDTH // 2} END) AS p90,
+  MIN(CASE WHEN cum * 100 >= n * 99
+      THEN bin * {HIST_BIN_WIDTH} + {HIST_BIN_WIDTH // 2} END) AS p99
+FROM cum GROUP BY source
+""",
     "events_hourly": """
 SELECT user_id,
   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -5217,6 +5332,8 @@ QUERY_FNS: dict[str, Query] = {
     "bloom_seen_filter": q_bloom_seen_filter,
     "shipping_priority": q_shipping_priority,
     "events_cube": q_events_cube,
+    "event_type_setops": q_event_type_setops,
+    "histogram_quantiles": q_histogram_quantiles,
     "langid": q_langid,
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,

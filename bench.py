@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "sessionize",
+    "event_type_setops",
+    "histogram_quantiles",
     "shipping_priority",
     "events_cube",
     "top_orders_per_priority",

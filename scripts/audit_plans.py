@@ -395,6 +395,15 @@ CHECKS = {
         "(codegen, no shuffle to compute); the single hash exchange "
         "is the per-file stats rollup with map-side partials",
     ),
+    "histogram_quantiles": (
+        ["HashAggregate", "partial_count"],
+        ["SortMergeJoin", "CartesianProduct",
+         "Exchange rangepartitioning"],
+        "mergeable fixed-bin quantiles: bin counts partial-aggregate "
+        "map-side (≤max_tokens/width rows per source cross the "
+        "shuffle), windows run over the tiny bin table — the "
+        "oracle-checkable stand-in for percentile_approx at scale",
+    ),
     "shipping_priority": (
         ["BroadcastHashJoin", "TakeOrderedAndProject", "PushedFilters"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],

@@ -1067,6 +1067,45 @@ def test_exact_substring_dedup_adversarial_inputs(spark):
         assert got[i] == (12, 12, "")  # later clones fully excised
 
 
+def test_histogram_quantiles_within_bin_of_exact(spark):
+    """The fixed-bin estimator must land within one bin width of the
+    exact discrete percentile — the accuracy contract that justifies
+    swapping it for the buffering exact percentile at scale."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        HIST_BIN_WIDTH,
+        QUERY_FNS,
+        load,
+    )
+    from article_extractor_spark.functions.text import token_count
+
+    est = {
+        r["source"]: r
+        for r in QUERY_FNS["histogram_quantiles"](spark, SF_DIR).collect()
+    }
+    toks = (
+        load(spark, SF_DIR, "documents")
+        .select("source", token_count(F.col("text")).alias("n"))
+        .collect()
+    )
+    by_src: dict = {}
+    for r in toks:
+        by_src.setdefault(r["source"], []).append(r["n"])
+    for src, vals in by_src.items():
+        vals.sort()
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            assert abs(est[src][name] - exact) <= HIST_BIN_WIDTH, (
+                src,
+                name,
+                est[src][name],
+                exact,
+            )
+
+
 def test_compaction_plan_group_size_bound(spark):
     """Cumulative-sum bucketing guarantee: every rewrite group's total
     is under target + the largest straddling file (the classic bin-fill
