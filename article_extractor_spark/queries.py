@@ -1740,7 +1740,10 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights floor(1e6·ln), order-independent integer sums, and the
     head/tail split is relative to the corpus cross-entropy H=Σnll/Σn
     compared in exact cross-multiplied integers (nll_d·Σn·1000 vs
-    Σnll·τ‰·n_d) — the rounded double xent is display-only."""
+    Σnll·τ‰·n_d); the 6-dp xent itself is rounded in EXACT integer
+    micro-nats (half-up (2·nll+n)//(2n)) before one shared double
+    division, because engine-level round() implementations disagree by
+    1 ulp at half boundaries (surfaced at sf0.1: 11/5000 rows)."""
     import math
 
     docs = load(spark, sf_dir, "documents")
@@ -1834,13 +1837,19 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_tail = int(tot["nll"]) * PPLX_TAIL_PM
     return scored.select(
         "doc_id",
+        # 6-dp xent via EXACT integer half-up rounding to micro-nats:
+        # (2·nll + n) // (2·n), then ONE division by 1e6 (identical
+        # IEEE op on identical operands both engines).  engine round()
+        # vs DuckDB round() disagree by 1 ulp on quotients that land
+        # on a half boundary — 11/5000 rows at sf0.1 — so the float
+        # round() never touches the compared value.
         F.when(F.col("n_bigrams") <= 0, F.lit(0.0))
         .otherwise(
-            F.round(
-                F.col("nll_scaled").cast("double")
-                / (F.col("n_bigrams").cast("double") * 1e6),
-                6,
-            )
+            F.floor(
+                (F.col("nll_scaled") * 2 + F.col("n_bigrams"))
+                / (F.col("n_bigrams") * 2)
+            ).cast("double")
+            / F.lit(1e6)
         )
         .alias("xent"),
         F.when(F.col("n_bigrams") <= 0, F.lit("short"))
@@ -5274,7 +5283,7 @@ tot AS (
 )
 SELECT b.doc_id,
   CASE WHEN COALESCE(s.n, 0) <= 0 THEN 0.0
-       ELSE round(CAST(s.nll AS DOUBLE) / (s.n * 1e6), 6) END AS xent,
+       ELSE ((2 * s.nll + s.n) // (2 * s.n)) / 1e6 END AS xent,
   CASE WHEN COALESCE(s.n, 0) <= 0 THEN 'short'
        WHEN s.nll * ((SELECT n FROM tot) * 1000)
             <= ((SELECT nll FROM tot) * {PPLX_HEAD_PM}) * s.n THEN 'head'
