@@ -408,6 +408,65 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set curation verdict — the Dolma pattern
+    (Soldaini et al. 2024): every filter computes its attribute
+    INDEPENDENTLY over the corpus (quality rules, exact-dup canonical,
+    MinHash near-dup cluster canonical, benchmark contamination,
+    split assignment), and one final mix decision folds them by fixed
+    priority into a per-document status:
+
+        benchmark → quality:<reason> → exact_dup → near_dup →
+        contaminated → kept:<split>
+
+    Independent attributes (rather than sequential re-filtering) is
+    the at-scale shape: each annotation pass is the already-verified
+    operator with its own optimal plan, the verdict join is thin
+    doc_id-keyed equi-joins AQE can co-partition, and changing one
+    rule's threshold re-runs one attribute, not the whole funnel.
+    (Consequence, documented: a near-dup cluster keeps its min-id
+    canonical even if that canonical later fails quality — Dolma
+    semantics, not sequential-sieve semantics.)  The oracle composes
+    the SAME component oracle SQL texts as CTEs, so the funnel can
+    only disagree if the composition itself drifts."""
+    docs = load(spark, sf_dir, "documents")
+    qf = q_quality_filter(spark, sf_dir).select(
+        "doc_id", "reason", "keep"
+    )
+    ec = docs.select(
+        "doc_id",
+        F.md5(D.normalized_text(F.col("text"))).alias("ck"),
+    )
+    ec_canon = ec.groupBy("ck").agg(F.min("doc_id").alias("exact_canon"))
+    ec = ec.join(ec_canon, "ck").select("doc_id", "exact_canon")
+    nd = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("canonical_id").alias("nd_canon")
+    )
+    de = q_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+    sp = q_split_assign(spark, sf_dir).select("doc_id", "split")
+    joined = (
+        docs.select("doc_id")
+        .join(qf, "doc_id")
+        .join(ec, "doc_id")
+        .join(nd, "doc_id")
+        .join(de, "doc_id", "left")
+        .join(sp, "doc_id")
+    )
+    status = (
+        F.when(
+            F.col("doc_id") < DECONTAM_BENCH_IDS, F.lit("benchmark")
+        )
+        .when(~F.col("keep"), F.concat(F.lit("quality:"), F.col("reason")))
+        .when(F.col("doc_id") != F.col("exact_canon"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("nd_canon"), F.lit("near_dup"))
+        .when(F.col("contaminated").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.concat(F.lit("kept:"), F.col("split")))
+    )
+    return joined.select("doc_id", status.alias("status"))
+
+
 def q_event_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT over per-user event-type sets: which event
     types a user emitted in BOTH calendar months vs ONLY the first —
@@ -5311,6 +5370,33 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN hosts h ON b.host = h.blocked_host_key
 """
 
+# The curation funnel oracle composes the COMPONENT oracle texts as
+# CTEs (nested WITHs are legal subquery bodies in DuckDB), so the
+# funnel can only diverge from the engine if the mix-decision
+# composition itself drifts — every attribute is the already-green SQL.
+ORACLE_SQL["curation_funnel"] = f"""
+WITH qf AS ({ORACLE_SQL["quality_filter"]}),
+ec0 AS (SELECT doc_id, md5({_NORM.format(c="text")}) AS ck FROM documents),
+ecc AS (SELECT ck, MIN(doc_id) AS exact_canon FROM ec0 GROUP BY ck),
+ec AS (SELECT e.doc_id, c.exact_canon FROM ec0 e JOIN ecc c USING (ck)),
+nd AS ({ORACLE_SQL["dedup_clusters"]}),
+de AS ({ORACLE_SQL["decontaminate"]}),
+sp AS ({ORACLE_SQL["split_assign"]})
+SELECT d.doc_id,
+  CASE WHEN d.doc_id < {DECONTAM_BENCH_IDS} THEN 'benchmark'
+       WHEN NOT qf.keep THEN 'quality:' || qf.reason
+       WHEN d.doc_id != ec.exact_canon THEN 'exact_dup'
+       WHEN d.doc_id != nd.canonical_id THEN 'near_dup'
+       WHEN de.doc_id IS NOT NULL THEN 'contaminated'
+       ELSE 'kept:' || sp.split END AS status
+FROM documents d
+JOIN qf ON d.doc_id = qf.doc_id
+JOIN ec ON d.doc_id = ec.doc_id
+JOIN nd ON d.doc_id = nd.doc_id
+LEFT JOIN de ON d.doc_id = de.doc_id
+JOIN sp ON d.doc_id = sp.doc_id
+"""
+
 QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
@@ -5339,6 +5425,7 @@ QUERY_FNS: dict[str, Query] = {
     "zorder_layout": q_zorder_layout,
     "compaction_plan": q_compaction_plan,
     "bloom_seen_filter": q_bloom_seen_filter,
+    "curation_funnel": q_curation_funnel,
     "shipping_priority": q_shipping_priority,
     "events_cube": q_events_cube,
     "event_type_setops": q_event_type_setops,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "sessionize",
+    "curation_funnel",
     "event_type_setops",
     "histogram_quantiles",
     "shipping_priority",

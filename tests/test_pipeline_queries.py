@@ -1067,6 +1067,34 @@ def test_exact_substring_dedup_adversarial_inputs(spark):
         assert got[i] == (12, 12, "")  # later clones fully excised
 
 
+def test_curation_funnel_statuses_partition_corpus(spark):
+    """Every document gets exactly one status; the benchmark slice is
+    labeled first regardless of other attributes; kept rows carry a
+    valid split; and the funnel keeps a nonzero majority at this
+    corpus's quality profile."""
+    from collections import Counter
+
+    from article_extractor_spark.queries import QUERY_FNS, load
+
+    rows = QUERY_FNS["curation_funnel"](spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs  # one verdict per doc, no dup/loss
+    c = Counter(r["status"] for r in rows)
+    bench = sum(v for k, v in c.items() if k == "benchmark")
+    assert bench == 10  # DECONTAM_BENCH_IDS
+    kept = sum(v for k, v in c.items() if k.startswith("kept:"))
+    assert 0 < kept < n_docs
+    for k in c:
+        assert k == "benchmark" or k.startswith(
+            ("quality:", "kept:", "exact_dup", "near_dup", "contaminated")
+        ), k
+    assert {k for k in c if k.startswith("kept:")} <= {
+        "kept:train",
+        "kept:val",
+        "kept:test",
+    }
+
+
 def test_histogram_quantiles_within_bin_of_exact(spark):
     """The fixed-bin estimator must land within one bin width of the
     exact discrete percentile — the accuracy contract that justifies
