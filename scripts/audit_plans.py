@@ -395,6 +395,14 @@ CHECKS = {
         "(codegen, no shuffle to compute); the single hash exchange "
         "is the per-file stats rollup with map-side partials",
     ),
+    "curation_funnel": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "Exchange rangepartitioning"],
+        "curation mix decision: every attribute keeps its own optimal "
+        "plan; the verdict fold is thin doc_id-keyed equi-joins — no "
+        "cross product anywhere in the composed plan",
+    ),
     "histogram_quantiles": (
         ["HashAggregate", "partial_count"],
         ["SortMergeJoin", "CartesianProduct",
