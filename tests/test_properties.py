@@ -138,3 +138,46 @@ def test_fast_tokenizer_matches_stdlib_on_structured_html(html):
     )
 
     assert parse_html(html).to_html() == parse_html_stdlib(html).to_html()
+
+
+# --- Data-layout operators -------------------------------------------
+
+def _py_morton(x: int, y: int, bits: int = 10) -> int:
+    return sum(
+        (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
+        for i in range(bits)
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_zorder_sql_matches_mathematical_morton(pairs):
+    """The SQL Morton generator must equal the mathematical bit
+    interleave for arbitrary in-domain inputs (the Spark Column tree
+    is pinned to the SQL by the zorder_layout oracle test, closing the
+    triangle), and distinct pairs must map to distinct keys."""
+    import duckdb
+
+    from article_extractor_spark.functions.layout import zorder_sql
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({x}, {y})" for x, y in pairs)
+    got = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {zorder_sql('xu', 'yh')} "
+            f"FROM (VALUES {vals}) t(xu, yh)"
+        ).fetchall()
+    ]
+    want = [_py_morton(x, y) for x, y in pairs]
+    assert got == want
+    assert len(set(want)) == len(set(pairs))  # injective on the domain
