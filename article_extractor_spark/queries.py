@@ -888,6 +888,66 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZPROBE_USER = 7  # the point-lookup user for the pruned z-scan probe
+
+
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PHYSICAL payoff of the Morton layout: events stored
+    partitioned by the z-key's top 8 bits (the ``file_id`` of
+    ``q_zorder_layout``), probed for ONE user's per-hour-block
+    activity.  A user point predicate fixes the 4 x-bits of the
+    partition key, leaving the 4 y-bits free — the probe enumerates
+    those 16 of 256 partitions driver-side and the literal IN lands in
+    ``PartitionFilters`` (asserted in PLANS.md), so 15/16 of the bytes
+    are never read; a time-sorted layout reads everything for the same
+    question.  Mirrors the lsh/ivf pruned-probe pattern: the
+    partitioned table is materialized once per sf (at 100 TB it IS the
+    stored table), the probe is the per-query cost."""
+    import hashlib
+    import os
+
+    from .functions.layout import zorder_key
+    from .functions.text import md5_int
+
+    path = _layout_cache_path(sf_dir, "ev_zorder", src_table="events")
+    if not os.path.exists(path + "/_SUCCESS"):
+        ev = load(spark, sf_dir, "events")
+        x = md5_int(F.col("user_id").cast("string")).bitwiseAND(
+            F.lit(1023)
+        )
+        secs = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        )
+        y = F.least(
+            F.floor(secs / F.lit(3600)).cast("long"), F.lit(1023)
+        )
+        z = zorder_key(x, y, bits=10)
+        ev.select(
+            x.alias("xu"),
+            y.alias("yh"),
+            F.shiftright(z, 12).alias("file_id"),
+        ).write.partitionBy("file_id").mode("overwrite").parquet(path)
+    u = (
+        int(
+            hashlib.md5(str(ZPROBE_USER).encode()).hexdigest()[:15], 16
+        )
+        & 1023
+    )
+    xhi = u >> 6
+    probe_files = [
+        sum(((xhi >> i) & 1) << (2 * i) for i in range(4))
+        + sum(((yhi >> i) & 1) << (2 * i + 1) for i in range(4))
+        for yhi in range(16)
+    ]
+    part = spark.read.parquet(path)
+    return (
+        part.where(F.col("file_id").isin(probe_files))
+        .where(F.col("xu") == u)
+        .groupBy(F.expr("yh DIV 64").alias("yblock"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only small-file compaction planner: fold per-bucket
     output files (stand-in: (source, doc_id%8) with bytes = sum of
@@ -2471,7 +2531,9 @@ def q_lsh_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk_pruned(spark, path, emb, query_id=0, k=10)
 
 
-def _layout_cache_path(sf_dir: str, prefix: str) -> str:
+def _layout_cache_path(
+    sf_dir: str, prefix: str, src_table: str = "embeddings"
+) -> str:
     """Cache location for a materialized partitioned layout.  The tag
     folds in a DATA fingerprint (mtime+size of the source parquet), not
     just the path: regenerated test data at the same path must
@@ -2482,7 +2544,7 @@ def _layout_cache_path(sf_dir: str, prefix: str) -> str:
     import hashlib
     import os
 
-    src = f"{sf_dir}/embeddings.parquet"
+    src = f"{sf_dir}/{src_table}.parquet"
     stat_sig = ""
     if os.path.isdir(src):
         parts = sorted(e for e in os.listdir(src) if e.endswith(".parquet"))
@@ -4436,6 +4498,19 @@ SELECT file_id, COUNT(*) AS n_rows,
   MIN(yh) AS min_hour, MAX(yh) AS max_hour
 FROM z GROUP BY file_id
 """,
+    # raw-table recomputation of what the probe reads from the pruned
+    # partitions — identical values prove the layout loses no rows
+    "zorder_pruned_scan": f"""
+WITH b AS (
+  SELECT {_MD5INT.format(expr="CAST(user_id AS VARCHAR)")} & 1023 AS xu,
+    least(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+          // 3600, 1023) AS yh
+  FROM events
+)
+SELECT (yh // 64) AS yblock, COUNT(*) AS n_events
+FROM b WHERE xu = ({_MD5INT.format(expr="'7'")} & 1023)
+GROUP BY yh // 64
+""",
     "compaction_plan": """
 WITH files AS (
   SELECT source, doc_id % 8 AS bucket, SUM(n_chars)::BIGINT AS bytes
@@ -5423,6 +5498,7 @@ QUERY_FNS: dict[str, Query] = {
     "corpus_percentiles": q_corpus_percentiles,
     "distinct_shingles": q_distinct_shingles,
     "zorder_layout": q_zorder_layout,
+    "zorder_pruned_scan": q_zorder_pruned_scan,
     "compaction_plan": q_compaction_plan,
     "bloom_seen_filter": q_bloom_seen_filter,
     "curation_funnel": q_curation_funnel,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "corpus_percentiles",
     "distinct_shingles",
     "zorder_layout",
+    "zorder_pruned_scan",
     "compaction_plan",
     "bloom_seen_filter",
     "langid",

@@ -387,6 +387,15 @@ CHECKS = {
         "source instead of every unique shingle (an exact "
         "count-distinct would Expand + shuffle the full shingle set)",
     ),
+    "zorder_pruned_scan": (
+        ["PartitionFilters: [file_id", "INSET",
+         "PushedFilters: [IsNotNull(xu), EqualTo(xu"],
+        ["SortMergeJoin", "CartesianProduct", "Join"],
+        "the physical z-order payoff: a user point predicate fixes 4 "
+        "of the partition key's 8 bits, the 16 candidate partitions "
+        "land as a literal INSET in PartitionFilters (15/16 of the "
+        "bytes never read) and the xu equality is pushed to the scan",
+    ),
     "zorder_layout": (
         ["HashAggregate", "partial_min", "partial_max"],
         ["SortMergeJoin", "CartesianProduct", "Generate",
