@@ -28,6 +28,8 @@ training-data-pipeline family (SURVEY SS2 "beyond the reference").
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -43,6 +45,18 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # Flajolet bias constant
 # of this constant is interpolated verbatim into the SQL oracle so
 # both sides divide identical doubles.
 HLL_EST_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+
+# Linear-counting small-range correction (Flajolet 2007: the raw
+# harmonic estimator floors at ~alpha*m when most registers are empty;
+# below 2.5m use m*ln(m/V), V = zero registers).  ln() is the one op
+# whose last-ulp behavior differs across engines, but m/V takes only m
+# distinct values — so the whole correction is THIS Python-precomputed,
+# Python-rounded literal table, shared verbatim (repr) with the SQL
+# oracle.  Index V in [1, m]; V=0 never selects the correction.
+HLL_LINEAR = [0.0] + [
+    round(HLL_M * math.log(HLL_M / v), 6) for v in range(1, HLL_M + 1)
+]
+HLL_SMALL_RANGE = 2.5 * HLL_M
 
 # Remaining hash width after the register index is peeled off:
 # md5_int is 60 bits, minus HLL_BITS -> 52-bit rank domain, so
@@ -93,12 +107,12 @@ def hll_estimate(
     where ``sum_scaled = sum over registers of 2^(53 - r)`` (absent
     registers contribute 2^53) is the harmonic sum scaled to exact
     integers — max 256 * 2^53 = 2^61, no bigint overflow — and
-    ``est_distinct = round(HLL_EST_NUM / sum_scaled, 6)`` is the raw
-    HLL estimate.  ``zero_registers`` is emitted so a consumer can
-    apply linear-counting small-range correction; it is not applied
-    here because ``ln()`` is the one operation whose last-ulp behavior
-    is not guaranteed identical across engines (the CCNet operator
-    documents the same boundary)."""
+    ``est_distinct`` is the raw estimate ``HLL_EST_NUM / sum_scaled``
+    with the standard linear-counting small-range correction: when the
+    raw estimate is below ``2.5m`` and zero registers exist, the
+    estimate is the precomputed ``HLL_LINEAR[zero_registers]`` table
+    value instead (exact cross-engine — see the table's comment; the
+    branch decision compares identical doubles on both engines)."""
     regs = hll_registers(df, item_col, tuple(group_cols))
     per = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_present"),
@@ -110,10 +124,15 @@ def hll_estimate(
     sum_scaled = F.col("sum_present") + zero.cast("long") * F.lit(
         1 << (_RANK_BITS + 1)
     )
+    raw = F.lit(HLL_EST_NUM) / sum_scaled
+    est = F.when(
+        (zero > 0) & (raw <= F.lit(HLL_SMALL_RANGE)),
+        F.element_at(F.lit(HLL_LINEAR), (zero + 1).cast("int")),
+    ).otherwise(F.round(raw, 6))
     return per.select(
         *group_cols,
         F.lit(HLL_M).alias("m"),
         zero.cast("long").alias("zero_registers"),
         sum_scaled.alias("sum_scaled"),
-        F.round(F.lit(HLL_EST_NUM) / sum_scaled, 6).alias("est_distinct"),
+        est.alias("est_distinct"),
     )

@@ -4560,10 +4560,17 @@ SELECT source, {K.HLL_M} AS m,
   (sum_present
    + ({K.HLL_M} - n_present) * (1::BIGINT << {K._RHO_CAP}))::BIGINT
     AS sum_scaled,
-  round({K.HLL_EST_NUM!r} /
+  CASE WHEN ({K.HLL_M} - n_present) > 0
+        AND {K.HLL_EST_NUM!r} /
+            (sum_present
+             + ({K.HLL_M} - n_present) * (1::BIGINT << {K._RHO_CAP}))
+            <= {K.HLL_SMALL_RANGE!r}
+       THEN ([{', '.join(repr(v) for v in K.HLL_LINEAR)}])
+            [({K.HLL_M} - n_present) + 1]
+       ELSE round({K.HLL_EST_NUM!r} /
         (sum_present
          + ({K.HLL_M} - n_present) * (1::BIGINT << {K._RHO_CAP})), 6)
-    AS est_distinct
+       END AS est_distinct
 FROM agg
 """,
     "corpus_percentiles": f"""

@@ -1067,6 +1067,51 @@ def test_exact_substring_dedup_adversarial_inputs(spark):
         assert got[i] == (12, 12, "")  # later clones fully excised
 
 
+def test_sketch_family_degenerate_inputs(spark):
+    """Edge cases for the sketch/layout family: an empty build set
+    (Bloom must probe all-false — vacuous no-FN), a single-item HLL
+    group (estimate near 1), and Z-order at the domain corners
+    (clamped, bijective)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions.bloom import (
+        bloom_probe,
+        build_bloom_words,
+    )
+    from article_extractor_spark.functions.layout import zorder_key
+    from article_extractor_spark.functions.sketches import hll_estimate
+
+    empty = spark.createDataFrame([], "key string")
+    words = build_bloom_words(empty, "key", k=4, m_bits=1024)
+    assert words == [0] * (1024 // 32)
+    probes = (
+        spark.range(50)
+        .select(F.concat(F.lit("p"), F.col("id").cast("string")).alias("key"))
+        .select(bloom_probe(F.col("key"), words, k=4, m_bits=1024).alias("hit"))
+        .collect()
+    )
+    assert not any(r["hit"] for r in probes)
+
+    one = spark.createDataFrame([("g", "solo")], "grp string, item string")
+    est = hll_estimate(one, "item", group_cols=("grp",)).collect()[0]
+    assert est["zero_registers"] == 255
+    assert 0.5 < est["est_distinct"] < 3.0
+
+    corners = spark.createDataFrame(
+        [(0, 0), (1023, 1023), (1023, 0), (0, 1023)], "x long, y long"
+    )
+    keys = [
+        r["z"]
+        for r in corners.select(
+            zorder_key(F.col("x"), F.col("y"), bits=10).alias("z")
+        ).collect()
+    ]
+    assert keys[0] == 0
+    assert keys[1] == (1 << 20) - 1
+    assert keys[2] + keys[3] == (1 << 20) - 1  # complementary interleaves
+    assert len(set(keys)) == 4
+
+
 def test_curation_funnel_statuses_partition_corpus(spark):
     """Every document gets exactly one status; the benchmark slice is
     labeled first regardless of other attributes; kept rows carry a
