@@ -212,3 +212,89 @@ def windowed_event_rates(
             "n_events",
         )
     )
+
+
+# --- Streaming distinct-count sketch (HLL registers as GroupState) ----
+
+HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("est_distinct", T.DoubleType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("regs", T.BinaryType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _hll_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Per (micro-batch, source): fold items into the group's HLL
+    register vector and emit the running distinct estimate.
+
+    State is EXACTLY ``HLL_M`` bytes per source — rho ≤ 53 fits a
+    byte — no matter how many items arrive (the same fixed-size-state
+    guarantee as the streaming Bloom dedup), and the register update
+    is the batch sketch's max-merge, so the streaming estimate after N
+    batches equals the batch query over the union of those batches
+    (pinned by test_streaming_hll_matches_batch_sketch)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.sketches import (
+        HLL_BITS,
+        HLL_M,
+        estimate_from_registers,
+        rho_of,
+    )
+
+    if state.exists:
+        regs = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        n_seen = int(state.get[1])
+    else:
+        regs = np.zeros(HLL_M, dtype=np.uint8)
+        n_seen = 0
+    for pdf in pdfs:
+        for item in pdf["item"]:
+            h = int(hashlib.md5(item.encode("utf-8")).hexdigest()[:15], 16)
+            j = h & (HLL_M - 1)
+            r = rho_of(h)
+            if r > regs[j]:
+                regs[j] = r
+            n_seen += 1
+    state.update((regs.tobytes(), n_seen))
+    yield pd.DataFrame(
+        {
+            "source": [key[0]],
+            "n_seen": [n_seen],
+            "est_distinct": [estimate_from_registers(regs)],
+        }
+    )
+
+
+def streaming_distinct_counts(
+    items: DataFrame, key_col: str = "source", item_col: str = "item"
+) -> DataFrame:
+    """Running per-source distinct-item estimate over a stream —
+    distinct-URL accounting during ingest without storing the URLs.
+    Every micro-batch emits the group's updated estimate; the
+    checkpointed state is the HLL register vector (``HLL_M`` bytes per
+    source, fixed-size forever), and because the update is the batch
+    sketch's register max-merge, the stream converges to exactly what
+    ``sketches.hll_estimate`` computes over all data seen."""
+    keyed = items.select(
+        F.col(key_col).cast("string").alias("source"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("source").applyInPandasWithState(
+        _hll_state_fn,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -196,3 +196,117 @@ def test_windowed_event_rates_runs_as_stream(spark, tmp_path):
         "user_id",
         "n_events",
     ]
+
+
+def _run_hll_stream(spark, src, ckpt, out):
+    from article_extractor_spark.streaming.ingest import (
+        streaming_distinct_counts,
+    )
+
+    stream = (
+        spark.readStream.schema("source string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_distinct_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    # latest emission per source = the one with the largest n_seen
+    latest = {}
+    for r in rows:
+        if (
+            r["source"] not in latest
+            or r["n_seen"] > latest[r["source"]]["n_seen"]
+        ):
+            latest[r["source"]] = r
+    return latest
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """The streaming register update is the batch sketch's max-merge,
+    so after draining all batches (including across a checkpointed
+    restart) the streaming estimate equals the batch ``hll_estimate``
+    over the union of everything seen."""
+    from article_extractor_spark.functions.sketches import hll_estimate
+
+    src = str(tmp_path / "hsrc")
+    ckpt = str(tmp_path / "hck")
+    out = str(tmp_path / "hout")
+    b1 = [("s1", f"u{i}") for i in range(300)] + [
+        ("s2", f"v{i}") for i in range(50)
+    ]
+    b2 = [("s1", f"u{i}") for i in range(150, 450)]  # 150 overlap
+    spark.createDataFrame(b1, ["source", "item"]).coalesce(1).write.parquet(
+        src
+    )
+    spark.createDataFrame(b2, ["source", "item"]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    latest = _run_hll_stream(spark, src, ckpt, out)
+
+    union = spark.createDataFrame(b1 + b2, ["source", "item"])
+    batch = {
+        r["source"]: r
+        for r in hll_estimate(
+            union, "item", group_cols=("source",)
+        ).collect()
+    }
+    for s in ("s1", "s2"):
+        assert (
+            abs(latest[s]["est_distinct"] - batch[s]["est_distinct"])
+            < 1e-6
+        ), s
+
+    # restart from the checkpoint with one more batch: state survives,
+    # the estimate keeps tracking the batch sketch over the full union
+    b3 = [("s2", f"w{i}") for i in range(200)]
+    spark.createDataFrame(b3, ["source", "item"]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    latest2 = _run_hll_stream(spark, src, ckpt, out)
+    batch2 = {
+        r["source"]: r
+        for r in hll_estimate(
+            spark.createDataFrame(b1 + b2 + b3, ["source", "item"]),
+            "item",
+            group_cols=("source",),
+        ).collect()
+    }
+    assert (
+        abs(latest2["s2"]["est_distinct"] - batch2["s2"]["est_distinct"])
+        < 1e-6
+    )
+
+
+def test_streaming_hll_state_is_fixed_size():
+    """The GroupState is exactly HLL_M bytes however many items
+    arrive."""
+    import pandas as pd
+
+    from article_extractor_spark.functions.sketches import HLL_M
+    from article_extractor_spark.streaming.ingest import _hll_state_fn
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, value):
+            self.get = value
+            self.exists = True
+
+    state = FakeState()
+    for wave in range(3):
+        pdf = pd.DataFrame(
+            {"item": [f"k{i % 7}-{wave}" for i in range(10_000)]}
+        )
+        list(_hll_state_fn(("s1",), iter([pdf]), state))
+        assert len(state.get[0]) == HLL_M
+    assert state.get[1] == 30_000
