@@ -150,6 +150,25 @@ def _bucket_metrics(wave_buckets: list[int]) -> list:
     return metrics
 
 
+def _hll_metrics() -> list:
+    """Wave-level HLL register maxima riding the SAME write-side
+    Observation as the bucket metrics (one pass, zero extra jobs):
+    one conditional ``max`` per register over the precomputed
+    ``_hll_reg``/``_hll_rho`` columns.  Registers merge across waves
+    driver-side by ``max`` (the standard HLL union — the same merge
+    the streaming variant's GroupState does), giving the job a
+    running distinct-document estimate in its stats without ever
+    shuffling content keys."""
+    from .functions.sketches import HLL_M
+
+    return [
+        F.max(
+            F.when(F.col("_hll_reg") == j, F.col("_hll_rho"))
+        ).alias(f"hllr_{j}")
+        for j in range(HLL_M)
+    ]
+
+
 def _lineage_rows_from_observation(
     vals: dict, wave_buckets: list[int], run_id: str
 ) -> list[tuple]:
@@ -214,6 +233,9 @@ def _run_waves(
     t0 = time.time()
     docs_done = 0
     observed: list[dict] = []
+    from .functions.sketches import HLL_M as _HLL_M
+
+    run_regs: list[int] = [0] * _HLL_M
     waves = max(1, min(waves, len(todo))) if todo else 0
     for wave_idx in range(waves):
         wave_buckets = todo[wave_idx::waves]
@@ -234,7 +256,26 @@ def _run_waves(
         from pyspark.sql import Observation
 
         obs = Observation(f"wave-{wave_idx}")
-        extracted = extracted.observe(obs, *_bucket_metrics(wave_buckets))
+        # distinct-document sketch columns (dropped again before the
+        # write — they exist only for the Observation's register maxes)
+        from .functions.sketches import HLL_M, hll_rho
+        from .functions.text import md5_int
+
+        _h = md5_int(
+            F.concat_ws(
+                "\x1f",
+                F.col("title"),
+                F.col("excerpt"),
+                F.col("word_count").cast("string"),
+            )
+        )
+        extracted = extracted.withColumn(
+            "_hll_reg", _h.bitwiseAND(F.lit(HLL_M - 1))
+        ).withColumn("_hll_rho", hll_rho(_h))
+        extracted = extracted.observe(
+            obs, *_bucket_metrics(wave_buckets), *_hll_metrics()
+        )
+        extracted = extracted.drop("_hll_reg", "_hll_rho")
         tableio.write_bucketed(
             extracted,
             output_path,
@@ -287,6 +328,12 @@ def _run_waves(
             output_path,
         )
         docs_done += sum(r[4] for r in lineage_rows)  # docs_in ordinal
+        from .functions.sketches import HLL_M as _M
+
+        for j in range(_M):
+            v = vals.get(f"hllr_{j}")
+            if v is not None and int(v) > run_regs[j]:
+                run_regs[j] = int(v)
         observed.append(
             {
                 "wave": wave_idx,
@@ -300,6 +347,8 @@ def _run_waves(
             }
         )
 
+    from .functions.sketches import estimate_from_registers
+
     return {
         "observed_metrics": observed,
         "run_id": run_id,
@@ -308,6 +357,12 @@ def _run_waves(
         "buckets_processed": len(todo),
         "docs_processed": docs_done,
         "docs_failed": sum(w["failures"] for w in observed),
+        # HLL over (title, excerpt, word_count) fingerprints, merged
+        # register-wise across this run's waves — ~6.5% std error;
+        # 0.0 when the run processed nothing
+        "distinct_docs_est": estimate_from_registers(run_regs)
+        if any(run_regs)
+        else 0.0,
         "wall_sec": round(time.time() - t0, 2),
     }
 

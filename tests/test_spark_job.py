@@ -45,6 +45,10 @@ def test_job_end_to_end_span_equality(spark, corpus_path, tmp_path):
         spark, corpus_path, out, n_buckets=N_BUCKETS, waves=2
     )
     assert stats["docs_processed"] == N_DOCS
+    # the write-side HLL rode the waves' Observations: the run-level
+    # distinct-document estimate must track the (all-unique) corpus
+    # within the sketch's small-range band (linear counting at n=120)
+    assert abs(stats["distinct_docs_est"] - N_DOCS) / N_DOCS < 0.15
 
     result = spark.read.parquet(out)
     assert result.count() == N_DOCS
