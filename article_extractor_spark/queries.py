@@ -383,6 +383,58 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: six-way join (region →
+    nation → customer/supplier → orders → lineitem) with the
+    customer-and-supplier-same-nation predicate, revenue per nation in
+    one region-year slice.  The multi-way join-planning showcase: the
+    whole dim chain (region⋈nation⋈supplier, and customer) broadcasts,
+    the orders⋈lineitem fact join shuffles on orderkey with date
+    filters pushed to both scans, and the same-nation condition rides
+    the supplier join as an equi-key, never a post-join filter over a
+    wider product.  Decimal-exact revenue (pricing_summary
+    discipline)."""
+    region = load(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation over (event_type, iso weekday): all four
     grouping combinations in one pass via Expand — the grouping-sets
@@ -4324,6 +4376,23 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
 LIMIT 10
 """,
+    "local_supplier_volume": """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
     "events_cube": """
 SELECT event_type, dow,
   (GROUPING(event_type) * 2 + GROUPING(dow))::BIGINT AS gid,
@@ -5510,6 +5579,7 @@ QUERY_FNS: dict[str, Query] = {
     "bloom_seen_filter": q_bloom_seen_filter,
     "curation_funnel": q_curation_funnel,
     "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "events_cube": q_events_cube,
     "event_type_setops": q_event_type_setops,
     "histogram_quantiles": q_histogram_quantiles,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "event_type_setops",
     "histogram_quantiles",
     "shipping_priority",
+    "local_supplier_volume",
     "events_cube",
     "top_orders_per_priority",
     "region_customer_rollup",

@@ -428,6 +428,13 @@ CHECKS = {
         "date filters pushed to both scans, top-10 is "
         "TakeOrderedAndProject — no global sort",
     ),
+    "local_supplier_volume": (
+        ["BroadcastHashJoin", "PushedFilters", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "Q5-shaped 6-way join: the whole dim chain broadcasts, date "
+        "filters pushed to the fact scans, same-nation predicate "
+        "rides the supplier join as an equi-key",
+    ),
     "events_cube": (
         ["Expand", "HashAggregate"],
         ["Join", "CartesianProduct"],
