@@ -926,11 +926,21 @@ def doc_lines(docs: DataFrame, text_col: str = "text", k: int = LINE_TOKENS) -> 
     Returns (doc_id, pos, line) — one row per segment, ``pos`` is the
     0-based segment index inside its document.
     """
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    toks = ws_tokens(F.col(text_col))
     n_lines = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    # the empty guard matters twice: a tokenless document must emit NO
+    # lines (the SQL oracle's range() is empty there — and without the
+    # guard Spark's sequence(0, -1) DESCENDS, fabricating a phantom ''
+    # line whose md5 then deduplicates across every empty doc; caught
+    # by test_line_dedup_matches_brute_force, masked until then by a
+    # corpus with no blank texts)
+    lines = F.when(
+        F.size(toks) < 1, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        )
     )
     return docs.select("doc_id", F.posexplode(lines).alias("pos", "line"))
 

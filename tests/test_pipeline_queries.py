@@ -1067,6 +1067,120 @@ def test_exact_substring_dedup_adversarial_inputs(spark):
         assert got[i] == (12, 12, "")  # later clones fully excised
 
 
+def test_exact_substring_dedup_matches_brute_force(spark):
+    """Differential check of the trickiest operator against an
+    independent brute-force reference: the SQL oracle replays the same
+    window-hash algorithm, so a semantic bug shared by both sides
+    would hash-match — this reference recomputes keep-first positional
+    excision from the definition (enumerate token runs, find global
+    first occurrence, excise covered positions).  Corpora drawn from a
+    tiny alphabet so duplicate runs are dense, including intra-doc
+    repeats and boundary overlaps."""
+    import random
+
+    from collections import defaultdict
+
+    from article_extractor_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    w = 3
+    rng = random.Random(20260818)
+    alphabet = ["a", "b", "c", "d"]
+    for trial in range(6):
+        docs = [
+            (
+                d,
+                " ".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 14))
+                ),
+            )
+            for d in range(rng.randrange(2, 7))
+        ]
+
+        toks = {
+            d: (t.split() if t.strip() else []) for d, t in docs
+        }
+        occ = defaultdict(list)
+        for d in sorted(toks):
+            ts = toks[d]
+            for s in range(0, len(ts) - w + 1):
+                occ[tuple(ts[s : s + w])].append((d, s))
+        dup: dict = {d: [] for d in toks}
+        for lst in occ.values():
+            if len(lst) > 1:
+                first = min(lst)
+                for d, s in lst:
+                    if (d, s) != first:
+                        dup[d].append(s)
+        want = {}
+        for d, ts in toks.items():
+            cover = set()
+            for s in dup[d]:
+                cover.update(range(s, s + w))
+            kept = [t for p, t in enumerate(ts) if p not in cover]
+            want[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_text"])
+            for r in exact_substring_dedup(df, w=w).collect()
+        }
+        assert got == want, (trial, docs)
+
+
+def test_line_dedup_matches_brute_force(spark):
+    """Differential check against an independent reference (same
+    rationale as the ExactSubstr brute-force test): segment into
+    consecutive k-token lines, keep each line only at its global first
+    (doc_id, pos), reassemble.  Random duplicate-dense corpora."""
+    import random
+
+    from article_extractor_spark.functions.dedup import (
+        LINE_TOKENS,
+        line_dedup,
+    )
+
+    k = LINE_TOKENS
+    rng = random.Random(8181)
+    alphabet = ["p", "q", "r"]
+    for trial in range(5):
+        docs = [
+            (
+                d,
+                " ".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 11))
+                ),
+            )
+            for d in range(rng.randrange(2, 6))
+        ]
+        seen: dict = {}
+        want = {}
+        for d, t in sorted(docs):
+            ts = t.split() if t.strip() else []
+            lines = [
+                " ".join(ts[i : i + k]) for i in range(0, len(ts), k)
+            ]
+            for pos, ln in enumerate(lines):
+                seen.setdefault(ln, (d, pos))
+            if not lines:
+                continue  # tokenless docs emit no row (mirror engine)
+            kept = [
+                ln
+                for pos, ln in enumerate(lines)
+                if seen[ln] == (d, pos)
+            ]
+            want[d] = (len(lines), len(kept), " ".join(kept))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_kept"], r["dedup_text"])
+            for r in line_dedup(df).collect()
+        }
+        assert got == want, (trial, docs)
+
+
 def test_sketch_family_degenerate_inputs(spark):
     """Edge cases for the sketch/layout family: an empty build set
     (Bloom must probe all-false — vacuous no-FN), a single-item HLL
