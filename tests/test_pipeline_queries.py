@@ -1130,6 +1130,77 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_link_pagerank_matches_python_fixed_point(spark):
+    """Independent Python replay of the integer fixed-point PageRank
+    (same synthetic edge graph, same DIV truncation) — the distributed
+    join/agg iteration must be bit-identical."""
+    from article_extractor_spark.queries import (
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        QUERY_FNS,
+        load,
+    )
+
+    got = {
+        r["doc_id"]: r["pagerank"]
+        for r in QUERY_FNS["link_pagerank"](spark, SF_DIR).collect()
+    }
+    n = load(spark, SF_DIR, "documents").count()
+    edges = [(i, (2 * i + 1) % n) for i in range(n)] + [
+        (i, (3 * i + 7) % n) for i in range(n)
+    ]
+    ranks = {i: PAGERANK_SCALE // n for i in range(n)}
+    base = PAGERANK_SCALE * 15 // (100 * n)
+    for _ in range(PAGERANK_ITERS):
+        incoming = {i: 0 for i in range(n)}
+        for s, d in edges:
+            incoming[d] += ranks[s] // 2
+        ranks = {i: base + (85 * incoming[i]) // 100 for i in range(n)}
+    assert got == ranks
+
+
+def test_rate_limit_schedule_matches_sequential_simulation(spark):
+    """The closed form ``s_i = running_max(ts_j − j·D) + i·D`` must
+    equal the reference's sequential next-available loop
+    ``s_i = max(ts_i, s_{i-1} + D)`` — simulated independently here
+    over the real corpus slice, per host."""
+    from collections import defaultdict
+
+    from article_extractor_spark.queries import (
+        QUERY_FNS,
+        RATE_LIMIT_DELAY_US,
+        load,
+    )
+
+    got = {
+        (r["user_id"], r["event_id"]): r["wait_us"]
+        for r in QUERY_FNS["rate_limit_schedule"](spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "events")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        )
+        .collect()
+    )
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["user_id"]].append((r["ts_us"], r["event_id"]))
+    for host, evs in by_host.items():
+        evs.sort()
+        prev = None
+        for ts_us, eid in evs:
+            s = (
+                ts_us
+                if prev is None
+                else max(ts_us, prev + RATE_LIMIT_DELAY_US)
+            )
+            assert got[(host, eid)] == s - ts_us, (host, eid)
+            prev = s
+
+
 def test_line_dedup_matches_brute_force(spark):
     """Differential check against an independent reference (same
     rationale as the ExactSubstr brute-force test): segment into
