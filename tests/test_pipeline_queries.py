@@ -1130,6 +1130,102 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_bm25_topk_matches_python_reference(spark):
+    """Independent Python BM25 over the same corpus slice: same
+    Robertson idf, same k1/b normalization, same IEEE expression
+    order — must reproduce the engine's top-k exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+        QUERY_FNS,
+        load,
+    )
+
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in QUERY_FNS["bm25_topk"](spark, SF_DIR).collect()
+    ]
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: (r["t"].split() if r["t"].strip() else [])
+        for r in rows
+    }
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in docs.values()) / n
+    df = [
+        sum(1 for ts in docs.values() if term in ts)
+        for term in BM25_QUERY_TERMS
+    ]
+    scored = []
+    for d, ts in docs.items():
+        dl = len(ts)
+        score = 0.0
+        for i, term in enumerate(BM25_QUERY_TERMS):
+            tf = sum(1 for x in ts if x == term)
+            idf = math.log((n - df[i] + 0.5) / (df[i] + 0.5) + 1.0)
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            score = score + idf * (tf * (BM25_K1 + 1.0)) / denom
+        score = round(score, 6)
+        if score > 0.0:
+            scored.append((d, score))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    assert got == scored[:BM25_TOP_K]
+
+
+def test_sequence_pack_matches_global_cumsum(spark):
+    """Independent reference for the two-phase distributed prefix sum:
+    a single-pass Python cumsum in doc_id order must give identical
+    start offsets and chunk assignments (DIV truncates toward zero,
+    mirrored for the degenerate 0-token case)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        PACK_CHUNK_TOKENS,
+        QUERY_FNS,
+        load,
+    )
+    from article_extractor_spark.functions.text import token_count
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["start_token"],
+            r["first_chunk"],
+            r["last_chunk"],
+            r["spans_boundary"],
+        )
+        for r in QUERY_FNS["sequence_pack"](spark, SF_DIR).collect()
+    }
+    toks = sorted(
+        (r["doc_id"], r["n"])
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", token_count(F.col("text")).alias("n"))
+        .collect()
+    )
+
+    def tdiv(a: int, c: int) -> int:
+        return a // c if a >= 0 else -((-a) // c)
+
+    acc = 0
+    want = {}
+    for d, n in toks:
+        first = tdiv(acc, PACK_CHUNK_TOKENS)
+        last = tdiv(acc + n - 1, PACK_CHUNK_TOKENS)
+        want[d] = (n, acc, first, last, first != last)
+        acc += n
+    assert got == want
+
+
 def test_link_pagerank_matches_python_fixed_point(spark):
     """Independent Python replay of the integer fixed-point PageRank
     (same synthetic edge graph, same DIV truncation) — the distributed
