@@ -1130,6 +1130,75 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_dsir_weights_match_python_reference(spark):
+    """Independent Python DSIR replay: hashed-unigram class counts,
+    add-1 smoothed integer log-ratio weights (same left-assoc float
+    expression), per-doc integer sums, exact-integer mean calibration
+    — must reproduce the engine bit-for-bit."""
+    import hashlib
+    import math
+
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        QUERY_FNS,
+        load,
+    )
+
+    got = {
+        r["doc_id"]: (r["iw"], r["selected"])
+        for r in QUERY_FNS["dsir_weights"](spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select(
+            "doc_id", F.lower(F.col("text")).alias("t"), "lang"
+        )
+        .collect()
+    )
+
+    def bucket(tok: str) -> int:
+        return (
+            int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            % DSIR_BUCKETS
+        )
+
+    p: Counter = Counter()
+    q: Counter = Counter()
+    docs = []
+    for r in rows:
+        ts = r["t"].split() if r["t"].strip() else []
+        bs = [bucket(t) for t in ts]
+        docs.append((r["doc_id"], bs))
+        for b in bs:
+            q[b] += 1
+            if r["lang"] == DSIR_TARGET_LANG:
+                p[b] += 1
+    tp = sum(p.values()) + DSIR_BUCKETS
+    tq = sum(q.values()) + DSIR_BUCKETS
+    w = [
+        math.floor(
+            1e6
+            * (
+                math.log(p.get(b, 0) + 1)
+                - math.log(tp)
+                - math.log(q.get(b, 0) + 1)
+                + math.log(tq)
+            )
+        )
+        for b in range(DSIR_BUCKETS)
+    ]
+    iw = {d: sum(w[b] for b in bs) for d, bs in docs}
+    tot = sum(iw.values())
+    n = len(iw)
+    want = {d: (v, v * n > tot) for d, v in iw.items()}
+    assert got == want
+
+
 def test_bm25_topk_matches_python_reference(spark):
     """Independent Python BM25 over the same corpus slice: same
     Robertson idf, same k1/b normalization, same IEEE expression
