@@ -1130,6 +1130,49 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_source_mixture_matches_python_reference(spark):
+    """Independent replay of the token-budget mixture: per source,
+    docs in (hash-priority, doc_id) order accumulate until the
+    min-source budget — must equal the bucketed two-phase
+    decomposition exactly."""
+    import hashlib
+
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import QUERY_FNS, load
+    from article_extractor_spark.functions.text import token_count
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_before"], r["kept"])
+        for r in QUERY_FNS["source_mixture"](spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select(
+            "doc_id", "source", token_count(F.col("text")).alias("n")
+        )
+        .collect()
+    )
+    by_src = defaultdict(list)
+    for r in rows:
+        pri = int(
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16
+        )
+        by_src[r["source"]].append((pri, r["doc_id"], r["n"]))
+    budget = min(
+        sum(n for _, _, n in docs) for docs in by_src.values()
+    )
+    want = {}
+    for docs in by_src.values():
+        acc = 0
+        for _, d, n in sorted(docs):
+            want[d] = (n, acc, acc + n <= budget)
+            acc += n
+    assert got == want
+
+
 def test_dsir_weights_match_python_reference(spark):
     """Independent Python DSIR replay: hashed-unigram class counts,
     add-1 smoothed integer log-ratio weights (same left-assoc float
