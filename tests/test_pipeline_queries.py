@@ -1130,6 +1130,99 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_robots_eval_matches_python_rfc_matcher(spark):
+    """Independent Python RFC 9309 matcher (parse the same generated
+    robots body with a from-scratch group parser, longest-match with
+    allow-wins-ties) — must reproduce every per-URL verdict."""
+    import re
+
+    from article_extractor_spark.queries import QUERY_FNS, load
+
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in QUERY_FNS["robots_eval"](spark, SF_DIR).collect()
+    }
+    rows = load(spark, SF_DIR, "documents").select(
+        "doc_id", "source"
+    ).collect()
+
+    def rules_for(source: str):
+        num = re.search(r"src([0-9]+)", source).group(1)
+        body = (
+            "User-agent: other-bot\nDisallow: /\n\n"
+            "User-agent: *\n"
+            f"Disallow: /docs/{num}\n"
+            f"Allow: /docs/{num}{int(num) % 10}\n"
+            "Disallow: /private\n"
+        )
+        # independent parse: the '*' group = lines after its UA header
+        # up to a blank line
+        m = re.search(r"User-agent: \*\n(.*?)(?:\n\n|$)", body, re.S)
+        rules = [("", True)]  # zero-length default Allow
+        for line in m.group(1).split("\n"):
+            lm = re.match(r"^(Allow|Disallow): *(\S.*)$", line)
+            if lm:
+                rules.append((lm.group(2).strip(), lm.group(1) == "Allow"))
+        return rules
+
+    cache = {}
+    for r in rows:
+        src = r["source"]
+        if src not in cache:
+            cache[src] = rules_for(src)
+        path = f"/docs/{r['doc_id']}"
+        best = max(
+            (
+                (len(p), allow)
+                for p, allow in cache[src]
+                if path.startswith(p)
+            ),
+        )
+        assert got[r["doc_id"]] == best[1], (r["doc_id"], src)
+
+
+def test_decontaminate_matches_brute_force(spark):
+    """Brute-force benchmark-overlap reference: enumerate every word
+    8-gram of every corpus doc and intersect with the benchmark's
+    8-gram set — contaminated docs and their overlap counts must match
+    the broadcast-join implementation exactly."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        DECONTAM_BENCH_IDS,
+        DECONTAM_N,
+        QUERY_FNS,
+        load,
+    )
+
+    got = {
+        r[0]: r[1]
+        for r in QUERY_FNS["decontaminate"](spark, SF_DIR).collect()
+    }
+    rows = load(spark, SF_DIR, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    ).collect()
+    n = DECONTAM_N
+    grams = {}
+    for r in rows:
+        ts = r["t"].split() if r["t"].strip() else []
+        grams[r["doc_id"]] = {
+            tuple(ts[i : i + n]) for i in range(len(ts) - n + 1)
+        }
+    bench = set()
+    for d, gs in grams.items():
+        if d < DECONTAM_BENCH_IDS:
+            bench |= gs
+    want = {}
+    for d, gs in grams.items():
+        if d < DECONTAM_BENCH_IDS:
+            continue
+        k = len(gs & bench)
+        if k:
+            want[d] = k
+    assert got == want
+
+
 def test_source_mixture_matches_python_reference(spark):
     """Independent replay of the token-budget mixture: per source,
     docs in (hash-priority, doc_id) order accumulate until the
