@@ -774,15 +774,14 @@ def ngram_jaccard_pairs(
     )
 
 
-def _local_union_find(
-    spark, rows: list, schema: str = "doc_id long, label long"
-) -> DataFrame:
+def _local_union_find(spark, rows: list, schema: str) -> DataFrame:
     """Driver-side exact union-find (path compression + min-root
     labels) for the small-graph fast path of
-    ``connected_components``."""
-    parent: dict[int, int] = {}
+    ``connected_components``.  Node ids are used as-is — any orderable
+    hashable key type (bigint sf tables, string job tables)."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         r = x
         while parent[r] != r:
             r = parent[r]
@@ -791,7 +790,7 @@ def _local_union_find(
         return r
 
     for row in rows:
-        a, b = int(row[0]), int(row[1])
+        a, b = row[0], row[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -850,9 +849,14 @@ def connected_components(
     """
     spark = pairs.sparkSession
     und = pairs.select("doc_a", "doc_b").persist()
+    id_type = dict(und.dtypes)["doc_a"]
     try:
         if local_threshold and und.count() <= local_threshold:
-            return _local_union_find(spark, und.collect())
+            return _local_union_find(
+                spark,
+                und.collect(),
+                f"doc_id {id_type}, label {id_type}",
+            )
         return _distributed_cc(und)
     finally:
         und.unpersist()

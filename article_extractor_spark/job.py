@@ -405,6 +405,17 @@ def main(argv: list[str] | None = None) -> int:
         help="output files per bucket dir (Iceberg-like layout)",
     )
 
+    p_cur = sub.add_parser(
+        "curate",
+        help="Dolma-style curation verdicts over an extraction output "
+        "table (quality rules, exact/near dup canonicals, benchmark "
+        "contamination, split — one status per document)",
+    )
+    p_cur.add_argument(
+        "--table", required=True, help="output table from 'extract'"
+    )
+    p_cur.add_argument("--out", required=True)
+
     p_run = sub.add_parser("extract", help="run the extraction job")
     p_run.add_argument("--corpus", required=True)
     p_run.add_argument("--out", required=True)
@@ -446,6 +457,64 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets,
         )
         print(f"wrote {args.docs} docs to {args.out}")
+        return 0
+
+    if args.cmd == "curate":
+        from .queries import curation_verdicts
+
+        from .functions.text import md5_int
+
+        result = tableio.read_table(spark, args.table)
+        # document text = its extracted text spans, in order (the
+        # curation attributes run over what extraction KEPT, not the
+        # raw HTML).  The funnel keys on a NUMERIC doc ordinal (the
+        # benchmark slice is "lowest ids", and dup canonicals compare
+        # ids) — job tables use string ids, so derive the ordinal from
+        # the id's digit suffix, hash-fallback for digitless ids.
+        ordinal = F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.col("doc_id").cast("string"), "([0-9]+)$", 1
+                ),
+                F.lit(""),
+            ).cast("long"),
+            F.pmod(
+                md5_int(F.col("doc_id").cast("string")),
+                F.lit(1 << 40),
+            ),
+        )
+        docs = result.select(
+            F.col("doc_id").alias("source_doc_id"),
+            ordinal.alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.col("spans"), lambda s: s["kind"] == "text"
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        verdicts = curation_verdicts(
+            docs.select("doc_id", "text")
+        ).join(
+            docs.select("doc_id", "source_doc_id"), "doc_id"
+        ).select(
+            F.col("source_doc_id").alias("doc_id"), "status"
+        )
+        verdicts.write.mode("overwrite").parquet(args.out)
+        summary = {
+            r["status"]: r["n"]
+            for r in verdicts.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        kept = sum(v for k, v in summary.items() if k.startswith("kept:"))
+        print(
+            f"curated {sum(summary.values())} docs -> kept {kept}; "
+            f"statuses: {dict(sorted(summary.items()))}"
+        )
         return 0
 
     stats = run_extraction_job(

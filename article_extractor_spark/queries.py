@@ -481,9 +481,18 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, not sequential-sieve semantics.)  The oracle composes
     the SAME component oracle SQL texts as CTEs, so the funnel can
     only disagree if the composition itself drifts."""
-    docs = load(spark, sf_dir, "documents")
-    qf = q_quality_filter(spark, sf_dir).select(
-        "doc_id", "reason", "keep"
+    return curation_verdicts(load(spark, sf_dir, "documents"))
+
+
+def curation_verdicts(docs: DataFrame) -> DataFrame:
+    """DataFrame-level curation funnel over any (doc_id, text) table —
+    the form the job CLI's ``curate`` subcommand runs over extraction
+    output (see q_curation_funnel for semantics and the at-scale
+    rationale)."""
+    m = _quality_metrics(docs)
+    reason = _quality_reason_expr()
+    qf = m.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
     )
     ec = docs.select(
         "doc_id",
@@ -491,13 +500,31 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ec_canon = ec.groupBy("ck").agg(F.min("doc_id").alias("exact_canon"))
     ec = ec.join(ec_canon, "ck").select("doc_id", "exact_canon")
-    nd = q_dedup_clusters(spark, sf_dir).select(
-        "doc_id", F.col("canonical_id").alias("nd_canon")
+    labels = D.connected_components(D.minhash_lsh_pairs(docs))
+    nd = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("nd_canon"),
+        )
     )
-    de = q_decontaminate(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("contaminated")
+    de = D.benchmark_overlap(
+        docs.where(F.col("doc_id") >= DECONTAM_BENCH_IDS),
+        docs.where(F.col("doc_id") < DECONTAM_BENCH_IDS),
+        n=DECONTAM_N,
+    ).select("doc_id", F.lit(True).alias("contaminated"))
+    split_bucket = (
+        X.md5_int(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
     )
-    sp = q_split_assign(spark, sf_dir).select("doc_id", "split")
+    sp = docs.select(
+        "doc_id",
+        F.when(split_bucket < SPLIT_TRAIN_LT, "train")
+        .when(split_bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
     joined = (
         docs.select("doc_id")
         .join(qf, "doc_id")

@@ -460,3 +460,29 @@ def test_failure_rows_not_task_death(spark):
     assert not by_id["bad-1"]["success"] and by_id["bad-1"]["error"]
     assert by_id["good-1"]["success"]
     assert len(out) == 3
+
+
+def test_curate_subcommand_over_extraction_output(
+    spark, corpus_path, tmp_path
+):
+    """The CLI curation pass over a real extraction output table:
+    exactly one status per document, the benchmark slice labeled by
+    numeric ordinal, statuses drawn from the funnel vocabulary."""
+    from article_extractor_spark.job import main
+
+    out = str(tmp_path / "cur_out")
+    verdicts = str(tmp_path / "cur_verdicts")
+    stats = run_extraction_job(
+        spark, corpus_path, out, n_buckets=N_BUCKETS, waves=1
+    )
+    assert stats["docs_processed"] == N_DOCS
+    assert main(["curate", "--table", out, "--out", verdicts]) == 0
+    rows = spark.read.parquet(verdicts).collect()
+    assert len(rows) == N_DOCS
+    assert len({r["doc_id"] for r in rows}) == N_DOCS
+    statuses = [r["status"] for r in rows]
+    assert sum(1 for s in statuses if s == "benchmark") == 10
+    for s in statuses:
+        assert s == "benchmark" or s.startswith(
+            ("quality:", "kept:", "exact_dup", "near_dup", "contaminated")
+        ), s
