@@ -865,6 +865,7 @@ def connected_components(
 def _distributed_cc(und: DataFrame) -> DataFrame:
     """The at-scale min-label propagation loop (see
     ``connected_components``)."""
+    id_type = dict(und.dtypes)["doc_a"]
     edges = (
         und.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -887,7 +888,7 @@ def _distributed_cc(und: DataFrame) -> DataFrame:
             neighbor = edges.join(labels, edges.src == labels.doc_id).select(
                 F.col("dst").alias("doc_id"),
                 "label",
-                F.lit(None).cast("long").alias("old"),
+                F.lit(None).cast(id_type).alias("old"),
             )
             own = labels.select(
                 "doc_id", "label", F.col("label").alias("old")

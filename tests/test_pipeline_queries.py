@@ -861,6 +861,25 @@ def test_connected_components_multi_hop_fixpoint(spark):
         [(0, 7), (7, 3), (3, 9), (5, 6)], "doc_a long, doc_b long"
     )
     want = {0: 0, 7: 0, 3: 0, 9: 0, 5: 5, 6: 5}
+    # id-type genericity: job tables carry STRING doc ids — both paths
+    # must handle them (the fast path once cast to int and threw)
+    spairs = spark.createDataFrame(
+        [("a", "c"), ("c", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    for threshold in (2_000_000, 0):
+        slabels = {
+            r["doc_id"]: r["label"]
+            for r in connected_components(
+                spairs, local_threshold=threshold
+            ).collect()
+        }
+        assert slabels == {
+            "a": "a",
+            "b": "a",
+            "c": "a",
+            "x": "x",
+            "y": "x",
+        }, threshold
     # both the driver-side union-find fast path (default gate) and the
     # at-scale distributed loop (gate disabled) must agree exactly
     for threshold in (2_000_000, 0):
