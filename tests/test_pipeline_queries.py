@@ -1149,6 +1149,86 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_ccnet_perplexity_matches_python_reference(spark):
+    """Third, fully independent implementation of the CCNet filter
+    (the engine is a Spark fold, the oracle a recursive SQL replay):
+    hashed-bigram LM training, integer log weights, per-doc nll sums,
+    exact-integer head/tail thresholds, micro-nat xent rounding."""
+    import hashlib
+    import math
+
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        DSIR_TARGET_LANG,
+        PPLX_B_BUCKETS,
+        PPLX_HEAD_PM,
+        PPLX_TAIL_PM,
+        PPLX_U_BUCKETS,
+        QUERY_FNS,
+        load,
+    )
+
+    got = {
+        r["doc_id"]: (r["xent"], r["bucket"])
+        for r in QUERY_FNS["ccnet_perplexity"](spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("t"), "lang")
+        .collect()
+    )
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = []
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for r in rows:
+        ts = r["t"].split() if r["t"].strip() else []
+        bgs = [
+            (h(ts[i]) % PPLX_U_BUCKETS, h(f"{ts[i]} {ts[i + 1]}") % PPLX_B_BUCKETS)
+            for i in range(len(ts) - 1)
+        ]
+        docs.append((r["doc_id"], len(ts) - 1, bgs))
+        if r["lang"] == DSIR_TARGET_LANG:
+            for b1, b2 in bgs:
+                c1[b1] += 1
+                c2[b2] += 1
+    barr = [
+        math.floor(1e6 * math.log(c2.get(j, 0) + 1))
+        for j in range(PPLX_B_BUCKETS)
+    ]
+    uarr = [
+        math.floor(1e6 * math.log(c1.get(i, 0) + PPLX_B_BUCKETS))
+        for i in range(PPLX_U_BUCKETS)
+    ]
+    nll = {
+        d: -sum(barr[b2] - uarr[b1] for b1, b2 in bgs)
+        for d, n, bgs in docs
+    }
+    tot_n = sum(n for _, n, _ in docs)
+    tot_nll = sum(nll.values())
+    a = tot_n * 1000
+    want = {}
+    for d, n, _ in docs:
+        if n <= 0:
+            want[d] = (0.0, "short")
+            continue
+        xent = ((2 * nll[d] + n) // (2 * n)) / 1e6
+        if nll[d] * a <= tot_nll * PPLX_HEAD_PM * n:
+            b = "head"
+        elif nll[d] * a > tot_nll * PPLX_TAIL_PM * n:
+            b = "tail"
+        else:
+            b = "middle"
+        want[d] = (xent, b)
+    assert got == want
+
+
 def test_robots_eval_matches_python_rfc_matcher(spark):
     """Independent Python RFC 9309 matcher (parse the same generated
     robots body with a from-scratch group parser, longest-match with
