@@ -1149,6 +1149,68 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_quality_lexical_matches_python_reference(spark):
+    """Independent replay of the trained lexical scorer's math —
+    labels taken from the (separately oracle-checked) rule filter,
+    then vocabulary cap, difference-of-df integer weights, scoring,
+    and mean calibration recomputed in Python."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        QSCORE_VOCAB,
+        QUERY_FNS,
+        load,
+    )
+
+    got = {
+        r["doc_id"]: (r["score"], r["pred_keep"], r["label_keep"])
+        for r in QUERY_FNS["quality_lexical"](spark, SF_DIR).collect()
+    }
+    labels = {
+        r["doc_id"]: r["keep"]
+        for r in QUERY_FNS["quality_filter"](spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+        .collect()
+    )
+    toks = {
+        r["doc_id"]: sorted(
+            set(r["t"].split() if r["t"].strip() else [])
+        )
+        for r in rows
+    }
+    n_keep = sum(1 for v in labels.values() if v)
+    n_drop = len(labels) - n_keep
+    dfk: Counter = Counter()
+    dfd: Counter = Counter()
+    for d, ts in toks.items():
+        for t in ts:
+            if labels[d]:
+                dfk[t] += 1
+            else:
+                dfd[t] += 1
+    vocab = sorted(
+        set(dfk) | set(dfd),
+        key=lambda t: (-(dfk[t] + dfd[t]), t),
+    )[:QSCORE_VOCAB]
+    w = {
+        t: dfk[t] * n_drop - dfd[t] * n_keep for t in vocab
+    }
+    score = {
+        d: sum(w.get(t, 0) for t in ts) for d, ts in toks.items()
+    }
+    tot = sum(score.values())
+    n = len(score)
+    want = {
+        d: (s, s * n > tot, labels[d]) for d, s in score.items()
+    }
+    assert got == want
+
+
 def test_ccnet_perplexity_matches_python_reference(spark):
     """Third, fully independent implementation of the CCNet filter
     (the engine is a Spark fold, the oracle a recursive SQL replay):
