@@ -1149,6 +1149,67 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_curation_verdicts_on_adversarial_corpus(spark):
+    """The funnel on a corpus built to hit every arm: an exact-dup
+    flood keeps only its min-id canonical, a near-dup of the flood
+    text is cut by the cluster canonical, a doc sharing an 8-gram
+    with the benchmark slice is contaminated, and junk fails
+    quality."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        QUERY_FNS,
+        curation_verdicts,
+        load,
+    )
+
+    # two DISTINCT known-good texts (dissimilar, so they never land in
+    # one near-dup cluster): the first two docs the rule filter keeps
+    kept = [
+        r["doc_id"]
+        for r in QUERY_FNS["quality_filter"](spark, SF_DIR)
+        .where("keep")
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    ]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_DIR, "documents")
+        .where(F.col("doc_id").isin(kept))
+        .collect()
+    }
+    good1, good2 = texts[kept[0]], texts[kept[1]]
+    marker = "m1q m2q m3q m4q m5q m6q m7q m8q"  # the shared 8-gram
+    near = good1.split()
+    near[len(near) // 2] = "mutated"
+    rows = (
+        # benchmark slice ids 0..9 (0 carries the marker 8-gram)
+        [(0, "benchmark holdout " + marker)]
+        + [(i, f"bench filler {i}") for i in range(1, 10)]
+        # exact-dup flood of good1
+        + [(i, good1) for i in range(10, 20)]
+        # near-dup of the flood text
+        + [(20, " ".join(near))]
+        # contaminated: good2 plus the benchmark marker 8-gram
+        + [(21, good2 + " " + marker)]
+        + [(22, "tiny junk")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["status"]
+        for r in curation_verdicts(df).collect()
+    }
+    for i in range(0, 10):
+        assert got[i] == "benchmark", (i, got[i])
+    assert got[10].startswith("kept:"), got[10]  # flood canonical
+    for i in range(11, 20):
+        assert got[i] == "exact_dup", (i, got[i])
+    assert got[20] == "near_dup", got[20]
+    assert got[21] == "contaminated", got[21]
+    assert got[22].startswith("quality:"), got[22]
+
+
 def test_quality_lexical_matches_python_reference(spark):
     """Independent replay of the trained lexical scorer's math —
     labels taken from the (separately oracle-checked) rule filter,
