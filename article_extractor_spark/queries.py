@@ -1633,6 +1633,102 @@ def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's last mile: fixed-length packed examples of REAL
+    trained-tokenizer ids.  Tokenize every document under the learned
+    BPE merges (q_bpe_merges), lay all subwords on the global
+    concat-in-doc_id-order axis, cut ``PACK_CHUNK_TOKENS``-sized
+    chunks, and emit each chunk's ordered id sequence — what
+    ``sequence_pack`` assigns abstractly, materialized in subword
+    units a training loop can consume.
+
+    Scale shape: segmentation touches the DISTINCT-word vocabulary
+    (broadcast to the exploded token stream); within-doc offsets are
+    doc-partitioned windows (bounded by document length); the GLOBAL
+    offset is the same two-phase deterministic-bucket prefix sum as
+    sequence_pack (``_global_prefix_sum``); chunk assembly is one
+    groupBy(chunk) whose collect_list is bounded by the chunk size.
+    The subword-id table is a vocabulary-sized global row_number —
+    metadata, the compaction_plan caveat.  Ids are emitted as a
+    space-joined string (arrays hash differently across pandas
+    bridges; the string is exact)."""
+    merge_rows = (
+        q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    )
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", X.ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
+    syms = F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+    for r in merge_rows:
+        syms = F.replace(
+            syms,
+            F.lit(f" {r['lhs']}  {r['rhs']} "),
+            F.lit(f" {r['lhs']}{r['rhs']} "),
+        )
+    vocab = (
+        base.select(F.explode("toks").alias("w"))
+        .distinct()
+        .select("w", F.split(F.trim(syms), "  ").alias("subs"))
+    )
+    sub_ids = (
+        vocab.select(F.explode("subs").alias("sub"))
+        .distinct()
+        .select(
+            "sub",
+            F.row_number().over(Window.orderBy("sub")).alias("tid"),
+        )
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("toks").alias("wpos", "w")
+    )
+    jw = tokpos.join(F.broadcast(vocab), "w").select(
+        "doc_id", "wpos", "subs", F.size("subs").alias("ns")
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    jw = jw.withColumn(
+        "word_off", F.coalesce(F.sum("ns").over(wdoc), F.lit(0))
+    )
+    doc_tot = jw.groupBy("doc_id").agg(F.sum("ns").alias("n"))
+    starts = _global_prefix_sum(doc_tot, n_col="n").select(
+        "doc_id", "start"
+    )
+    ex = (
+        jw.join(starts, "doc_id")
+        .select(
+            (F.col("start") + F.col("word_off")).alias("base_off"),
+            F.posexplode("subs").alias("spos", "sub"),
+        )
+        .select((F.col("base_off") + F.col("spos")).alias("gpos"), "sub")
+    )
+    ided = ex.join(F.broadcast(sub_ids), "sub")
+    return (
+        ided.select(
+            F.expr(f"gpos DIV {PACK_CHUNK_TOKENS}").alias("chunk_id"),
+            "gpos",
+            "tid",
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                " ",
+            ).alias("ids"),
+        )
+    )
+
+
 BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "join", "filter")
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -2067,6 +2163,58 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CHUNK_TOKENS = 512
+PACK_BUCKETS = 8
+
+
+def _global_prefix_sum(
+    df: DataFrame, id_col: str = "doc_id", n_col: str = "n"
+) -> DataFrame:
+    """Two-phase distributed GLOBAL prefix sum in ``id_col`` order —
+    the scale-honest decomposition q_sequence_pack documents (a window
+    over a global ORDER BY with no partition key collapses the corpus
+    into one task): deterministic range bucket that is a pure function
+    of the id, bucket-local running sums, per-bucket totals to the
+    driver (metadata), broadcast base offsets back.  Returns the input
+    columns plus ``start`` (sum of ``n_col`` over all earlier ids)."""
+    from pyspark.sql.window import Window
+
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first() or (None, None)
+    if lo is None:
+        width = 1
+        lo = 0
+    else:
+        width = max(1, (hi - lo + PACK_BUCKETS) // PACK_BUCKETS)
+    df = df.withColumn(
+        "pid", ((F.col(id_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    totals = {
+        r["pid"]: r["total"]
+        for r in df.groupBy("pid")
+        .agg(F.sum(n_col).alias("total"))
+        .collect()
+    }
+    base = {}
+    acc = 0
+    for pid in sorted(totals):
+        base[pid] = acc
+        acc += totals[pid]
+    base_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("pid") == pid, F.lit(off))
+                for pid, off in base.items()
+            ]
+        )
+        if base
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prefix = F.coalesce(F.sum(n_col).over(w), F.lit(0))
+    return df.withColumn("start", base_col + local_prefix).drop("pid")
 
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2093,51 +2241,13 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approxQuantile`` boundaries; the algebra is unchanged.  The
     DuckDB oracle uses the single-node global window — agreeing with
     it is evidence the two-phase decomposition is exact."""
-    from pyspark.sql.window import Window
-
-    PACK_BUCKETS = 8
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", X.token_count(F.col("text")).alias("n_tokens")
     )
-    lo, hi = toks.agg(
-        F.min("doc_id"), F.max("doc_id")
-    ).first() or (None, None)
-    if lo is None:
-        width = 1
-        lo = 0
-    else:
-        width = max(1, (hi - lo + PACK_BUCKETS) // PACK_BUCKETS)
-    toks = toks.withColumn(
-        "pid", ((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("int")
+    out = _global_prefix_sum(toks, n_col="n_tokens").withColumnRenamed(
+        "start", "start_token"
     )
-    # phase 1: per-bucket totals → driver (PACK_BUCKETS rows)
-    totals = {
-        r["pid"]: r["total"]
-        for r in toks.groupBy("pid")
-        .agg(F.sum("n_tokens").alias("total"))
-        .collect()
-    }
-    base = {}
-    acc = 0
-    for pid in sorted(totals):
-        base[pid] = acc
-        acc += totals[pid]
-    base_col = F.coalesce(
-        *[
-            F.when(F.col("pid") == pid, F.lit(off))
-            for pid, off in base.items()
-        ]
-    ) if base else F.lit(0)
-    # phase 2: bucket-local running sum + broadcast base offset
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local_prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    start = (base_col + local_prefix).alias("start_token")
-    out = toks.select("doc_id", "n_tokens", start)
     return out.select(
         "doc_id",
         "n_tokens",
@@ -5425,8 +5535,59 @@ SELECT d.doc_id, CAST(COALESCE(s.n_subwords, 0) AS BIGINT) AS n_subwords
 FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id"""
 
 
+def _packed_examples_sql() -> str:
+    """Single-node replay of the packed-example assembly: the same
+    merged vocabulary, per-word subword sequences, global concat
+    offsets via plain windows (the oracle NEEDS no decomposition), and
+    ordered id aggregation per chunk."""
+    toks = _TOKS.format(c="lower(text)")
+    return f"""WITH {_bpe_sql()},
+vocab AS MATERIALIZED (
+  SELECT w, string_split(trim(syms), '  ') AS subs FROM w{BPE_MERGES}
+),
+subv AS (
+  SELECT sub, row_number() OVER (ORDER BY sub) AS tid
+  FROM (SELECT DISTINCT unnest(subs) AS sub FROM vocab)
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS wpos,
+    unnest(toks) AS w
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+),
+jw AS (
+  SELECT t.doc_id, t.wpos, v.subs, len(v.subs) AS ns
+  FROM tok t JOIN vocab v ON t.w = v.w
+),
+offs AS (
+  SELECT doc_id, wpos, subs,
+    COALESCE(SUM(ns) OVER (PARTITION BY doc_id ORDER BY wpos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS word_off
+  FROM jw
+),
+dt AS (
+  SELECT doc_id, SUM(ns)::BIGINT AS n FROM jw GROUP BY doc_id
+),
+ds AS (
+  SELECT doc_id, COALESCE(SUM(n) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM dt
+),
+ex AS (
+  SELECT (s.start + o.word_off
+          + generate_subscripts(o.subs, 1) - 1) AS gpos,
+    unnest(o.subs) AS sub
+  FROM offs o JOIN ds s ON o.doc_id = s.doc_id
+)
+SELECT (gpos // {PACK_CHUNK_TOKENS})::BIGINT AS chunk_id,
+  COUNT(*)::BIGINT AS n_tokens,
+  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY gpos) AS ids
+FROM ex JOIN subv USING (sub)
+GROUP BY gpos // {PACK_CHUNK_TOKENS}"""
+
+
 ORACLE_SQL["bpe_merges"] = _bpe_merges_sql()
 ORACLE_SQL["bpe_subword_counts"] = _bpe_subword_counts_sql()
+ORACLE_SQL["packed_examples"] = _packed_examples_sql()
 
 # Anchor-text aggregation: same synthetic edge graph as PageRank; top
 # anchor = (max count, lexicographically smallest) — the oracle spells
@@ -5633,6 +5794,7 @@ QUERY_FNS: dict[str, Query] = {
     "anchor_texts": q_anchor_texts,
     "bpe_merges": q_bpe_merges,
     "bpe_subword_counts": q_bpe_subword_counts,
+    "packed_examples": q_packed_examples,
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "anchor_texts",
     "bpe_merges",
     "bpe_subword_counts",
+    "packed_examples",
     "jaccard_pairs",
     "token_counts",
     "quality_scores",

@@ -1149,6 +1149,37 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_packed_examples_partition_token_stream(spark):
+    """Packed chunks must tile the global subword stream exactly:
+    every chunk except the last carries PACK_CHUNK_TOKENS ids, chunk
+    ids are contiguous from 0, the id string length matches n_tokens,
+    and the total equals the trained-tokenizer corpus token count."""
+    from article_extractor_spark.queries import (
+        PACK_CHUNK_TOKENS,
+        QUERY_FNS,
+    )
+
+    rows = sorted(
+        (
+            (r["chunk_id"], r["n_tokens"], r["ids"])
+            for r in QUERY_FNS["packed_examples"](
+                spark, SF_DIR
+            ).collect()
+        )
+    )
+    assert [c for c, _, _ in rows] == list(range(len(rows)))
+    for c, n, ids in rows[:-1]:
+        assert n == PACK_CHUNK_TOKENS, (c, n)
+    for c, n, ids in rows:
+        assert len(ids.split()) == n, c
+    total = sum(n for _, n, _ in rows)
+    budget = sum(
+        r["n_subwords"]
+        for r in QUERY_FNS["bpe_subword_counts"](spark, SF_DIR).collect()
+    )
+    assert total == budget
+
+
 def test_curation_verdicts_on_adversarial_corpus(spark):
     """The funnel on a corpus built to hit every arm: an exact-dup
     flood keeps only its min-id canonical, a near-dup of the flood
