@@ -404,6 +404,14 @@ CHECKS = {
         "(codegen, no shuffle to compute); the single hash exchange "
         "is the per-file stats rollup with map-side partials",
     ),
+    "packed_examples": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "packed-example assembly: vocabulary and id table broadcast "
+        "to the exploded token stream, within-doc offsets are "
+        "doc-partitioned windows, the global offset is the two-phase "
+        "deterministic-bucket prefix sum — no corpus-wide window sort",
+    ),
     "curation_funnel": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin",
