@@ -1149,6 +1149,49 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_anchor_texts_matches_python_reference(spark):
+    """Independent replay of the anchor-text rollup: same synthetic
+    edge graph, anchor = source doc's token at 1 + (dst % 7) (or
+    'link'), per-target counts, top anchor = max count with
+    lexicographic tie-break."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import QUERY_FNS, load
+
+    got = {
+        r["url"]: (
+            r["n_inlinks"],
+            r["n_distinct_anchors"],
+            r["top_anchor"],
+        )
+        for r in QUERY_FNS["anchor_texts"](spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+        .collect()
+    )
+    n = len(rows)
+    per = defaultdict(Counter)
+    for r in rows:
+        ts = r["t"].split() if r["t"].strip() else []
+        for dst in ((r["doc_id"] * 2 + 1) % n, (r["doc_id"] * 3 + 7) % n):
+            idx = dst % 7  # 0-based: element_at(toks, 1 + idx)
+            anchor = ts[idx] if idx < len(ts) else "link"
+            per[dst][anchor] += 1
+    want = {}
+    for dst, c in per.items():
+        top = min((-cnt, a) for a, cnt in c.items())[1]
+        want[f"https://synth.example/docs/{dst}"] = (
+            sum(c.values()),
+            len(c),
+            top,
+        )
+    assert got == want
+
+
 def test_packed_examples_partition_token_stream(spark):
     """Packed chunks must tile the global subword stream exactly:
     every chunk except the last carries PACK_CHUNK_TOKENS ids, chunk
