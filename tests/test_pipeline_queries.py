@@ -1149,6 +1149,93 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_incremental_dedup_matches_python_reference(spark):
+    """Independent replay of the wave-vs-corpus probe: MinHash
+    signatures (md5 shingle base + affine permutations), 4x3 banding,
+    the write-time 64-cap on corpus buckets, the equi-join candidate
+    set, and the exact word-set Jaccard gate."""
+    import hashlib
+
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions.dedup import (
+        BUCKET_CAP,
+        LSH_BANDS,
+        MINHASH_H,
+        _MERSENNE31,
+        _hash_params,
+    )
+    from article_extractor_spark.queries import (
+        QUERY_FNS,
+        WAVE_MOD,
+        load,
+    )
+
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in QUERY_FNS["incremental_dedup"](spark, SF_DIR).collect()
+    }
+    rows = load(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def norm(t: str) -> str:
+        import re
+
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    def shingles(t: str) -> set:
+        ts = norm(t).split() if norm(t) else []
+        if len(ts) < 3:
+            return {norm(t)}
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    def bands(t: str) -> list:
+        bases = [h60(s) % _MERSENNE31 for s in shingles(t)]
+        sig = [
+            min((a * b + c) % _MERSENNE31 for b in bases)
+            for a, c in (_hash_params(j) for j in range(MINHASH_H))
+        ]
+        rows_per = MINHASH_H // LSH_BANDS
+        return [
+            (bi, h60(",".join(str(v) for v in
+                              sig[bi * rows_per : (bi + 1) * rows_per])))
+            for bi in range(LSH_BANDS)
+        ]
+
+    wave, corpus = {}, {}
+    for r in rows:
+        (wave if r["doc_id"] % WAVE_MOD == 0 else corpus)[
+            r["doc_id"]
+        ] = r["text"]
+    index = defaultdict(list)
+    for d in sorted(corpus):
+        for key in bands(corpus[d]):
+            if len(index[key]) < BUCKET_CAP:
+                index[key].append(d)
+    cands = set()
+    for d, t in wave.items():
+        for key in bands(t):
+            for other in index.get(key, ()):
+                if other != d:
+                    cands.add((d, other))
+    want = {}
+    for new, dup in cands:
+        a = set(norm(wave[new]).split())
+        b = set(norm(corpus[dup]).split())
+        j = len(a & b) / len(a | b)
+        if round(j, 6) >= 0.2:
+            want[(new, dup)] = j
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-6, k
+
+
 def test_anchor_texts_matches_python_reference(spark):
     """Independent replay of the anchor-text rollup: same synthetic
     edge graph, anchor = source doc's token at 1 + (dst % 7) (or
