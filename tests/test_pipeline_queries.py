@@ -1149,6 +1149,88 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_ann_family_matches_python_reference(spark):
+    """Independent Python replay of the similarity core: integer
+    quantization, the deterministic hyperplane LSH bucket, the
+    first-N-centroid IVF assignment (exact integer L2, ties to the
+    smallest cid), and the bucket/cell-restricted cosine top-k for
+    both lsh_ann_topk and ivf_ann_topk."""
+    import math
+
+    from article_extractor_spark.functions.similarity import (
+        N_CENTROIDS,
+        N_PLANES,
+        QUANT,
+    )
+    from article_extractor_spark.queries import QUERY_FNS, load
+
+    emb = {
+        r["vec_id"]: [
+            math.floor(float(v) * QUANT) for v in r["embedding"]
+        ]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def bucket(qv):
+        b = 0
+        for j in range(N_PLANES):
+            proj = sum(
+                v * (((i * 31 + j * 17) % 7) - 3)
+                for i, v in enumerate(qv)
+            )
+            if proj > 0:
+                b |= 1 << j
+        return b
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    def topk(cand_ids, k=10):
+        scored = sorted(
+            ((round(cos(emb[v], emb[0]), 6), v) for v in cand_ids),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        return [(v, c) for c, v in scored]
+
+    # LSH: candidates share the query's bucket
+    qb = bucket(emb[0])
+    lsh_want = topk(
+        [v for v, qv in emb.items() if v != 0 and bucket(qv) == qb]
+    )
+    lsh_got = [
+        (r["vec_id"], r["cosine"])
+        for r in QUERY_FNS["lsh_ann_topk"](spark, SF_DIR).collect()
+    ]
+    assert [v for v, _ in lsh_got] == [v for v, _ in lsh_want]
+    for (gv, gc), (wv, wc) in zip(lsh_got, lsh_want):
+        assert abs(gc - wc) < 1e-6, gv
+
+    # IVF: first-N centroids, integer L2 argmin, probe the query cell
+    cents = {cid: emb[cid] for cid in range(N_CENTROIDS)}
+
+    def cell(qv):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), cid)
+            for cid, cv in cents.items()
+        )[1]
+
+    qc = cell(emb[0])
+    ivf_want = topk(
+        [v for v, qv in emb.items() if v != 0 and cell(qv) == qc]
+    )
+    ivf_got = [
+        (r["vec_id"], r["cosine"])
+        for r in QUERY_FNS["ivf_ann_topk"](spark, SF_DIR).collect()
+    ]
+    assert [v for v, _ in ivf_got] == [v for v, _ in ivf_want]
+    for (gv, gc), (wv, wc) in zip(ivf_got, ivf_want):
+        assert abs(gc - wc) < 1e-6, gv
+
+
 def test_incremental_dedup_matches_python_reference(spark):
     """Independent replay of the wave-vs-corpus probe: MinHash
     signatures (md5 shingle base + affine permutations), 4x3 banding,
