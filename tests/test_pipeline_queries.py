@@ -1149,6 +1149,75 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_simhash_family_matches_python_reference(spark):
+    """Independent replay of the SimHash method: frequency-weighted
+    16-bit majority-vote fingerprints, the 6/5/5 pigeonhole bit-bands,
+    the 64-cap on bucket membership (smallest doc_ids), in-bucket pair
+    expansion, and the exact Hamming<=2 verify."""
+    import hashlib
+    import re
+
+    from collections import defaultdict
+
+    from article_extractor_spark.functions.dedup import (
+        BUCKET_CAP,
+        SIMHASH_BAND_LAYOUT,
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+    )
+    from article_extractor_spark.queries import QUERY_FNS, load
+
+    rows = load(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def sim16(text: str) -> int:
+        t = re.sub(r"\s+", " ", text.strip().lower())
+        ts = t.split() if t else []
+        counts = [0] * SIMHASH_BITS
+        for tok in ts:
+            h = (
+                int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                % 65536
+            )
+            for i in range(SIMHASH_BITS):
+                if h & (1 << i):
+                    counts[i] += 1
+        out = 0
+        for i in range(SIMHASH_BITS):
+            if counts[i] * 2 > len(ts):
+                out |= 1 << i
+        return out
+
+    sims = {r["doc_id"]: sim16(r["text"]) for r in rows}
+    got_tab = {
+        r["doc_id"]: r["simhash"]
+        for r in QUERY_FNS["simhash"](spark, SF_DIR).collect()
+    }
+    assert got_tab == sims
+
+    buckets = defaultdict(list)
+    for d in sorted(sims):
+        for bi, (sh, w) in enumerate(SIMHASH_BAND_LAYOUT):
+            buckets[(bi, (sims[d] >> sh) & ((1 << w) - 1))].append(d)
+    cand = set()
+    for members in buckets.values():
+        cm = members[:BUCKET_CAP]
+        for x in range(len(cm)):
+            for y in range(x + 1, len(cm)):
+                cand.add((cm[x], cm[y]))
+    want = {}
+    for a, b in cand:
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        if ham <= SIMHASH_MAX_HAMMING:
+            want[(a, b)] = ham
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERY_FNS["simhash_pairs"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_ann_family_matches_python_reference(spark):
     """Independent Python replay of the similarity core: integer
     quantization, the deterministic hyperplane LSH bucket, the
