@@ -1149,6 +1149,69 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_embedding_neardup_matches_python_reference(spark):
+    """Independent replay of SemDeDup's candidate generator: LSH
+    bucket blocking, the 256-cap on bucket membership (smallest
+    vec_ids), in-bucket (i<j) pairs, and the cosine>=threshold gate
+    over quantized integer vectors."""
+    import math
+
+    from collections import defaultdict
+
+    from article_extractor_spark.functions.similarity import (
+        N_PLANES,
+        NEARDUP_BUCKET_CAP,
+        QUANT,
+    )
+    from article_extractor_spark.queries import QUERY_FNS, load
+
+    emb = {
+        r["vec_id"]: [
+            math.floor(float(v) * QUANT) for v in r["embedding"]
+        ]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def bucket(qv):
+        b = 0
+        for j in range(N_PLANES):
+            if (
+                sum(
+                    v * (((i * 31 + j * 17) % 7) - 3)
+                    for i, v in enumerate(qv)
+                )
+                > 0
+            ):
+                b |= 1 << j
+        return b
+
+    buckets = defaultdict(list)
+    for v in sorted(emb):
+        buckets[bucket(emb[v])].append(v)
+    want = {}
+    for members in buckets.values():
+        cm = members[:NEARDUP_BUCKET_CAP]
+        for x in range(len(cm)):
+            a = emb[cm[x]]
+            na = math.sqrt(sum(t * t for t in a))
+            for y in range(x + 1, len(cm)):
+                b = emb[cm[y]]
+                c = round(
+                    sum(s * t for s, t in zip(a, b))
+                    / (na * math.sqrt(sum(t * t for t in b))),
+                    6,
+                )
+                if c >= 0.3:
+                    want[(cm[x], cm[y])] = c
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in QUERY_FNS["embedding_neardup"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+
+
 def test_simhash_family_matches_python_reference(spark):
     """Independent replay of the SimHash method: frequency-weighted
     16-bit majority-vote fingerprints, the 6/5/5 pigeonhole bit-bands,
