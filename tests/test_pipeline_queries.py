@@ -1149,6 +1149,33 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_url_normalize_rich_matches_urlparse_reference(spark):
+    """Reference-parity check: the engine's regex normalizer must
+    agree with the reference's actual urllib.parse-based
+    _normalize_url semantics (discovery.py:787-813 — urldefrag,
+    lowercased scheme with http(s) whitelist, query strip, default
+    path '/', netloc case preserved) on every generated URL."""
+    from urllib.parse import urldefrag, urlparse, urlunparse
+
+    from article_extractor_spark.queries import QUERY_FNS
+
+    def reference_normalize(url: str):
+        url, _ = urldefrag(url)
+        p = urlparse(url)
+        if p.scheme not in ("http", "https"):
+            return None
+        return urlunparse(
+            (p.scheme, p.netloc, p.path or "/", p.params, "", "")
+        )
+
+    rows = QUERY_FNS["url_normalize_rich"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["norm_url"] == reference_normalize(r["raw_url"]), r[
+            "raw_url"
+        ]
+
+
 def test_embedding_neardup_matches_python_reference(spark):
     """Independent replay of SemDeDup's candidate generator: LSH
     bucket blocking, the 256-cap on bucket membership (smallest
