@@ -1149,6 +1149,35 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         assert got == want, (trial, docs)
 
 
+def test_url_normalize_matches_urlsplit_reference(spark):
+    """Reference parity for the crawler-variant normalizer
+    (crawler.py:435-450): lowercase scheme+netloc, default path '/',
+    keep the query, drop the fragment — replayed with actual
+    urllib.parse urlsplit/urlunsplit on every generated URL."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    from article_extractor_spark.queries import QUERY_FNS
+
+    def reference_normalize(value: str) -> str:
+        p = urlsplit(value.strip())
+        return urlunsplit(
+            (
+                p.scheme.lower(),
+                p.netloc.lower(),
+                p.path or "/",
+                p.query,
+                "",
+            )
+        )
+
+    rows = QUERY_FNS["url_normalize"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["norm_url"] == reference_normalize(r["raw_url"]), r[
+            "raw_url"
+        ]
+
+
 def test_url_normalize_rich_matches_urlparse_reference(spark):
     """Reference-parity check: the engine's regex normalizer must
     agree with the reference's actual urllib.parse-based
