@@ -47,7 +47,8 @@ def discover_candidates(doc: Node, memo: DocMemo) -> list[Node]:
         arts: list[Node] = []
         mains: list[Node] = []
         role_mains: list[Node] = []
-        wrappers: list[Node] = []
+        divs: list[Node] = []
+        sections: list[Node] = []
         for node in elements:
             if node is doc:
                 continue  # query() yields strict descendants only
@@ -60,8 +61,10 @@ def discover_candidates(doc: Node, memo: DocMemo) -> list[Node]:
             # (selector.py str-coerced equality)
             if str(node.attrs.get("role", "")) == "main":
                 role_mains.append(node)
-            if name in ("div", "section"):
-                wrappers.append(node)
+            if name == "div":
+                divs.append(node)
+            elif name == "section":
+                sections.append(node)
         for node in arts:
             consider(node)
         for node in mains:
@@ -70,9 +73,14 @@ def discover_candidates(doc: Node, memo: DocMemo) -> list[Node]:
             consider(node)
         # div/section wrappers are scanned even when semantic tags
         # exist: many pages put the body inside <main> + extra chrome.
-        for node in wrappers:
-            if memo.text_len(node) > rules.MIN_CANDIDATE_CHARS:
-                consider(node)
+        # All divs are considered before all sections — the reference's
+        # fallback runs one query() per tag in that order
+        # (candidate_finder.py:78-85), and rank() is a stable sort, so
+        # equal-scoring candidates tie-break by this discovery order.
+        for group in (divs, sections):
+            for node in group:
+                if memo.text_len(node) > rules.MIN_CANDIDATE_CHARS:
+                    consider(node)
         return found
 
     for node in doc.query("article"):

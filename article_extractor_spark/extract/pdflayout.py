@@ -157,9 +157,12 @@ def build_article_pdf(doc_id, text: str, *, compress: bool = False) -> bytes:
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 # (?!\d) pins the match to the WHOLE number — without it the engine
 # backtracks on "/Length 12 0 R" to match "1" with the lookahead
-# satisfied, silently truncating the stream to 1 byte.
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
-_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
+# satisfied, silently truncating the stream to 1 byte.  The indirect
+# lookahead accepts ANY generation number ("12 3 R"), not just 0
+# (ADVICE r3) — a nonzero-gen indirect /Length must fall through to
+# the endstream scan, not be read as a direct integer.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _NUM_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _NAME_REF_RE = re.compile(rb"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+0\s+R")
@@ -219,13 +222,14 @@ def _scan_objects(data: bytes) -> dict[int, _Obj]:
             stream_end = stream_at + n
         elif rm:
             pending_len.append((num, int(rm.group(1)), stream_at))
-            stream = b""
             # length unknown until the ref resolves — skip the scan
             # pointer to the next endstream so payload bytes are not
-            # rescanned as object headers (the content itself is cut
-            # by the resolved length in the fixup pass below)
+            # rescanned as object headers; keep the endstream-cut
+            # content as the fallback for an unresolvable ref (the
+            # fixup pass below re-cuts by the resolved length)
             tail = data.find(b"endstream", stream_at)
             stream_end = tail if tail >= 0 else len(data)
+            stream = data[stream_at:stream_end].rstrip(b"\r\n")
         else:
             tail = data.find(b"endstream", stream_at)
             stream_end = tail if tail >= 0 else len(data)
@@ -236,9 +240,11 @@ def _scan_objects(data: bytes) -> dict[int, _Obj]:
     for num, ref, stream_at in pending_len:
         ref_obj = objs.get(ref)
         try:
-            n = int(ref_obj.dict_bytes.strip()) if ref_obj else 0
+            n = int(ref_obj.dict_bytes.strip()) if ref_obj else None
         except ValueError:
-            n = 0
+            n = None
+        if n is None:
+            continue  # unresolvable ref → keep the endstream-cut stream
         objs[num] = _Obj(objs[num].dict_bytes, data[stream_at : stream_at + n])
     return objs
 

@@ -415,6 +415,14 @@ def main(argv: list[str] | None = None) -> int:
         "--table", required=True, help="output table from 'extract'"
     )
     p_cur.add_argument("--out", required=True)
+    p_cur.add_argument(
+        "--benchmark-table",
+        default=None,
+        help="parquet table of benchmark/eval docs (needs a 'text' "
+        "column) to decontaminate against; omitted = decontamination "
+        "is skipped (the benchmark slice is explicit, never inferred "
+        "from doc ids)",
+    )
 
     p_run = sub.add_parser("extract", help="run the extraction job")
     p_run.add_argument("--corpus", required=True)
@@ -462,30 +470,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         from .queries import curation_verdicts
 
-        from .functions.text import md5_int
-
         result = tableio.read_table(spark, args.table)
         # document text = its extracted text spans, in order (the
         # curation attributes run over what extraction KEPT, not the
-        # raw HTML).  The funnel keys on a NUMERIC doc ordinal (the
-        # benchmark slice is "lowest ids", and dup canonicals compare
-        # ids) — job tables use string ids, so derive the ordinal from
-        # the id's digit suffix, hash-fallback for digitless ids.
-        ordinal = F.coalesce(
-            F.nullif(
-                F.regexp_extract(
-                    F.col("doc_id").cast("string"), "([0-9]+)$", 1
-                ),
-                F.lit(""),
-            ).cast("long"),
-            F.pmod(
-                md5_int(F.col("doc_id").cast("string")),
-                F.lit(1 << 40),
-            ),
-        )
+        # raw HTML).  The funnel runs directly on the STRING doc_id —
+        # dup canonicals pick the lexicographic-min id, collision-free
+        # by construction (a derived digit-suffix ordinal collided
+        # across sources, e.g. 'siteA-42'/'siteB-42' — ADVICE r3) —
+        # and the benchmark slice is the explicit --benchmark-table,
+        # never inferred from low ids.
         docs = result.select(
-            F.col("doc_id").alias("source_doc_id"),
-            ordinal.alias("doc_id"),
+            "doc_id",
             F.array_join(
                 F.transform(
                     F.filter(
@@ -496,17 +491,21 @@ def main(argv: list[str] | None = None) -> int:
                 " ",
             ).alias("text"),
         )
+        benchmark = (
+            spark.read.parquet(args.benchmark_table)
+            if args.benchmark_table
+            else None
+        )
         verdicts = curation_verdicts(
-            docs.select("doc_id", "text")
-        ).join(
-            docs.select("doc_id", "source_doc_id"), "doc_id"
-        ).select(
-            F.col("source_doc_id").alias("doc_id"), "status"
+            docs, benchmark=benchmark, bench_ids_below=None
         )
         verdicts.write.mode("overwrite").parquet(args.out)
+        # summary reads the WRITTEN table back instead of re-executing
+        # the whole funnel a second time (ADVICE r3)
         summary = {
             r["status"]: r["n"]
-            for r in verdicts.groupBy("status")
+            for r in spark.read.parquet(args.out)
+            .groupBy("status")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }

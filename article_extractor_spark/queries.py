@@ -484,11 +484,35 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_verdicts(load(spark, sf_dir, "documents"))
 
 
-def curation_verdicts(docs: DataFrame) -> DataFrame:
+DECONTAM_N = 8
+DECONTAM_BENCH_IDS = 10  # doc_id < 10 stands in for the eval benchmark
+
+
+def curation_verdicts(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    bench_ids_below: int | None = DECONTAM_BENCH_IDS,
+) -> DataFrame:
     """DataFrame-level curation funnel over any (doc_id, text) table —
     the form the job CLI's ``curate`` subcommand runs over extraction
     output (see q_curation_funnel for semantics and the at-scale
-    rationale)."""
+    rationale).
+
+    The benchmark/eval slice for decontamination is EXPLICIT:
+
+    - ``benchmark``: a (text) table of benchmark documents to
+      decontaminate against (broadcast side of the n-gram overlap).
+    - ``bench_ids_below``: legacy stand-in used by the registry query
+      and its oracle — docs with numeric ``doc_id`` below this are
+      treated AS the benchmark and statused ``benchmark``.  Pass
+      ``None`` (the job CLI does) to disable the id-slice convention;
+      with both None, decontamination is skipped entirely.
+
+    ``doc_id`` may be any orderable type — dup canonicals are the MIN
+    id per duplicate group, so string ids pick the lexicographic
+    smallest.  No numeric ordinal is derived (a digit-suffix ordinal
+    collides across e.g. 'siteA-42'/'siteB-42' and fans out the
+    doc_id-keyed joins — ADVICE r3)."""
     m = _quality_metrics(docs)
     reason = _quality_reason_expr()
     qf = m.select(
@@ -509,11 +533,20 @@ def curation_verdicts(docs: DataFrame) -> DataFrame:
             F.coalesce("label", "doc_id").alias("nd_canon"),
         )
     )
-    de = D.benchmark_overlap(
-        docs.where(F.col("doc_id") >= DECONTAM_BENCH_IDS),
-        docs.where(F.col("doc_id") < DECONTAM_BENCH_IDS),
-        n=DECONTAM_N,
-    ).select("doc_id", F.lit(True).alias("contaminated"))
+    if bench_ids_below is not None:
+        corpus_side = docs.where(F.col("doc_id") >= bench_ids_below)
+        bench_side = docs.where(F.col("doc_id") < bench_ids_below)
+    else:
+        corpus_side, bench_side = docs, benchmark
+    if bench_side is not None:
+        de = D.benchmark_overlap(
+            corpus_side, bench_side, n=DECONTAM_N
+        ).select("doc_id", F.lit(True).alias("contaminated"))
+    else:
+        # no benchmark provided: nothing to decontaminate against
+        de = docs.select("doc_id").limit(0).select(
+            "doc_id", F.lit(True).alias("contaminated")
+        )
     split_bucket = (
         X.md5_int(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
         % SPLIT_BUCKETS
@@ -533,10 +566,13 @@ def curation_verdicts(docs: DataFrame) -> DataFrame:
         .join(de, "doc_id", "left")
         .join(sp, "doc_id")
     )
+    is_bench = (
+        F.col("doc_id") < bench_ids_below
+        if bench_ids_below is not None
+        else F.lit(False)
+    )
     status = (
-        F.when(
-            F.col("doc_id") < DECONTAM_BENCH_IDS, F.lit("benchmark")
-        )
+        F.when(is_bench, F.lit("benchmark"))
         .when(~F.col("keep"), F.concat(F.lit("quality:"), F.col("reason")))
         .when(F.col("doc_id") != F.col("exact_canon"), F.lit("exact_dup"))
         .when(F.col("doc_id") != F.col("nd_canon"), F.lit("near_dup"))
@@ -2399,8 +2435,6 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(load(spark, sf_dir, "documents"))
 
 
-DECONTAM_N = 8
-DECONTAM_BENCH_IDS = 10  # doc_id < 10 stands in for the eval benchmark
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

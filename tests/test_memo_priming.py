@@ -135,3 +135,37 @@ def test_deep_empty_nest_completes_fast():
     t0 = time.monotonic()
     extract_document(html, url="https://example.test/empty-deep")
     assert time.monotonic() - t0 < 5.0
+
+
+def test_candidate_discovery_order_matches_lazy_fallback():
+    # The reference's fallback runs one query() per tag — all divs, then
+    # all sections (candidate_finder.py:78-85).  rank() is a stable sort
+    # on score, so a section that precedes an equal-scoring div in
+    # document order must NOT jump ahead of it.  Regression for the
+    # primed single-pass bucketing (ADVICE r3).
+    from article_extractor_spark.extract.candidates import discover_candidates
+
+    body = "word " * 80  # > MIN_CANDIDATE_CHARS
+    html = (
+        "<body>"
+        f"<section><p>{body}</p></section>"
+        f"<div><p>{body}</p></div>"
+        f"<section><p>{body}</p></section>"
+        f"<div><p>{body}</p></div>"
+        "</body>"
+    )
+    root = parse_html(html)
+    primed = DocMemo()
+    primed.prime(root)
+    fast = discover_candidates(root, primed)
+
+    root2 = parse_html(html)
+    lazy = DocMemo()  # unprimed → elements() is None → query() fallback
+    slow = discover_candidates(root2, lazy)
+
+    fast_sig = [(n.name, id(n)) for n in fast]
+    assert [n.name for n in fast] == [n.name for n in slow]
+    # all divs precede all sections among the wrapper candidates
+    names = [n.name for n in fast if n.name in ("div", "section")]
+    assert names == sorted(names), f"wrapper order not div-first: {names}"
+    assert len(fast_sig) == len(set(fast_sig))

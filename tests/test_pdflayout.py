@@ -238,3 +238,21 @@ def test_spark_operator_spans_and_failure_rows(spark):
         .toString()
     )
     assert "giant_unused" not in plan
+
+
+def test_indirect_length_with_nonzero_generation():
+    """'/Length 12 3 R' (nonzero generation) must NOT be read as a
+    direct length of 12 — the stream is cut at endstream instead
+    (ADVICE r3: the old lookahead only excluded generation 0)."""
+    content = b"BT 72 700 Td (gen three ref) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 12 3 R >>\nstream\n" + content
+        + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF"
+    )
+    r = parse_pdf(pdf)
+    assert r["ok"] and r["spans"][0][1] == "gen three ref"

@@ -466,8 +466,9 @@ def test_curate_subcommand_over_extraction_output(
     spark, corpus_path, tmp_path
 ):
     """The CLI curation pass over a real extraction output table:
-    exactly one status per document, the benchmark slice labeled by
-    numeric ordinal, statuses drawn from the funnel vocabulary."""
+    exactly one status per document (string ids used directly — no
+    derived ordinal to collide), the benchmark slice strictly opt-in
+    via --benchmark-table, statuses drawn from the funnel vocabulary."""
     from article_extractor_spark.job import main
 
     out = str(tmp_path / "cur_out")
@@ -481,8 +482,69 @@ def test_curate_subcommand_over_extraction_output(
     assert len(rows) == N_DOCS
     assert len({r["doc_id"] for r in rows}) == N_DOCS
     statuses = [r["status"] for r in rows]
-    assert sum(1 for s in statuses if s == "benchmark") == 10
+    # the benchmark slice is opt-in via --benchmark-table; without it
+    # NO document is silently classified benchmark (ADVICE r3)
+    assert "benchmark" not in statuses
+    assert "contaminated" not in statuses
     for s in statuses:
-        assert s == "benchmark" or s.startswith(
-            ("quality:", "kept:", "exact_dup", "near_dup", "contaminated")
+        assert s.startswith(
+            ("quality:", "kept:", "exact_dup", "near_dup")
         ), s
+
+
+def test_curate_benchmark_table_and_collision_free_ids(spark, tmp_path):
+    """Explicit --benchmark-table drives decontamination, and ids that
+    share a digit suffix ('siteA-42'/'siteB-42') each get exactly one
+    status (the old derived ordinal collided them — ADVICE r3)."""
+    from article_extractor_spark.job import main
+
+    def spans_of(text):
+        return [{"kind": "text", "text": text, "media_ref": None,
+                 "offset": 0}]
+
+    english = (
+        "The committee published its annual report on Tuesday and the "
+        "findings were discussed at length by members present in the "
+        "chamber before a vote was finally taken that evening. Several "
+        "delegates raised concerns about funding while others argued "
+        "for broader reforms across education, transport, housing and "
+        "public health. After considerable debate everyone agreed to "
+        "revisit these proposals during next quarter once independent "
+        "auditors deliver their complete assessment of regional budgets. "
+    )
+    rows = [
+        ("siteA-42", spans_of(english + "Unique first ending appears here today.")),
+        ("siteB-42", spans_of(english + "Another different second closing sentence instead.")),
+        ("siteC-7", spans_of(english + "Finally this third document simply concludes gracefully.")),
+    ]
+    table = str(tmp_path / "table")
+    spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    ).write.parquet(table)
+
+    verdicts = str(tmp_path / "v1")
+    assert main(["curate", "--table", table, "--out", verdicts]) == 0
+    got = {r["doc_id"]: r["status"]
+           for r in spark.read.parquet(verdicts).collect()}
+    # one status per SOURCE id — suffix twins must not cross-assign
+    assert set(got) == {"siteA-42", "siteB-42", "siteC-7"}
+    assert all(not s.startswith(("benchmark", "contaminated"))
+               for s in got.values()), got
+
+    # benchmark table sharing 8-grams with every doc -> all docs that
+    # survive quality/dup flip to 'contaminated'
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame([(english,)], "text string").write.parquet(bench)
+    verdicts2 = str(tmp_path / "v2")
+    assert main([
+        "curate", "--table", table, "--out", verdicts2,
+        "--benchmark-table", bench,
+    ]) == 0
+    got2 = {r["doc_id"]: r["status"]
+            for r in spark.read.parquet(verdicts2).collect()}
+    assert set(got2) == set(got)
+    for doc_id, status in got.items():
+        if status.startswith("kept:"):
+            assert got2[doc_id] == "contaminated", (doc_id, got2[doc_id])
+    assert "contaminated" in got2.values()
