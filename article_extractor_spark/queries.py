@@ -1614,7 +1614,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+BPE_VOCAB_BROADCAST_MAX = 2_000_000  # vocab entries; ≈ tens of MB broadcast
+
+
+def q_bpe_subword_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_broadcast_threshold: int | None = None,
+) -> DataFrame:
     """Token counting under the TRAINED tokenizer (the budget metric
     every mixture/packing decision actually uses — ``bpe_token_count``
     is the regex approximation; this is the real thing): apply the
@@ -1623,14 +1630,16 @@ def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: merges are applied to the DISTINCT-word vocabulary
     (not the token stream) — a chain of K map-side string replaces on
-    the same symbol-string encoding the trainer used; per-document
-    counts then come from folding a broadcast word→n_subwords map over
-    the token array (the ``quality_lexical`` pattern) — ZERO exchanges
-    over the corpus beyond the vocabulary aggregate.  At web scale an
-    uncapped vocabulary map stops broadcasting; the spelling becomes
-    explode → broadcast/bucketed join → re-agg by doc_id (one
-    partial-aggregable shuffle) — the plan-shape switch is noted here
-    because the test corpus can't exercise it.  A real pipeline would
+    the same symbol-string encoding the trainer used.  Per-document
+    counts are SIZE-GATED (the ``connected_components`` pattern): a
+    vocabulary at most ``vocab_broadcast_threshold`` entries folds a
+    broadcast word→n_subwords map over the token array (the
+    ``quality_lexical`` pattern, ZERO exchanges over the corpus beyond
+    the vocabulary aggregate); above the gate — the web-scale regime
+    where an uncapped vocabulary stops fitting a broadcast — the
+    spelling switches to explode → shuffled equi-join on the word →
+    re-agg by doc_id (one partial-aggregable shuffle), both paths
+    pinned equal in tests via ``threshold=0``.  A real pipeline would
     persist the merge table instead of retraining it inline."""
     merge_rows = q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
     docs = load(spark, sf_dir, "documents")
@@ -1654,22 +1663,82 @@ def q_bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.trim(syms), "  ")).cast("long").alias("n_sub"),
         )
     )
-    wmap = vocab.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "n_sub"))).alias(
-            "wm"
+    if vocab_broadcast_threshold is None:
+        vocab_broadcast_threshold = BPE_VOCAB_BROADCAST_MAX
+    vocab = vocab.persist()
+    if vocab.count() <= vocab_broadcast_threshold:
+        wmap = vocab.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "n_sub"))
+            ).alias("wm")
         )
+        return base.crossJoin(F.broadcast(wmap)).select(
+            "doc_id",
+            F.aggregate(
+                "toks",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.element_at(F.col("wm"), t),
+            ).alias("n_subwords"),
+        )
+    # at-scale path: token stream joined to the (non-broadcast) vocab
+    # on the word — Spark picks the shuffle strategy, AQE can still
+    # convert it back if the vocab turns out small — then one
+    # partial-aggregable re-agg by doc_id; zero-token docs re-enter
+    # via the left join (the fold path's acc=0 on an empty array).
+    counts = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .join(vocab.select("w", "n_sub"), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("n_subwords"))
     )
-    return base.crossJoin(F.broadcast(wmap)).select(
+    return base.select("doc_id").join(counts, "doc_id", "left").select(
         "doc_id",
-        F.aggregate(
-            "toks",
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + F.element_at(F.col("wm"), t),
-        ).alias("n_subwords"),
+        F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
     )
 
 
-def q_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lex_dense_ids(subs: DataFrame, col: str = "sub") -> DataFrame:
+    """Global 1-based lexicographic rank of a distinct string column
+    WITHOUT a global-ORDER-BY window (which collapses to one task):
+    two-phase deterministic-bucket rank, the string twin of
+    ``_global_prefix_sum``.  Bucket = code point of the first
+    character — order-preserving under Spark's binary collation (all
+    strings in bucket b sort before all strings in bucket b+1) — then
+    per-bucket counts to the driver (metadata: ≤ distinct first
+    chars), cumulative base offsets broadcast back, and a
+    bucket-partitioned row_number.  Output ids are IDENTICAL to
+    ``row_number().over(Window.orderBy(col))`` (pinned by test)."""
+    from pyspark.sql.window import Window
+
+    b = subs.withColumn(
+        "_b", F.coalesce(F.ascii(F.substring(F.col(col), 1, 1)), F.lit(-1))
+    ).persist()
+    counts = {
+        r["_b"]: r["n"]
+        for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base, acc = {}, 0
+    for k in sorted(counts):
+        base[k] = acc
+        acc += counts[k]
+    off = (
+        F.coalesce(
+            *[F.when(F.col("_b") == k, F.lit(v)) for k, v in base.items()]
+        )
+        if base
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_b").orderBy(col)
+    return b.select(
+        col, (off + F.row_number().over(w)).cast("int").alias("tid")
+    )
+
+
+def q_packed_examples(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_broadcast_threshold: int | None = None,
+) -> DataFrame:
     """The trainer's last mile: fixed-length packed examples of REAL
     trained-tokenizer ids.  Tokenize every document under the learned
     BPE merges (q_bpe_merges), lay all subwords on the global
@@ -1678,15 +1747,19 @@ def q_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sequence_pack`` assigns abstractly, materialized in subword
     units a training loop can consume.
 
-    Scale shape: segmentation touches the DISTINCT-word vocabulary
-    (broadcast to the exploded token stream); within-doc offsets are
-    doc-partitioned windows (bounded by document length); the GLOBAL
-    offset is the same two-phase deterministic-bucket prefix sum as
-    sequence_pack (``_global_prefix_sum``); chunk assembly is one
-    groupBy(chunk) whose collect_list is bounded by the chunk size.
-    The subword-id table is a vocabulary-sized global row_number —
-    metadata, the compaction_plan caveat.  Ids are emitted as a
-    space-joined string (arrays hash differently across pandas
+    Scale shape: segmentation touches the DISTINCT-word vocabulary;
+    within-doc offsets are doc-partitioned windows (bounded by
+    document length); the GLOBAL offset is the same two-phase
+    deterministic-bucket prefix sum as sequence_pack
+    (``_global_prefix_sum``); chunk assembly is one groupBy(chunk)
+    whose collect_list is bounded by the chunk size.  Vocabulary
+    access is SIZE-GATED like q_bpe_subword_counts: at most
+    ``vocab_broadcast_threshold`` entries → broadcast joins + a global
+    row_number for the subword-id table; above the gate the joins
+    shuffle on the word/subword key and ids come from the two-phase
+    ``_lex_dense_ids`` rank (no unpartitioned window anywhere), both
+    paths pinned equal in tests via ``threshold=0``.  Ids are emitted
+    as a space-joined string (arrays hash differently across pandas
     bridges; the string is exact)."""
     merge_rows = (
         q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
@@ -1710,18 +1783,23 @@ def q_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("w", F.split(F.trim(syms), "  ").alias("subs"))
     )
-    sub_ids = (
-        vocab.select(F.explode("subs").alias("sub"))
-        .distinct()
-        .select(
+    if vocab_broadcast_threshold is None:
+        vocab_broadcast_threshold = BPE_VOCAB_BROADCAST_MAX
+    vocab = vocab.persist()
+    small_vocab = vocab.count() <= vocab_broadcast_threshold
+    distinct_subs = vocab.select(F.explode("subs").alias("sub")).distinct()
+    if small_vocab:
+        sub_ids = distinct_subs.select(
             "sub",
             F.row_number().over(Window.orderBy("sub")).alias("tid"),
         )
-    )
+    else:
+        sub_ids = _lex_dense_ids(distinct_subs, "sub")
+    maybe_bcast = F.broadcast if small_vocab else (lambda df: df)
     tokpos = base.select(
         "doc_id", F.posexplode("toks").alias("wpos", "w")
     )
-    jw = tokpos.join(F.broadcast(vocab), "w").select(
+    jw = tokpos.join(maybe_bcast(vocab), "w").select(
         "doc_id", "wpos", "subs", F.size("subs").alias("ns")
     )
     wdoc = (
@@ -1744,7 +1822,7 @@ def q_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("base_off") + F.col("spos")).alias("gpos"), "sub")
     )
-    ided = ex.join(F.broadcast(sub_ids), "sub")
+    ided = ex.join(maybe_bcast(sub_ids), "sub")
     return (
         ided.select(
             F.expr(f"gpos DIV {PACK_CHUNK_TOKENS}").alias("chunk_id"),

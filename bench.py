@@ -191,7 +191,16 @@ def main() -> int:
         else None,
         "cores": spark.sparkContext.defaultParallelism,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # The driver tails stdout and can truncate a long final line
+    # (BENCH_r03.json lost its totals that way) — ALSO write the
+    # artifact to a file so the record round-trips through json.load.
+    out_path = Path(__file__).resolve().parent / "BENCH.json"
+    try:
+        out_path.write_text(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still authoritative
+    print(line)
     return 0
 
 

@@ -2743,3 +2743,79 @@ def test_anchor_texts_aggregates_without_window(spark):
     for r in rows:
         assert r["n_distinct_anchors"] <= r["n_inlinks"]
         assert r["top_anchor"]
+
+
+def _partitioned_window_lines_ok(plan: str) -> list[str]:
+    """Physical-plan lines with an UNPARTITIONED Window (two bracket
+    groups: [exprs], [order] — a partitioned one has [exprs],
+    [partition], [order])."""
+    bad = []
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("Window ") or " Window " in s:
+            if s.count("], [") < 2:
+                bad.append(s)
+    return bad
+
+
+def test_bpe_subword_counts_big_vocab_path_matches_broadcast(spark):
+    """threshold=0 forces the at-scale explode→join→re-agg spelling;
+    its output must be IDENTICAL to the broadcast-map fold."""
+    from article_extractor_spark.queries import q_bpe_subword_counts
+
+    small = {
+        r["doc_id"]: r["n_subwords"]
+        for r in q_bpe_subword_counts(spark, SF_DIR).collect()
+    }
+    big_df = q_bpe_subword_counts(
+        spark, SF_DIR, vocab_broadcast_threshold=0
+    )
+    big = {r["doc_id"]: r["n_subwords"] for r in big_df.collect()}
+    assert big == small
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert _partitioned_window_lines_ok(plan) == []
+
+
+def test_packed_examples_big_vocab_path_matches_broadcast(spark):
+    """threshold=0 forces shuffled vocab joins + the two-phase
+    deterministic-bucket subword-id rank; chunks, ids, and counts must
+    be identical to the broadcast + global-row_number path, and the
+    forced plan must contain NO unpartitioned Window."""
+    from article_extractor_spark.queries import q_packed_examples
+
+    small = {
+        r["chunk_id"]: (r["n_tokens"], r["ids"])
+        for r in q_packed_examples(spark, SF_DIR).collect()
+    }
+    big_df = q_packed_examples(spark, SF_DIR, vocab_broadcast_threshold=0)
+    big = {
+        r["chunk_id"]: (r["n_tokens"], r["ids"])
+        for r in big_df.collect()
+    }
+    assert big == small
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert _partitioned_window_lines_ok(plan) == [], plan
+
+
+def test_lex_dense_ids_equal_global_row_number(spark):
+    """The two-phase rank must reproduce row_number over a global
+    ORDER BY exactly — including empty strings, unicode first chars,
+    and strings sharing first characters."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from article_extractor_spark.queries import _lex_dense_ids
+
+    vals = [
+        "", "a", "aa", "ab", "b", "ba", "zz", "0", "9", "~", "é", "éa",
+        "日本", "mid", "midway", "Z",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "sub string")
+    expected = {
+        r["sub"]: r["tid"]
+        for r in df.select(
+            "sub",
+            F.row_number().over(Window.orderBy("sub")).alias("tid"),
+        ).collect()
+    }
+    got = {r["sub"]: r["tid"] for r in _lex_dense_ids(df, "sub").collect()}
+    assert got == expected
