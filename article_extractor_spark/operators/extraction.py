@@ -162,6 +162,45 @@ def _batch_extract(
         yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
+GIANT_MIN_BYTES = 1 << 20  # absolute floor: smaller docs never straggle
+GIANT_SKEW_RATIO = 20.0  # max/median ratio that marks a real giant tail
+GIANT_PROBE_REL_ERR = 0.01
+
+
+def resolve_giant_threshold(pruned: DataFrame) -> int | None:
+    """Derive the giant-doc salting threshold from the corpus's own
+    size distribution — SURVEY §4 item 3's "salt chosen from a size
+    histogram", so the 2.45× straggler win (scripts/giant_bench.py)
+    doesn't depend on the caller knowing the corpus.
+
+    One approx-quantile probe over the html lengths (median + max).
+    Salting engages only when the tail is REAL: max ≥
+    ``GIANT_MIN_BYTES`` (a doc below 1 MB can't straggle a task) and
+    max ≥ ``GIANT_SKEW_RATIO`` × median (uniform corpora keep the
+    single-scan plan — the split costs a second scan, only worth it
+    when giants dominate the straggler profile).  The threshold is
+    max(1 MB, SKEW_RATIO/2 × median) — anchored on the MEDIAN, not a
+    tail quantile, because an approx p99's rank error lands inside the
+    giant cluster exactly when giants are a sub-percent tail (measured:
+    rel-err-1% p99 picked 2.5 MB on a corpus whose giants start at
+    1 MB, leaving half of them unsalted).  The gate's max ≥ 20×median
+    condition guarantees threshold ≤ max, so the giant branch is never
+    vacuously empty.
+
+    Cost: one column-pruned pass over html lengths.  At 100 TB prefer
+    passing an explicit threshold from ingest-time stats (the lineage
+    table already records per-bucket size metrics); auto mode is for
+    corpora without one."""
+    probe = pruned.select(F.length("html").cast("double").alias("_n"))
+    qs = probe.approxQuantile("_n", [0.5, 1.0], GIANT_PROBE_REL_ERR)
+    if len(qs) != 2 or qs[1] is None:
+        return None  # empty corpus
+    p50, mx = qs
+    if mx < GIANT_MIN_BYTES or mx < GIANT_SKEW_RATIO * max(p50, 1.0):
+        return None
+    return int(max(GIANT_MIN_BYTES, GIANT_SKEW_RATIO / 2 * p50))
+
+
 def extract_articles(
     df: DataFrame,
     *,
@@ -172,7 +211,7 @@ def extract_articles(
     safe_output: bool = True,
     emit_html: bool = False,
     emit_markdown: bool = False,
-    giant_threshold: int | None = None,
+    giant_threshold: int | str | None = None,
 ) -> DataFrame:
     """Run main-content extraction over a corpus DataFrame.
 
@@ -189,6 +228,9 @@ def extract_articles(
     accumulates several of them.  Tradeoff: the split predicate cannot be
     pushed to parquet, so the scan runs twice — only worth it when the
     giant tail dominates the straggler profile (SURVEY.md §4 item 3).
+    Pass ``giant_threshold="auto"`` to derive the threshold (or decline
+    to salt at all) from the corpus's own size distribution — see
+    ``resolve_giant_threshold``.
     """
     from ..shipping import ensure_shipped
 
@@ -204,6 +246,8 @@ def extract_articles(
             batches, min_word_count, safe_output, emit_html, emit_markdown
         )
 
+    if giant_threshold == "auto":
+        giant_threshold = resolve_giant_threshold(pruned)
     if giant_threshold is None:
         return pruned.mapInArrow(runner, schema=ARTICLE_SCHEMA)
 

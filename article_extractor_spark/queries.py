@@ -3529,6 +3529,160 @@ def q_sitemap_index_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SITEMAP_ROOT = "https://hub.example.com/root.xml"
+SITEMAP_SEED_URLSET = "https://src1.example.com/sitemap.xml"
+
+
+def _sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-level sitemap tree over the documents table:
+    root index → mid indexes → per-group sub indexes → per-source
+    urlsets.  The root lists ONLY mid-0, and mid-0 lists only sub-0 and
+    sub-2 — so reachability (sources with src_num % 3 ∈ {0, 2}) is
+    structural evidence the resolver actually recursed rather than
+    scanning every urlset; mid-1/sub-1 exist in the fetched table but
+    are orphans.  Returns (source, sitemap_url, xml)."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    sitemap_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/sitemap.xml")
+    )
+    urlsets = (
+        docs.groupBy("source")
+        .agg(F.array_sort(F.collect_list(url)).alias("urls"))
+        .select(
+            "source",
+            sitemap_url.alias("sitemap_url"),
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.col("urls"),
+                        lambda u: F.concat(F.lit("<loc>"), u, F.lit("</loc>")),
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    src_num = F.regexp_extract(F.col("source"), "src([0-9]+)", 1).cast("int")
+    subs = (
+        urlsets.withColumn("g", src_num % 3)
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("sitemap_url")).alias("children"))
+        .select(
+            F.lit("").alias("source"),
+            F.concat(
+                F.lit("https://hub.example.com/sub-"),
+                F.col("g").cast("string"),
+                F.lit(".xml"),
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.col("children"),
+                        lambda u: F.concat(
+                            F.lit("<sitemap><loc>"), u, F.lit("</loc></sitemap>")
+                        ),
+                    ),
+                ),
+                F.lit("</sitemapindex>"),
+            ).alias("xml"),
+        )
+    )
+
+    def _index_row(own_url: str, children: list[str]):
+        xml = (
+            "<sitemapindex>"
+            + "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in children)
+            + "</sitemapindex>"
+        )
+        return ("", own_url, xml)
+
+    statics = spark.createDataFrame(
+        [
+            _index_row(SITEMAP_ROOT, ["https://hub.example.com/mid-0.xml"]),
+            _index_row(
+                "https://hub.example.com/mid-0.xml",
+                [
+                    "https://hub.example.com/sub-0.xml",
+                    "https://hub.example.com/sub-2.xml",
+                ],
+            ),
+            _index_row(
+                "https://hub.example.com/mid-1.xml",
+                ["https://hub.example.com/sub-1.xml"],
+            ),
+        ],
+        "source string, sitemap_url string, xml string",
+    )
+    return urlsets.unionByName(subs).unionByName(statics)
+
+
+def q_sitemap_tree_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 at arbitrary depth (sitemap_parser.py:19-127 recurses with no
+    depth bound): resolve a 4-level sitemapindex tree by
+    LOOP-UNTIL-FIXPOINT — the crawl_frontier pattern — instead of
+    q_sitemap_index_locs's fixed two levels.  Per round: broadcast the
+    (tiny) frontier against the fetched-bodies table, collect urlset
+    bodies, extract child refs from index bodies, anti-join the visited
+    set, localCheckpoint to keep lineage flat.  Terminates when a round
+    discovers no new sitemap URL, whatever the tree depth; cycles are
+    cut by the visited set.
+
+    Scale shape: index bodies are metadata-tiny (broadcast semi-joins);
+    the corpus-sized side (urlset bodies) is touched once per reachable
+    urlset, never re-scanned per level.  Oracle: a recursive CTE over
+    the same tree's edge relation."""
+    fetched = _sitemap_tree(spark, sf_dir).persist()
+    is_index = F.col("xml").startswith("<sitemapindex")
+    frontier = spark.createDataFrame(
+        [(SITEMAP_ROOT,), (SITEMAP_SEED_URLSET,)], "sitemap_url string"
+    )
+    visited = frontier
+    collected: list[DataFrame] = []
+    while True:
+        bodies = fetched.join(F.broadcast(frontier), "sitemap_url")
+        collected.append(bodies.where(~is_index))
+        frontier = (
+            bodies.where(is_index)
+            .select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("xml"), F.lit("<loc>([^<]*)</loc>"), F.lit(1)
+                    )
+                ).alias("sitemap_url")
+            )
+            .distinct()
+            .join(visited, "sitemap_url", "left_anti")
+            .localCheckpoint()
+        )
+        if frontier.count() == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+    resolved = collected[0]
+    for df in collected[1:]:
+        resolved = resolved.unionByName(df)
+    locs = resolved.dropDuplicates(["sitemap_url"]).select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit("<loc>([^<]*)</loc>"), F.lit(1)
+            )
+        ).alias("loc"),
+    )
+    return locs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"), F.min("loc").alias("first_loc")
+    )
+
+
 def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt evaluation (RFC 9309) — crawl politeness, the gate in
     front of every fetch the reference performs but never models (its
@@ -4456,6 +4610,42 @@ SELECT source, COUNT(*) AS n_urls,
       || CAST(doc_id AS VARCHAR)) AS first_loc
 FROM documents
 WHERE CAST(substr(source, 4) AS INT) % 2 = 0 OR source = 'src1'
+GROUP BY source
+""",
+    # True recursive-CTE replay of the 4-level tree resolution: the
+    # edge relation mirrors _sitemap_tree (root → mid-0 only; mid-0 →
+    # sub-0/sub-2; mid-1 → sub-1 orphaned; sub-g → its sources'
+    # urlsets), reach() walks it from the root + the directly-seeded
+    # src1 urlset to whatever depth the edges go.
+    "sitemap_tree_locs": f"""
+WITH RECURSIVE srcs AS (
+  SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS sn
+  FROM documents
+), edges(parent, child) AS (
+  SELECT '{SITEMAP_ROOT}', 'https://hub.example.com/mid-0.xml'
+  UNION ALL SELECT 'https://hub.example.com/mid-0.xml',
+                   'https://hub.example.com/sub-0.xml'
+  UNION ALL SELECT 'https://hub.example.com/mid-0.xml',
+                   'https://hub.example.com/sub-2.xml'
+  UNION ALL SELECT 'https://hub.example.com/mid-1.xml',
+                   'https://hub.example.com/sub-1.xml'
+  UNION ALL
+  SELECT 'https://hub.example.com/sub-' || CAST(sn % 3 AS VARCHAR)
+         || '.xml',
+         'https://' || source || '.example.com/sitemap.xml'
+  FROM srcs
+), reach(url) AS (
+  SELECT url FROM (VALUES ('{SITEMAP_ROOT}'),
+                          ('{SITEMAP_SEED_URLSET}')) t(url)
+  UNION
+  SELECT e.child FROM reach r JOIN edges e ON e.parent = r.url
+)
+SELECT source, COUNT(*) AS n_urls,
+  MIN('https://' || source || '.example.com/docs/'
+      || CAST(doc_id AS VARCHAR)) AS first_loc
+FROM documents
+WHERE 'https://' || source || '.example.com/sitemap.xml'
+      IN (SELECT url FROM reach)
 GROUP BY source
 """,
     "rate_limit_schedule": f"""
@@ -5943,6 +6133,7 @@ QUERY_FNS: dict[str, Query] = {
     "lineage_rollup": q_lineage_rollup,
     "sitemap_locs": q_sitemap_locs,
     "sitemap_index_locs": q_sitemap_index_locs,
+    "sitemap_tree_locs": q_sitemap_tree_locs,
     "robots_eval": q_robots_eval,
     "rate_limit_schedule": q_rate_limit_schedule,
     "rate_limit_adaptive": q_rate_limit_adaptive,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "lineage_rollup",
     "sitemap_locs",
     "sitemap_index_locs",
+    "sitemap_tree_locs",
     "robots_eval",
     "rate_limit_schedule",
     "rate_limit_adaptive",

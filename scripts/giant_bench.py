@@ -123,8 +123,21 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    from article_extractor_spark.operators.extraction import (
+        resolve_giant_threshold,
+    )
+    from pyspark.sql import functions as F
+
+    pruned = corpus.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("url").cast("string").alias("url"),
+        F.col("html").cast("string").alias("html"),
+    )
+    auto_threshold = resolve_giant_threshold(pruned)
+
     baseline = run(None)
     salted = run(1_000_000)
+    auto = run("auto")
     print(
         json.dumps(
             {
@@ -134,7 +147,10 @@ def main() -> int:
                 "giants": args.giants,
                 "baseline_sec": round(baseline, 3),
                 "salted_sec": round(salted, 3),
+                "auto_sec": round(auto, 3),
+                "auto_threshold": auto_threshold,
                 "speedup": round(baseline / salted, 3),
+                "auto_speedup": round(baseline / auto, 3),
             }
         )
     )

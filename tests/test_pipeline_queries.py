@@ -2819,3 +2819,27 @@ def test_lex_dense_ids_equal_global_row_number(spark):
     }
     got = {r["sub"]: r["tid"] for r in _lex_dense_ids(df, "sub").collect()}
     assert got == expected
+
+
+def test_sitemap_tree_resolution_membership(spark):
+    """Arbitrary-depth resolution evidence: only sources reachable
+    through root → mid-0 → {sub-0, sub-2} (src_num % 3 ∈ {0, 2}) plus
+    the directly-seeded src1 urlset appear; sub-1's sources (orphaned
+    mid-1 branch) must NOT — proof the resolver walked the tree instead
+    of scanning every urlset."""
+    from article_extractor_spark.queries import q_sitemap_tree_locs
+
+    got = {r["source"] for r in q_sitemap_tree_locs(spark, SF_DIR).collect()}
+    import duckdb
+
+    all_sources = {
+        s for (s,) in duckdb.sql(
+            f"SELECT DISTINCT source FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    }
+    expected = {
+        s for s in all_sources
+        if int(s[3:]) % 3 in (0, 2) or s == "src1"
+    }
+    assert got == expected
+    assert any(int(s[3:]) % 3 == 1 and s != "src1" for s in all_sources)

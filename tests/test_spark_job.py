@@ -548,3 +548,50 @@ def test_curate_benchmark_table_and_collision_free_ids(spark, tmp_path):
         if status.startswith("kept:"):
             assert got2[doc_id] == "contaminated", (doc_id, got2[doc_id])
     assert "contaminated" in got2.values()
+
+
+def test_auto_giant_threshold_resolution_and_routing(spark):
+    """giant_threshold='auto' derives the salting threshold from the
+    corpus size distribution: a uniform corpus resolves to None (single
+    scan — no regression possible), a giant-tailed one picks a
+    threshold that isolates the tail, and the salted output is
+    row-identical to the unsalted path."""
+    from article_extractor_spark.operators.extraction import (
+        GIANT_MIN_BYTES,
+        resolve_giant_threshold,
+    )
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, url string, html string"
+        )
+
+    para = "<p>" + ("word " * 200) + "</p>"
+    uniform = mkdf(
+        [(f"u{i}", f"https://x.test/{i}",
+          f"<html><body><article>{para}</article></body></html>")
+         for i in range(50)]
+    )
+    assert resolve_giant_threshold(uniform) is None
+
+    giant_body = "<p>" + ("lorem ipsum dolor sit amet " * 60000) + "</p>"
+    assert len(giant_body) > GIANT_MIN_BYTES
+    skewed_rows = [
+        (f"n{i}", f"https://x.test/n{i}",
+         f"<html><body><article>{para}</article></body></html>")
+        for i in range(50)
+    ] + [
+        (f"g{i}", f"https://x.test/g{i}",
+         f"<html><body><article>{giant_body}</article></body></html>")
+        for i in range(2)
+    ]
+    skewed = mkdf(skewed_rows)
+    thr = resolve_giant_threshold(skewed)
+    assert thr is not None
+    assert GIANT_MIN_BYTES <= thr <= len(giant_body) + 200
+    auto_out = extract_articles(skewed, giant_threshold="auto")
+    plain_out = extract_articles(skewed)
+    cols = ["doc_id", "word_count", "success", "spans_emitted"]
+    a = {tuple(r) for r in auto_out.select(cols).collect()}
+    b = {tuple(r) for r in plain_out.select(cols).collect()}
+    assert a == b and len(a) == len(skewed_rows)
