@@ -298,3 +298,77 @@ def streaming_distinct_counts(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_extraction_job(
+    spark: SparkSession,
+    corpus_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    n_buckets: int = 8,
+    run_id: str = "stream-0",
+    min_word_count: int = 150,
+):
+    """The production "new crawl wave arrives as files" shape,
+    end-to-end: AvailableNow ingest → the SAME ``extract_articles``
+    mapInArrow stage the batch job runs → bucket-partitioned append →
+    per-micro-batch LINEAGE COMMIT (the batch job's write-side
+    Observation metrics, ``job._bucket_metrics``), so the streaming
+    output table carries the identical audit trail as a batch run
+    (reference storage_queue.py:87-293's append-only commit record).
+
+    Exactly-once shape: the stream checkpoint makes each source file
+    process once; lineage run_ids embed the micro-batch id so a replay
+    after a crash-before-checkpoint is visible in the lineage table
+    rather than silently double-counted.  Returns the started query;
+    re-running with the same checkpoint drains only newly-landed files
+    — the streaming twin of the batch job's committed-bucket resume.
+
+    Tests pin stream == batch: same corpus through this path and
+    ``run_extraction_job`` produces span-identical rows and equal
+    lineage totals."""
+    from pyspark.sql import Observation
+
+    from ..job import _bucket_metrics, _lineage_rows_from_observation
+
+    static = spark.read.parquet(corpus_path)
+    corpus = spark.readStream.schema(static.schema).parquet(corpus_path)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if "html" not in df.columns:
+            df = render_spans_to_html(df)
+        if "url" not in df.columns:
+            df = df.withColumn("url", F.lit(""))
+        from ..sources import tableio
+
+        extracted = extract_articles(df, min_word_count=min_word_count)
+        extracted = tableio.with_bucket(extracted, "doc_id", n_buckets)
+        buckets = list(range(n_buckets))
+        obs = Observation(f"stream-batch-{batch_id}")
+        extracted = extracted.observe(obs, *_bucket_metrics(buckets))
+        # APPEND, not dynamic overwrite: unlike the batch job's waves
+        # (each bucket written exactly once), every micro-batch lands
+        # new docs in every bucket
+        (
+            extracted.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(output_path)
+        )
+        rows = _lineage_rows_from_observation(
+            obs.get, buckets, f"{run_id}-b{batch_id}"
+        )
+        if rows:
+            tableio.append_lineage(
+                spark.createDataFrame(rows, tableio.LINEAGE_SCHEMA),
+                output_path,
+            )
+
+    return (
+        corpus.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

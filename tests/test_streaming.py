@@ -310,3 +310,59 @@ def test_streaming_hll_state_is_fixed_size():
         list(_hll_state_fn(("s1",), iter([pdf]), state))
         assert len(state.get[0]) == HLL_M
     assert state.get[1] == 30_000
+
+
+def test_streaming_job_lineage_and_batch_equivalence(spark, tmp_path):
+    """End-to-end production shape: two crawl waves land as files; the
+    AvailableNow stream extracts each wave once, appends bucketed
+    output, and commits per-micro-batch lineage.  The final table must
+    be span-identical to a batch run_extraction_job over the same
+    corpus, and the lineage totals must account for every document."""
+    from article_extractor_spark.job import run_extraction_job
+    from article_extractor_spark.streaming.ingest import (
+        streaming_extraction_job,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    w1 = corpus_dataframe(spark, 40, seed=3, partitions=2)
+    w1 = tableio.with_bucket(w1, "doc_id", 4)
+    tableio.write_bucketed(w1, corpus, dynamic=False)
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_extraction_job(
+        spark, corpus, out, ckpt, n_buckets=4, min_word_count=10
+    ).awaitTermination(180)
+    lin1 = spark.read.parquet(tableio.lineage_path(out))
+    assert lin1.agg(F.sum("docs_in")).first()[0] == 40
+
+    # wave 2 lands (distinct ids), same checkpoint → only new files run
+    w2 = corpus_dataframe(spark, 15, seed=9, partitions=2).withColumn(
+        "doc_id", F.concat(F.lit("w2-"), F.col("doc_id"))
+    )
+    w2 = tableio.with_bucket(w2, "doc_id", 4)
+    w2.write.mode("append").partitionBy("bucket").parquet(corpus)
+    streaming_extraction_job(
+        spark, corpus, out, ckpt, n_buckets=4, min_word_count=10
+    ).awaitTermination(180)
+
+    stream_out = spark.read.parquet(out)
+    assert stream_out.count() == 55
+    lin = spark.read.parquet(tableio.lineage_path(out))
+    assert lin.agg(F.sum("docs_in")).first()[0] == 55
+    assert lin.agg(F.sum("docs_ok")).first()[0] == 55
+    # each wave committed under its own micro-batch run_id
+    assert lin.select("run_id").distinct().count() >= 2
+
+    # batch equivalence: same corpus through the batch job
+    batch_out = str(tmp_path / "batch_out")
+    run_extraction_job(
+        spark, corpus, batch_out, n_buckets=4, waves=2, min_word_count=10
+    )
+    h = lambda df: df.select(
+        "doc_id", F.xxhash64(F.to_json("spans")).alias("h")
+    )
+    batch = spark.read.parquet(batch_out)
+    assert batch.count() == 55
+    assert h(batch).exceptAll(h(stream_out)).count() == 0
+    assert h(stream_out).exceptAll(h(batch)).count() == 0
