@@ -44,25 +44,84 @@ from __future__ import annotations
 import re
 from html import unescape
 
-# Start tag: name + greedy quote-aware attr soup (a '>' inside a quoted
-# value does not terminate the tag).
+# Start tag: name + attr soup.  Quotes delimit a region ONLY in value
+# position (immediately after '='), mirroring the stdlib tokenizer's
+# attrfind_tolerant: a '>' inside a quoted VALUE does not terminate
+# the tag, but a stray quote in an unquoted value (role=x'y>) is just
+# a character — the old any-quote-opens-a-region soup swallowed the
+# rest of the document there (found by the extraction fuzzer).
+# Tag name charset mirrors stdlib's tagfind_tolerant (anything but
+# whitespace, '/', '>', NUL — so '<h<>' names the tag 'h<').
 _START_RE = re.compile(
-    r"<([a-zA-Z][-.:\w]*)((?:[^>'\"]|\"[^\"]*\"|'[^']*')*)>"
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*?)>"
 )
 
-_END_RE = re.compile(r"</\s*([a-zA-Z][-.:\w]*)\s*[^>]*>")
+# End tags, mirroring stdlib parse_endtag's two tiers: the strict form
+# (optional whitespace, name, optional whitespace, '>'), then the
+# tolerant fallback — name immediately after '</' (same charset as
+# start tags), junk to the next '>' discarded ('</p<>' ends tag 'p<').
+_END_STRICT_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_END_NAME_RE = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
 
 # Tolerant attribute: name (stdlib's attrfind_tolerant char classes:
 # the first name char may be '=' but not '/'), optionally =value with
 # double/single/no quoting (unquoted values may contain '/').
 _ATTR_RE = re.compile(
-    r"([^\s/>][^\s/>=]*)(\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+    r"([^\s/>][^\s/>=]*)"
+    r"(\s*=+\s*(?:\"([^\"]*)\"|'([^']*)'|((?!['\"])[^\s>]*)))?"
 )
+
+# Marked sections (stdlib parse_marked_section): <![KEYWORD ... with
+# the closer depending on the keyword; unknown keywords make stdlib
+# RAISE AssertionError — we take the bogus-comment path instead (never
+# crash on crawled garbage).
+_MS_NAME_RE = re.compile(r"([a-zA-Z][-_.a-zA-Z0-9]*)\s*")
+_MS_CLOSE_RE = re.compile(r"]\s*]\s*>")
+_MS_IE_CLOSE_RE = re.compile(r"]\s*>")
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")
+_MS_SGML = ("temp", "cdata", "ignore", "include", "rcdata")
+_MS_IE = ("if", "else", "endif")
 
 _RAWTEXT_CLOSE = {
     "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
     "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
+
+
+# Full-consumption attr-soup scan mirroring stdlib's
+# locatestarttagend_tolerant: junk (whitespace / non-closing '/')
+# between attributes; attr name preceded by quote/space/slash; value
+# single-/double-/un-quoted (bare values may not START with a quote).
+# A start tag is only a tag when this scan consumes the WHOLE soup —
+# otherwise stdlib emits the scanned prefix as literal data and
+# resumes there (check_for_whole_start_tag / parse_starttag).
+_SOUP_SCAN_RE = re.compile(
+    r"(?:\s|/(?!>))*"
+    r"(?:(?<=['\"\s/])[^\s/>][^\s/=>]*"
+    r"(?:\s*=+\s*(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?"
+    r"(?:\s|/(?!>))*)*"
+)
+
+
+def _recover_unterminated(builder, html: str, lt: int, n: int) -> int:
+    """stdlib close()-time recovery for an unterminated construct at
+    ``lt`` (goahead's bogus-data path): emit up to and including the
+    next '>' as data — charref-decoded, like stdlib's
+    convert_charrefs recovery — and resume after it; with no '>',
+    emit up to the next '<' (or just the '<') and resume there."""
+    gt = html.find(">", lt + 1)
+    if gt >= 0:
+        k = gt + 1
+    else:
+        k = html.find("<", lt + 1)
+        if k < 0:
+            # stdlib: k = i + 1 — only the '<' is bogus data; the rest
+            # re-parses as ordinary text
+            k = lt + 1
+    data = html[lt:k]
+    builder.handle_data(unescape(data) if "&" in data else data)
+    return k
 
 
 def _parse_attrs(soup: str) -> tuple[list[tuple[str, str | None]], bool]:
@@ -103,53 +162,65 @@ def feed_fast(builder, html: str) -> None:
             builder.handle_data(unescape(data) if "&" in data else data)
         nxt = html[lt + 1] if lt + 1 < n else ""
         if nxt == "/":
-            m = _END_RE.match(html, lt)
+            if find(">", lt + 1) < 0:
+                # no '>' anywhere: stdlib endendtag fails → close()
+                # recovery emits the bogus data
+                pos = _recover_unterminated(builder, html, lt, n)
+                continue
+            m = _END_STRICT_RE.match(html, lt)
             if m:
                 builder.handle_endtag(m.group(1).lower())
                 pos = m.end()
                 continue
-            # malformed end tag → bogus comment: skip to '>' (stdlib)
-            gt = find(">", lt)
-            pos = (gt + 1) if gt >= 0 else n
+            nm = _END_NAME_RE.match(html, lt + 2)
+            if nm:
+                # tolerant: fire the end tag, discard junk to '>'
+                builder.handle_endtag(nm.group(1).lower())
+                gt = find(">", nm.end())
+                pos = (gt + 1) if gt >= 0 else n
+                continue
+            # no name at all: '</>' consumed whole, otherwise a bogus
+            # comment — consumed silently through the next '>'
+            # (stdlib parse_endtag → parse_bogus_comment)
+            if html.startswith("</>", lt):
+                pos = lt + 3
+            else:
+                pos = find(">", lt + 2) + 1  # '>' exists per the guard
             continue
         if nxt == "!":
             if html.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                if end < 0:  # unterminated at EOF: literal text (stdlib)
-                    tail = html[lt:]
-                    builder.handle_data(
-                        unescape(tail) if "&" in tail else tail
-                    )
-                    break
-                pos = end + 3
+                cm = _COMMENT_CLOSE_RE.search(html, lt + 4)
+                if cm is None:  # unterminated: stdlib bogus-data recovery
+                    pos = _recover_unterminated(builder, html, lt, n)
+                    continue
+                pos = cm.end()
                 continue
-            if html.startswith("<![CDATA[", lt):
-                end = find("]]>", lt + 9)
-                if end < 0:
-                    tail = html[lt:]
-                    builder.handle_data(
-                        unescape(tail) if "&" in tail else tail
-                    )
-                    break
-                pos = end + 3
-                continue
+            if html.startswith("<![", lt):
+                nm = _MS_NAME_RE.match(html, lt + 3)
+                kw = nm.group(1).lower() if nm else ""
+                if kw in _MS_SGML or kw in _MS_IE:
+                    closer = (
+                        _MS_CLOSE_RE if kw in _MS_SGML else _MS_IE_CLOSE_RE
+                    ).search(html, lt + 3)
+                    if closer is None:  # unterminated marked section
+                        pos = _recover_unterminated(builder, html, lt, n)
+                        continue
+                    pos = closer.end()
+                    continue
+                # unknown keyword: stdlib parse_marked_section RAISES
+                # AssertionError here — crawled garbage must never
+                # crash, so fall through to the bogus-comment skip
             gt = find(">", lt)
             if gt < 0:
-                tail = html[lt:]
-                builder.handle_data(
-                    unescape(tail) if "&" in tail else tail
-                )
-                break
+                pos = _recover_unterminated(builder, html, lt, n)
+                continue
             pos = gt + 1
             continue
         if nxt == "?":
             gt = find(">", lt)
             if gt < 0:
-                tail = html[lt:]
-                builder.handle_data(
-                    unescape(tail) if "&" in tail else tail
-                )
-                break
+                pos = _recover_unterminated(builder, html, lt, n)
+                continue
             pos = gt + 1
             continue
         if not ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
@@ -160,17 +231,37 @@ def feed_fast(builder, html: str) -> None:
         m = _START_RE.match(html, lt)
         if not m:
             if find(">", lt) < 0:
-                # unterminated tag at EOF: literal text (stdlib close())
-                tail = html[lt:]
-                builder.handle_data(
-                    unescape(tail) if "&" in tail else tail
-                )
-                break
+                # unterminated tag at EOF: stdlib bogus-data recovery
+                pos = _recover_unterminated(builder, html, lt, n)
+                continue
             builder.handle_data("<")
             pos = lt + 1
             continue
         tag = m.group(1).lower()
         soup = m.group(2)
+        if soup:
+            consumed = _SOUP_SCAN_RE.match(soup).end()
+            if consumed < len(soup):
+                stop = soup[consumed]
+                if stop == "/" and consumed == len(soup) - 1:
+                    pass  # the self-closing slash — a valid tag
+                elif stop == "=" or ("a" <= stop <= "z") or (
+                    "A" <= stop <= "Z"
+                ):
+                    # stdlib check_for_whole_start_tag calls this
+                    # "end of input in or before attribute value" →
+                    # incomplete → close()-time bogus-data recovery
+                    # (the WHOLE run to the next '>' is literal data)
+                    pos = _recover_unterminated(builder, html, lt, n)
+                    continue
+                else:
+                    # other junk (NUL, stray quote): the scanned
+                    # prefix is literal data, parsing resumes there —
+                    # this is NOT a tag (parse_starttag's endpos path)
+                    k = lt + 1 + len(m.group(1)) + consumed
+                    builder.handle_data(html[lt:k])
+                    pos = k
+                    continue
         if not soup:
             # dominant case in article markup (<p>, <h1>, <main>, …):
             # no attr soup at all — skip the tokenizer call entirely
