@@ -101,6 +101,63 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def has_iceberg(spark: SparkSession) -> bool:
+    """Capability probe: True when the Iceberg Spark runtime jar is on
+    the session classpath (``has_image_codec`` pattern — the real
+    branch activates when the jar is dropped in, no code change).
+
+    Probes the JVM for the Spark-runtime entry class rather than
+    importing anything Python-side: Iceberg support is a jar, not a
+    pip package."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions."
+            "IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:  # pragma: no cover - environment-dependent
+        return False
+
+
+def write_bucketed_iceberg(
+    df: DataFrame,
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """The real-Iceberg twin of ``write_bucketed``: V2 writeTo with a
+    native ``bucket(N, doc_id)`` partition transform instead of the
+    emulated ``bucket`` directory column.
+
+    Gated on ``has_iceberg`` — this sandbox ships no Iceberg jar
+    (SURVEY.md §7.0), so calling it here raises; in an Iceberg-enabled
+    session (``--packages org.apache.iceberg:iceberg-spark-runtime-*``
+    plus a configured catalog) it creates/replaces the table with the
+    same co-location guarantee the emulation provides.  ``table`` is a
+    catalog-qualified name (``catalog.db.tbl``), not a path — Iceberg
+    owns the layout, so no manual repartition/salting is needed: the
+    fanout-on-write distribution mode handles file sizing.
+    """
+    if not has_iceberg(df.sparkSession):
+        raise NotImplementedError(
+            "Iceberg runtime jar not on the classpath; the emulated "
+            "write_bucketed() Parquet layout is the active path here"
+        )
+    df.writeTo(table).using("iceberg").partitionedBy(
+        F.bucket(n_buckets, F.col(id_col))
+    ).createOrReplace()
+
+
+def read_table_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read twin of ``read_table`` (gated like the write)."""
+    if not has_iceberg(spark):
+        raise NotImplementedError(
+            "Iceberg runtime jar not on the classpath"
+        )
+    return spark.read.table(table)
+
+
 def lineage_path(output_path: str) -> str:
     return output_path.rstrip("/") + "_lineage"
 

@@ -2,12 +2,17 @@
 its DuckDB oracle on the same parquet tables; compare row count, schema
 (column names), and exact values (columns sorted by name, rows sorted).
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--json out.json] [sf_dir] [query ...]
+
+--json writes a CORRECTNESS-style artifact with per-query wall times
+(spark_sec = the Spark query incl. toPandas; oracle_sec = DuckDB).
 """
 
 from __future__ import annotations
 
+import json
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -28,8 +33,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from article_extractor_spark.queries import ORACLE_SQL, QUERY_FNS
     from article_extractor_spark.session import build_session
@@ -43,14 +54,26 @@ def main() -> int:
         )
 
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in QUERY_FNS.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         spark_pdf = fn(spark, sf_dir).toPandas()
+        spark_sec = time.monotonic() - t0
         if name not in ORACLE_SQL:
             print(f"{name:28s} rows-only: {len(spark_pdf)} rows")
+            record[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(spark_pdf),
+                "spark_sec": round(spark_sec, 3),
+            }
             continue
+        t0 = time.monotonic()
         oracle_pdf = con.execute(ORACLE_SQL[name]).fetchdf()
+        oracle_sec = time.monotonic() - t0
         issues = []
         if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
             issues.append(
@@ -68,11 +91,29 @@ def main() -> int:
                 badb = b[diff].head(3)
                 issues.append(f"spark:\n{bad}\noracle:\n{badb}")
         status = "OK" if not issues else "FAIL"
-        print(f"{name:28s} {status}  ({len(spark_pdf)} rows)")
+        print(
+            f"{name:28s} {status}  ({len(spark_pdf)} rows, "
+            f"spark {spark_sec:.2f}s, oracle {oracle_sec:.2f}s)"
+        )
         for i in issues:
             print(f"    {i}")
         if issues:
             failures.append(name)
+        record[name] = {
+            "rows_match": len(spark_pdf) == len(oracle_pdf),
+            "schema_match": sorted(spark_pdf.columns)
+            == sorted(oracle_pdf.columns),
+            "hash_match": not issues,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(oracle_pdf),
+            "spark_sec": round(spark_sec, 3),
+            "oracle_sec": round(oracle_sec, 3),
+        }
+
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": record}, f, indent=1)
+        print(f"wrote {json_path}")
 
     print()
     if failures:
