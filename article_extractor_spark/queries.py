@@ -3769,6 +3769,83 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DISCOVERY_SECTIONS = ["news", "blog", "docs", "tags", "about"]
+DISCOVERY_MIN_CHARS = 300  # extraction-yield success bar (median n_chars)
+DISCOVERY_TOPK = 100
+DISCOVERY_NEXT_OFFSET = 10_000_000  # pending-wave doc ids, sf-independent
+
+
+def q_discovery_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive discovery prioritization — the last descoped corner of
+    the reference's crawler (discovery.py:40-54 exposes only FIFO BFS
+    plus caller hooks ``should_process_url`` / ``skip_recently_visited``;
+    its adaptivity lives entirely in the per-host rate limiter, already
+    modeled by ``rate_limit_adaptive``).  A corpus-scale discovery
+    crawler cannot stay FIFO: it learns which URL *patterns* yield
+    articles and schedules the pending frontier by that prior
+    (the Heritrix/StormCrawler "yield-based frontier" shape).
+
+    Model: every fetched document's URL carries a path pattern
+    (section = doc_id-derived, the URL-pattern clustering stand-in);
+    its extraction outcome is a success iff n_chars clears the yield
+    bar.  Fold history to per-(host, pattern) Laplace-smoothed priors
+    ``(successes+1)/(fetched+2)``, broadcast the tiny prior table onto
+    the pending frontier (one discovered out-link per document, in a
+    doc-derived pattern), and take the top-k URLs by (prior desc, url).
+
+    Scale shape: history fold is ONE partial-aggregable hash aggregate
+    (hosts × patterns rows out — metadata-scale); the frontier never
+    shuffles (broadcast-joined priors); the top-k is
+    TakeOrderedAndProject (k rows per partition cross the wire, never
+    the frontier).  No windows, no driver loops."""
+    docs = load(spark, sf_dir, "documents")
+    sections = F.array(*[F.lit(s) for s in DISCOVERY_SECTIONS])
+    n_sec = len(DISCOVERY_SECTIONS)
+    hist_pattern = F.element_at(
+        sections, (F.col("doc_id") % n_sec).cast("int") + 1
+    )
+    priors = (
+        docs.select(
+            F.col("source").alias("host"),
+            hist_pattern.alias("pattern"),
+            (F.col("n_chars") >= DISCOVERY_MIN_CHARS)
+            .cast("int")
+            .alias("ok"),
+        )
+        .groupBy("host", "pattern")
+        .agg(
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum("ok").cast("bigint").alias("successes"),
+        )
+        .withColumn(
+            "prior",
+            (F.col("successes") + F.lit(1.0))
+            / (F.col("fetched") + F.lit(2.0)),
+        )
+    )
+    front_pattern = F.element_at(
+        sections, ((F.col("doc_id") * 3 + 1) % n_sec).cast("int") + 1
+    )
+    frontier = docs.select(
+        F.col("source").alias("host"),
+        front_pattern.alias("pattern"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            front_pattern,
+            F.lit("/"),
+            (F.col("doc_id") + DISCOVERY_NEXT_OFFSET).cast("string"),
+        ).alias("url"),
+    )
+    return (
+        frontier.join(F.broadcast(priors), ["host", "pattern"])
+        .select("url", "host", "pattern", "fetched", "successes", "prior")
+        .orderBy(F.desc("prior"), "url")
+        .limit(DISCOVERY_TOPK)
+    )
+
+
 _EPOCH_ISO = "1970-01-01T00:00:00+00:00"
 
 
@@ -5895,6 +5972,39 @@ ORACLE_SQL["packed_examples"] = _packed_examples_sql()
 # anchor = (max count, lexicographically smallest) — the oracle spells
 # the tie-break as a window, the engine as a partial-aggregable
 # min(struct(-cnt, anchor)).
+# Discovery prioritization: per-(host, pattern) Laplace yield priors
+# from fetch history, broadcast onto the pending frontier, top-k by
+# (prior desc, url) — deterministic because urls are unique.
+_DISC_SECTIONS_SQL = (
+    "[" + ", ".join(f"'{s}'" for s in DISCOVERY_SECTIONS) + "]"
+)
+ORACLE_SQL["discovery_priorities"] = f"""
+WITH priors AS (
+  SELECT source AS host,
+    {_DISC_SECTIONS_SQL}[CAST(doc_id % {len(DISCOVERY_SECTIONS)} AS INT) + 1]
+      AS pattern,
+    COUNT(*) AS fetched,
+    CAST(SUM(CASE WHEN n_chars >= {DISCOVERY_MIN_CHARS} THEN 1 ELSE 0 END)
+      AS BIGINT) AS successes
+  FROM documents GROUP BY 1, 2
+),
+frontier AS (
+  SELECT source AS host,
+    {_DISC_SECTIONS_SQL}[
+      CAST((doc_id * 3 + 1) % {len(DISCOVERY_SECTIONS)} AS INT) + 1]
+      AS pattern,
+    'https://' || source || '.example.com/' ||
+      {_DISC_SECTIONS_SQL}[
+        CAST((doc_id * 3 + 1) % {len(DISCOVERY_SECTIONS)} AS INT) + 1] ||
+      '/' || CAST(doc_id + {DISCOVERY_NEXT_OFFSET} AS VARCHAR) AS url
+  FROM documents
+)
+SELECT f.url, f.host, f.pattern, p.fetched, p.successes,
+  (p.successes + 1.0) / (p.fetched + 2.0) AS prior
+FROM frontier f JOIN priors p USING (host, pattern)
+ORDER BY prior DESC, f.url LIMIT {DISCOVERY_TOPK}
+"""
+
 ORACLE_SQL["anchor_texts"] = f"""
 WITH base AS (
   SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks FROM documents
@@ -6135,6 +6245,7 @@ QUERY_FNS: dict[str, Query] = {
     "sitemap_index_locs": q_sitemap_index_locs,
     "sitemap_tree_locs": q_sitemap_tree_locs,
     "robots_eval": q_robots_eval,
+    "discovery_priorities": q_discovery_priorities,
     "rate_limit_schedule": q_rate_limit_schedule,
     "rate_limit_adaptive": q_rate_limit_adaptive,
     "extract_spans_full": q_extract_spans_full,

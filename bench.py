@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "sitemap_index_locs",
     "sitemap_tree_locs",
     "robots_eval",
+    "discovery_priorities",
     "rate_limit_schedule",
     "rate_limit_adaptive",
     "manifest_fold",

@@ -150,6 +150,16 @@ CHECKS = {
         "partial-aggregable max_by over (prefix_len, is_allow), so "
         "the per-URL rollup combines map-side",
     ),
+    "discovery_priorities": (
+        ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
+        ["SortMergeJoin", "Window"],
+        "yield-prior frontier scheduling: history folds to a "
+        "metadata-scale (host, pattern) prior table in ONE "
+        "partial-aggregable hash aggregate; priors broadcast onto the "
+        "frontier (no frontier shuffle); top-k is "
+        "TakeOrderedAndProject — k rows per partition, never a full "
+        "sort",
+    ),
     "pdf_extract": (
         ["MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"],
         ["Exchange", "SortMergeJoin"],
