@@ -151,15 +151,19 @@ def feed_fast(builder, html: str) -> None:
     pos = 0
     n = len(html)
     find = html.find
+    handle_data = builder.handle_data
+    handle_starttag = builder.handle_starttag
+    handle_endtag = builder.handle_endtag
+    start_match = _START_RE.match
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
             data = html[pos:]
-            builder.handle_data(unescape(data) if "&" in data else data)
+            handle_data(unescape(data) if "&" in data else data)
             break
         if lt > pos:
             data = html[pos:lt]
-            builder.handle_data(unescape(data) if "&" in data else data)
+            handle_data(unescape(data) if "&" in data else data)
         nxt = html[lt + 1] if lt + 1 < n else ""
         if nxt == "/":
             if find(">", lt + 1) < 0:
@@ -169,13 +173,13 @@ def feed_fast(builder, html: str) -> None:
                 continue
             m = _END_STRICT_RE.match(html, lt)
             if m:
-                builder.handle_endtag(m.group(1).lower())
+                handle_endtag(m.group(1).lower())
                 pos = m.end()
                 continue
             nm = _END_NAME_RE.match(html, lt + 2)
             if nm:
                 # tolerant: fire the end tag, discard junk to '>'
-                builder.handle_endtag(nm.group(1).lower())
+                handle_endtag(nm.group(1).lower())
                 gt = find(">", nm.end())
                 pos = (gt + 1) if gt >= 0 else n
                 continue
@@ -225,16 +229,16 @@ def feed_fast(builder, html: str) -> None:
             continue
         if not ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
             # '<' opening no construct: literal text (stdlib behavior)
-            builder.handle_data("<")
+            handle_data("<")
             pos = lt + 1
             continue
-        m = _START_RE.match(html, lt)
+        m = start_match(html, lt)
         if not m:
             if find(">", lt) < 0:
                 # unterminated tag at EOF: stdlib bogus-data recovery
                 pos = _recover_unterminated(builder, html, lt, n)
                 continue
-            builder.handle_data("<")
+            handle_data("<")
             pos = lt + 1
             continue
         tag = m.group(1).lower()
@@ -259,7 +263,7 @@ def feed_fast(builder, html: str) -> None:
                     # prefix is literal data, parsing resumes there —
                     # this is NOT a tag (parse_starttag's endpos path)
                     k = lt + 1 + len(m.group(1)) + consumed
-                    builder.handle_data(html[lt:k])
+                    handle_data(html[lt:k])
                     pos = k
                     continue
         if not soup:
@@ -273,15 +277,15 @@ def feed_fast(builder, html: str) -> None:
         if self_closing:
             builder.handle_startendtag(tag, attrs)
             continue
-        builder.handle_starttag(tag, attrs)
+        handle_starttag(tag, attrs)
         closer = _RAWTEXT_CLOSE.get(tag)
         if closer is not None and builder.in_rawtext(tag):
             cm = closer.search(html, pos)
             if cm:
                 raw = html[pos:cm.start()]
                 if raw:
-                    builder.handle_data(raw)  # rawtext: no charrefs
-                builder.handle_endtag(tag)
+                    handle_data(raw)  # rawtext: no charrefs
+                handle_endtag(tag)
                 pos = cm.end()
             else:
                 # no closing tag: stdlib buffers forever and close()

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from html import escape
 
-from .selector import bare_tag, compile_selector
+from .selector import attr_eq_set, bare_tag, bare_tag_set, compile_selector
 
 TEXT = "#text"
 
@@ -148,6 +148,32 @@ class Node:
                     if node.children:
                         extend(node.children[::-1])
             return out
+        tags = bare_tag_set(selector)
+        if tags is not None:
+            # all-bare-tag comma list ("aside, footer, nav, …" — the
+            # strip selector runs once per document): one set-membership
+            # walk instead of N matcher dispatches per element
+            while stack:
+                node = pop()
+                if node.name != TEXT:
+                    if node.name in tags:
+                        append(node)
+                    if node.children:
+                        extend(node.children[::-1])
+            return out
+        attr_eq = attr_eq_set(selector)
+        if attr_eq is not None:
+            # same-attribute equality list ('[role="menu"], [role=…]'):
+            # one attrs.get + set membership per element
+            a, vals = attr_eq
+            while stack:
+                node = pop()
+                if node.name != TEXT:
+                    if node.attrs and str(node.attrs.get(a, "")) in vals:
+                        append(node)
+                    if node.children:
+                        extend(node.children[::-1])
+            return out
         matchers = compile_selector(selector)
         if len(matchers) == 1:
             m = matchers[0]
@@ -169,6 +195,34 @@ class Node:
                 if node.children:
                     extend(node.children[::-1])
         return out
+
+    def iter_query(self, selector: str):
+        """Lazily yield strict descendants matching ``selector`` in
+        document order — identical match semantics to ``query`` but a
+        generator, so callers that only consume the first match (the
+        title cascade probes og:title/h1/title, all usually in or near
+        <head>) stop walking as soon as they have it."""
+        stack = self.children[::-1]
+        tag = bare_tag(selector)
+        if tag is not None:
+            while stack:
+                node = stack.pop()
+                if node.name != TEXT:
+                    if node.name == tag:
+                        yield node
+                    if node.children:
+                        stack.extend(node.children[::-1])
+            return
+        matchers = compile_selector(selector)
+        while stack:
+            node = stack.pop()
+            if node.name != TEXT:
+                for m in matchers:
+                    if m(node):
+                        yield node
+                        break
+                if node.children:
+                    stack.extend(node.children[::-1])
 
     def matches(self, selector: str) -> bool:
         matchers = compile_selector(selector)

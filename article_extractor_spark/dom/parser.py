@@ -78,6 +78,18 @@ _SCOPE_BARRIERS = frozenset(
     {"html", "body", "div", "section", "article", "main", "table", "template"}
 )
 
+_P_ONLY = frozenset({"p"})
+
+# tag → every close pass it triggers (the <p> pass first, then sibling
+# passes) — ONE dict probe per start tag on the hot path instead of a
+# set test + a second dict get, and no frozenset construction per tag.
+_AUTO_CLOSE_PASSES: dict[str, tuple[frozenset[str], ...]] = {}
+for _t in _P_CLOSERS:
+    _AUTO_CLOSE_PASSES[_t] = (_P_ONLY,)
+for _t, _passes in _SIBLING_CLOSERS.items():
+    _AUTO_CLOSE_PASSES[_t] = _AUTO_CLOSE_PASSES.get(_t, ()) + _passes
+del _t, _passes
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
@@ -104,10 +116,10 @@ class _TreeBuilder(HTMLParser):
                 return
 
     def _auto_close(self, tag: str) -> None:
-        if tag in _P_CLOSERS:
-            self._close_through(frozenset({"p"}))
-        for closable in _SIBLING_CLOSERS.get(tag, ()):
-            self._close_through(closable)
+        passes = _AUTO_CLOSE_PASSES.get(tag)
+        if passes is not None:
+            for closable in passes:
+                self._close_through(closable)
 
     # -- HTMLParser hooks ---------------------------------------------
 
@@ -128,13 +140,16 @@ class _TreeBuilder(HTMLParser):
         if tag == "style" and any(n.name == "p" for n in self._stack):
             self._suppress_cdata = True
             return
-        self._auto_close(tag)
+        passes = _AUTO_CLOSE_PASSES.get(tag)
+        if passes is not None:
+            for closable in passes:
+                self._close_through(closable)
         attr_dict: dict[str, str] = {}
         for key, value in attrs:
             if key not in attr_dict:  # first occurrence wins (HTML spec)
                 attr_dict[key] = value if value is not None else ""
         node = Node(tag, attr_dict)
-        self._top.append_child(node)
+        self._stack[-1].append_child(node)
         if tag not in VOID_TAGS:
             self._stack.append(node)
 
@@ -145,7 +160,7 @@ class _TreeBuilder(HTMLParser):
         for key, value in attrs:
             if key not in attr_dict:
                 attr_dict[key] = value if value is not None else ""
-        self._top.append_child(Node(tag, attr_dict))
+        self._stack[-1].append_child(Node(tag, attr_dict))
 
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
@@ -160,7 +175,7 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data: str) -> None:
         if not data:
             return
-        top = self._top
+        top = self._stack[-1]
         children = top.children
         if children and children[-1].name == TEXT:
             children[-1].text += data

@@ -88,6 +88,53 @@ def _compile_compound(compound: str) -> Matcher:
 
 _BARE_TAG_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*$")
 
+_ATTR_EQ_RE = re.compile(r'\[([\w-]+)=(["\']?)([^"\'\]]*)\2\]$')
+
+
+@lru_cache(maxsize=512)
+def bare_tag_set(selector: str) -> frozenset[str] | None:
+    """Lowercased tag-name set if EVERY comma compound is a bare tag
+    ("aside, footer, nav, script, …" — the document-strip selector),
+    else None.  Lets ``Node.query`` run ONE set-membership walk instead
+    of N matcher-callable dispatches per element."""
+    tags = []
+    for part in selector.split(","):
+        s = part.strip()
+        if not s:
+            continue
+        if not _BARE_TAG_RE.fullmatch(s):
+            return None
+        tags.append(s.lower())
+    return frozenset(tags) if tags else None
+
+
+@lru_cache(maxsize=512)
+def attr_eq_set(selector: str) -> tuple[str, frozenset[str]] | None:
+    """(attr, value-set) if EVERY comma compound is a single
+    ``[attr="v"]`` equality on the SAME attribute (the ARIA-role strip
+    selector), else None — same one-walk trick as ``bare_tag_set``.
+    Matching semantics are identical to the compiled matcher:
+    ``str(node.attrs.get(attr, "")) == v``."""
+    attr: str | None = None
+    vals = []
+    for part in selector.split(","):
+        s = part.strip()
+        if not s:
+            continue
+        m = _ATTR_EQ_RE.fullmatch(s)
+        if m is None or not m.group(3):
+            # empty-value equality would match attr-less nodes via the
+            # "" default — keep that edge on the compiled-matcher path
+            return None
+        if attr is None:
+            attr = m.group(1)
+        elif m.group(1) != attr:
+            return None
+        vals.append(m.group(3))
+    if attr is None:
+        return None
+    return attr, frozenset(vals)
+
 
 @lru_cache(maxsize=512)
 def bare_tag(selector: str) -> str | None:

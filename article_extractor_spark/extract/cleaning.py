@@ -61,18 +61,18 @@ def title_from_url(url: str) -> str | None:
 
 def extract_title(doc: Node, url: str = "") -> str:
     """Cascading title extraction (title_extractor.py:16-67)."""
-    for meta in doc.query('meta[property="og:title"]'):
+    for meta in doc.iter_query('meta[property="og:title"]'):
         content = meta.attrs.get("content", "")
         if content:
             return str(content)
 
-    for h1 in doc.query("h1"):
+    for h1 in doc.iter_query("h1"):
         text = h1.to_text(strip=True)
         if text:
             return text
         break  # only the first h1 is consulted
 
-    for title_node in doc.query("title"):
+    for title_node in doc.iter_query("title"):
         text = title_node.to_text(strip=True)
         if text:
             if " - " in text:

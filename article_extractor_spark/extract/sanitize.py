@@ -190,33 +190,44 @@ def _pass_memo(root: Node) -> DocMemo:
     return memo
 
 
-def _sweep(memo: DocMemo, root: Node, tags: tuple[str, ...], keep) -> None:
+def _sweep(memo: DocMemo, root: Node, tags: tuple[str, ...], keep) -> int:
     """One removal sweep over the primed document-order element list —
     same node set and order as ``nodes_with_tags`` (the root's position
     differs but the root is never removable), without re-walking the
-    tree."""
+    tree.  Returns the number of nodes removed so the caller knows
+    whether the tree (and therefore the memo) is still pristine."""
     wanted = set(tags)
+    removed = 0
     for node in memo.elements():
         if node is root or node.name not in wanted or keep(node):
             continue
         if node.parent is not None:
             node.parent.remove_child(node)
+            removed += 1
+    return removed
 
 
 def sanitize_content(root: Node, *, remove_boilerplate: bool = True) -> None:
-    """Empty links → invalid images → (boilerplate blocks) → empty blocks."""
+    """Empty links → invalid images → (boilerplate blocks) → empty blocks.
+
+    Each sweep needs a memo primed against the CURRENT tree; a sweep
+    that removed nothing left the tree (hence the memo) unchanged, so
+    the next sweep reuses it — on clean documents (the common case at
+    corpus scale) all four sweeps share ONE O(nodes + bytes) prime."""
     memo = _pass_memo(root)
-    _sweep(memo, root, ("a",), lambda n: has_visible_content(n, memo))
-    _sweep(memo, root, ("img",), has_valid_image_src)
+    dirty = _sweep(memo, root, ("a",), lambda n: has_visible_content(n, memo))
+    dirty += _sweep(memo, root, ("img",), has_valid_image_src)
     if remove_boilerplate:
-        bp_memo = _pass_memo(root)
-        _sweep(
+        bp_memo = _pass_memo(root) if dirty else memo
+        dirty = _sweep(
             bp_memo,
             root,
             ("div", "section", "aside", "ul", "ol", "p"),
             lambda n: not looks_like_boilerplate(n, bp_memo),
         )
-    final_memo = _pass_memo(root)
+    else:
+        bp_memo = memo
+    final_memo = _pass_memo(root) if dirty else bp_memo
     _sweep(
         final_memo,
         root,

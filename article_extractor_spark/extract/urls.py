@@ -10,7 +10,6 @@ from __future__ import annotations
 from urllib.parse import urljoin
 
 from . import rules
-from .sanitize import nodes_with_tags
 
 
 def absolutize_srcset(value: str, base_url: str) -> str:
@@ -27,18 +26,33 @@ def absolutize_srcset(value: str, base_url: str) -> str:
     return ", ".join(parts)
 
 
+def _rewrite_node(element, attributes: tuple[str, ...], base_url: str) -> None:
+    attrs = element.attrs
+    for attribute in attributes:
+        value = attrs.get(attribute)
+        if not value:
+            continue
+        if attribute == "srcset":
+            attrs[attribute] = absolutize_srcset(value, base_url)
+        else:
+            attrs[attribute] = urljoin(base_url, str(value))
+
+
 def absolutize_urls(root, base_url: str) -> None:
-    """Rewrite relative URLs to absolute, in place."""
-    for tag, attributes in rules.URL_ATTRIBUTES.items():
-        for element in nodes_with_tags(root, (tag,)):
-            attrs = element.attrs
-            if not attrs:
-                continue
-            for attribute in attributes:
-                value = attrs.get(attribute)
-                if not value:
-                    continue
-                if attribute == "srcset":
-                    attrs[attribute] = absolutize_srcset(value, base_url)
-                else:
-                    attrs[attribute] = urljoin(base_url, str(value))
+    """Rewrite relative URLs to absolute, in place.
+
+    ONE document walk with a tag→attributes dict lookup — the per-tag
+    ``nodes_with_tags`` spelling walked the whole tree once per entry in
+    ``URL_ATTRIBUTES`` (10 walks/document, measurable at corpus scale).
+    Per-node rewrite order is identical (attributes dict lookup), and
+    node visit order within a tag matches the walk order either way."""
+    url_attrs = rules.URL_ATTRIBUTES
+    for element in root.iter_elements():
+        if not element.attrs:
+            continue
+        attributes = url_attrs.get(element.name)
+        if attributes is not None:
+            _rewrite_node(element, attributes, base_url)
+    attributes = url_attrs.get(root.name)
+    if attributes is not None and root.attrs:
+        _rewrite_node(root, attributes, base_url)
