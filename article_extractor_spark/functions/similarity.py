@@ -635,3 +635,84 @@ def lsh_ann_topk(
     # join key and the output, and CodegenFallback HOFs get no CSE);
     # measured ~2× the whole query's scoring cost.
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+SQ8_LEVELS = 255  # 8-bit code range [0, 255]
+SQ8_RERANK_FACTOR = 4  # stage-1 candidates per requested neighbor
+
+
+def sq8_codes(col: Column, lo: int, rng: int) -> Column:
+    """Scalar-quantize a quantized (bigint) vector to 8-bit codes:
+    ``c_i = floor((q_i - lo) * 255 / rng)`` over the corpus-global
+    range — exact integer/floor arithmetic shared bit-for-bit with the
+    DuckDB oracle ((q - lo) ≥ 0, so the double division's floor equals
+    the rational floor: numerator < 2^21 keeps the quotient well clear
+    of representability edges)."""
+    return F.transform(
+        col,
+        lambda v: F.floor(
+            ((v - F.lit(lo)) * SQ8_LEVELS).cast("double") / F.lit(rng)
+        ).cast("long"),
+    )
+
+
+def sq8_range(emb: DataFrame, vec_col: str = "embedding") -> tuple[int, int]:
+    """Corpus-global (lo, range) of the quantized values — two scalars.
+    At 100 TB these are ingest-time column statistics stored with the
+    table (one min/max aggregate riding the ingest write), not
+    per-query work; computing them here is one column-pruned pass."""
+    row = (
+        emb.select(quantized(F.col(vec_col)).alias("q"))
+        .agg(
+            F.min(F.array_min("q")).alias("lo"),
+            F.max(F.array_max("q")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    lo = int(row["lo"])
+    return lo, max(int(row["hi"]) - lo, 1)
+
+
+def sq8_ann_topk(
+    emb: DataFrame, query_id: int = 0, k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Compressed-scan ANN (FAISS-style SQ8): score 8-bit codes first,
+    exact-rerank only the survivors.
+
+    At 100 TB the codes are the STORED scan column — 4× smaller than
+    float32 (8× smaller than the quantized bigint form), so the
+    brute-force pass reads a quarter of the bytes; the full-precision
+    vectors are touched only for ``k × SQ8_RERANK_FACTOR`` rows.  Both
+    stages are map-side + TakeOrderedAndProject (k rows per partition
+    shuffle); the query row is a broadcast, never a shuffle of the big
+    side.  Candidate cut is deterministic ((code_cos desc, vec_id)), so
+    the whole query replays exactly in the SQL oracle."""
+    lo, rng = sq8_range(emb, vec_col)
+    base = emb.select(
+        F.col("vec_id"), quantized(F.col(vec_col)).alias("q")
+    )
+    q = base.where(F.col("vec_id") == query_id).select(
+        F.col("q").alias("qv")
+    )
+    cand = (
+        base.where(F.col("vec_id") != query_id)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "q",
+            "qv",
+            cosine_sim(
+                sq8_codes(F.col("q"), lo, rng),
+                sq8_codes(F.col("qv"), lo, rng),
+            ).alias("code_cos"),
+        )
+        .orderBy(F.desc("code_cos"), F.asc("vec_id"))
+        .limit(k * SQ8_RERANK_FACTOR)
+    )
+    return (
+        cand.select(
+            "vec_id", cosine_sim(F.col("q"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

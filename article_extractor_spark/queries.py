@@ -2817,6 +2817,15 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-scan ANN (similarity.sq8_ann_topk): brute-force over
+    8-bit scalar-quantized codes (4× fewer scan bytes than float32 at
+    scale), exact cosine rerank of the top k×4 candidates only.  The
+    corpus [lo, hi] code range is two scalars (ingest-time stats at
+    scale); everything else is map-side + TakeOrderedAndProject."""
+    return S.sq8_ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
 def q_lsh_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition-pruned ANN probe over the bucket-partitioned
     storage layout (the at-scale path; see
@@ -4235,6 +4244,55 @@ LIMIT 10
 """
 
 
+def _sq8_ann_sql() -> str:
+    """SQ8 compressed-scan ANN replay: same corpus-global code range,
+    same floor-division codes, same two-stage (code-cosine top-40 →
+    exact-cosine top-10) deterministic cut as similarity.sq8_ann_topk."""
+    k = 10
+    n_cand = k * S.SQ8_RERANK_FACTOR
+    code = (
+        "list_transform({q}, v -> CAST(floor(CAST((v - mm.lo) * "
+        f"{S.SQ8_LEVELS} AS DOUBLE) / mm.rng) AS BIGINT))"
+    )
+    cdot = _IDOT.format(a="c", b="c2")
+    cna = _IDOT.format(a="c", b="c")
+    cnb = _IDOT.format(a="c2", b="c2")
+    dot = _IDOT.format(a="q", b="q2")
+    na = _IDOT.format(a="q", b="q")
+    nb = _IDOT.format(a="q2", b="q2")
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS q FROM embeddings
+), mm AS (
+  SELECT min(list_aggregate(q, 'min')) AS lo,
+         greatest(max(list_aggregate(q, 'max'))
+                  - min(list_aggregate(q, 'min')), 1) AS rng
+  FROM base
+), qv AS (
+  SELECT q AS q2 FROM base WHERE vec_id = 0
+), coded AS (
+  SELECT b.vec_id, b.q, qv.q2,
+         {code.format(q="b.q")} AS c,
+         {code.format(q="qv.q2")} AS c2
+  FROM base b, qv, mm WHERE b.vec_id != 0
+), cand AS (
+  SELECT vec_id, q, q2,
+    round(CAST({cdot} AS DOUBLE) /
+          (sqrt(CAST({cna} AS DOUBLE)) * sqrt(CAST({cnb} AS DOUBLE))),
+          6) AS code_cos
+  FROM coded
+  ORDER BY code_cos DESC, vec_id ASC
+  LIMIT {n_cand}
+)
+SELECT vec_id,
+  round(CAST({dot} AS DOUBLE) /
+        (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def _lsh_ann_sql() -> str:
     plane_projs = []
     for j in range(S.N_PLANES):
@@ -5558,6 +5616,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
 """,
     "cosine_topk": _cosine_topk_sql(),
+    "sq8_ann_topk": _sq8_ann_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
     "lsh_ann_topk_pruned": _lsh_ann_sql(),
     "ivf_ann_topk": _ivf_ann_sql(),
@@ -6218,6 +6277,7 @@ QUERY_FNS: dict[str, Query] = {
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
+    "sq8_ann_topk": q_sq8_ann_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
     "lsh_ann_topk_pruned": q_lsh_ann_topk_pruned,
     "ivf_ann_topk": q_ivf_ann_topk,

@@ -74,6 +74,15 @@ CHECKS = {
         ["SortMergeJoin"],
         "bucket-restricted probe, broadcast query side, global top-k",
     ),
+    "sq8_ann_topk": (
+        ["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin"],
+        "compressed-scan ANN: stage 1 scores 8-bit codes (at scale the "
+        "STORED column, 4x fewer scan bytes than float32) map-side "
+        "with a broadcast single-row query and a per-partition top-k "
+        "shuffle of k*4 rows; stage 2 exact-reranks only those "
+        "survivors — never a shuffle of the big side",
+    ),
     "lsh_ann_topk_pruned": (
         ["PartitionFilters: [isnotnull(bucket", "TakeOrderedAndProject"],
         ["SortMergeJoin", "Exchange"],

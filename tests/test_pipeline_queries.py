@@ -340,6 +340,33 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert all(b >= a for a, b in zip(sorted(p1, reverse=True), sorted(p2, reverse=True)))
 
 
+def test_sq8_rerank_is_exact_and_recall_measured(spark):
+    """SQ8 compressed-scan ANN: the rerank stage re-scores survivors
+    with EXACT cosine (by construction every returned score must equal
+    the brute-force score for that vec_id), and on the pinned test
+    corpus the 4x-overfetch candidate stage loses nothing — measured
+    recall@10 is 10/10 (deterministic corpus + deterministic cut, so
+    this is a pin, not a flake)."""
+    from article_extractor_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in S.cosine_topk(emb, query_id=0, k=100000).collect()
+    }
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in S.sq8_ann_topk(emb, query_id=0, k=10).collect()
+    ]
+    assert len(got) == 10
+    for vid, cos in got:
+        assert brute[vid] == cos, (vid, cos, brute[vid])
+    top10 = set(
+        sorted(brute, key=lambda v: (-brute[v], v))[:10]
+    )
+    assert {v for v, _ in got} == top10  # recall@10 = 10/10, measured
+
+
 def test_ivf_pruned_nprobe_matches_inline(spark, tmp_path):
     """The partitioned-storage probe with nprobe cells returns exactly
     what the inline relational probe returns — for the single cell,
