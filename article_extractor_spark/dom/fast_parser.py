@@ -129,15 +129,12 @@ def _parse_attrs(soup: str) -> tuple[list[tuple[str, str | None]], bool]:
     attrs: list[tuple[str, str | None]] = []
     last_end = 0
     for m in _ATTR_RE.finditer(soup):
-        name = m.group(1).lower()
-        if m.group(2) is None:
+        name, has_val, v3, v4, v5 = m.group(1, 2, 3, 4, 5)
+        name = name.lower()
+        if has_val is None:
             attrs.append((name, None))
         else:
-            value = m.group(3)
-            if value is None:
-                value = m.group(4)
-            if value is None:
-                value = m.group(5) or ""
+            value = v3 if v3 is not None else (v4 if v4 is not None else v5 or "")
             if "&" in value:
                 value = unescape(value)
             attrs.append((name, value))

@@ -135,8 +135,12 @@ class _TreeBuilder(HTMLParser):
             return
         super().set_cdata_mode(elem)
 
+    # NOTE: both tokenizers (stdlib parse_starttag/parse_endtag and
+    # fast_parser.feed_fast) lowercase tag names before invoking these
+    # hooks, so the handlers do NOT re-lowercase — these run once per
+    # DOM node on the hot path.
+
     def handle_starttag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
         if tag == "style" and any(n.name == "p" for n in self._stack):
             self._suppress_cdata = True
             return
@@ -145,25 +149,26 @@ class _TreeBuilder(HTMLParser):
             for closable in passes:
                 self._close_through(closable)
         attr_dict: dict[str, str] = {}
-        for key, value in attrs:
-            if key not in attr_dict:  # first occurrence wins (HTML spec)
-                attr_dict[key] = value if value is not None else ""
+        if attrs:
+            for key, value in attrs:
+                if key not in attr_dict:  # first occurrence wins (HTML spec)
+                    attr_dict[key] = value if value is not None else ""
         node = Node(tag, attr_dict)
-        self._stack[-1].append_child(node)
+        node.parent = self._stack[-1]
+        self._stack[-1].children.append(node)
         if tag not in VOID_TAGS:
             self._stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        tag = tag.lower()
         self._auto_close(tag)
         attr_dict: dict[str, str] = {}
-        for key, value in attrs:
-            if key not in attr_dict:
-                attr_dict[key] = value if value is not None else ""
+        if attrs:
+            for key, value in attrs:
+                if key not in attr_dict:
+                    attr_dict[key] = value if value is not None else ""
         self._stack[-1].append_child(Node(tag, attr_dict))
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
         if tag in VOID_TAGS:
             return
         # Pop to the matching open tag if present; ignore stray end tags.
@@ -181,8 +186,8 @@ class _TreeBuilder(HTMLParser):
             children[-1].text += data
         else:
             text_node = Node(TEXT, text=data)
-            text_node.attrs = {}
-            top.append_child(text_node)
+            text_node.parent = top
+            children.append(text_node)
 
     def in_rawtext(self, tag: str) -> bool:
         """Fast-tokenizer hook: did the just-handled start tag actually

@@ -26,14 +26,28 @@ from ..dom.parser import parse_html
 
 _RX_WS = re.compile(r"\s+")
 _RX_SPACE_BEFORE_PUNCT = re.compile(r"\s+([,.;:!?])")
+_SPACE_PUNCT = ((" ,", ","), (" .", "."), (" ;", ";"),
+                (" :", ":"), (" !", "!"), (" ?", "?"))
 
 
 def normalize_text(text: str) -> str:
     """The reference oracle's normalization (test_fixture_corpus.py:28-35):
-    unescape entities, collapse whitespace, strip space before punctuation."""
-    text = html_mod.unescape(text)
-    text = _RX_WS.sub(" ", text).strip()
-    return _RX_SPACE_BEFORE_PUNCT.sub(r"\1", text)
+    unescape entities, collapse whitespace, strip space before punctuation.
+
+    Implemented with C-level str ops instead of the two obvious regex
+    passes (profiling put them at ~8% of whole-document extraction):
+    ``" ".join(text.split())`` is exactly ``\\s+``→" " + strip — the
+    regex-``\\s`` and ``str.isspace`` character sets are identical over
+    all of Unicode (exhaustively checked in tests) — and after that
+    collapse every whitespace run before punctuation is a single ASCII
+    space, so six non-overlapping ``str.replace`` passes reproduce the
+    ``\\s+([,.;:!?])`` sub.  Differential-pinned against the regex
+    reference in tests/test_extract_units.py."""
+    text = " ".join(html_mod.unescape(text).split())
+    for pat, rep in _SPACE_PUNCT:
+        if pat in text:
+            text = text.replace(pat, rep)
+    return text
 
 
 def make_span(kind: str, text: str, media_ref: str, offset: int) -> dict:

@@ -283,6 +283,56 @@ def test_normalize_text():
     assert normalize_text("  x  !") == "x!"
 
 
+def test_normalize_text_matches_regex_reference():
+    """The str-op fast path must be bit-identical to the original
+    two-regex normalization (unescape → \\s+ collapse+strip → strip
+    space before punctuation) — hypothesis + adversarial battery,
+    plus the exhaustive regex-\\s == str.isspace charset claim the
+    fast path's correctness rests on."""
+    import html as html_mod
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rx_ws = re.compile(r"\s+")
+    rx_p = re.compile(r"\s+([,.;:!?])")
+
+    def reference(t: str) -> str:
+        t = html_mod.unescape(t)
+        t = rx_ws.sub(" ", t).strip()
+        return rx_p.sub(r"\1", t)
+
+    battery = [
+        "", " ", "\t\n\r\f\v", "\xa0  　",
+        "a\xa0b", "&nbsp;,", "&#10;.", "a &amp;&amp; b ,,  ..",
+        " , . ; : ! ? ", "x , ,", "a  .  b  !", "&#x2003;!",
+        "no punct at all", "&bogus; &amp;", "\x1c\x1d\x1e\x1f!",
+    ]
+    for t in battery:
+        assert normalize_text(t) == reference(t), repr(t)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.sampled_from(
+                list(" \t\n\xa0 abc&;#,.:!?<>123nbsped")
+            ),
+            max_size=40,
+        )
+    )
+    def prop(t):
+        assert normalize_text(t) == reference(t), repr(t)
+
+    prop()
+
+    rx_s = re.compile(r"\s")
+    assert all(
+        bool(rx_s.match(chr(i))) == chr(i).isspace()
+        for i in range(0x110000)
+    )
+
+
 def test_spans_roundtrip_through_html():
     spans = [
         {"kind": "text", "text": "Hello world, this is text.", "media_ref": "", "offset": 0},
