@@ -144,23 +144,31 @@ def looks_like_boilerplate(node: Node, memo: DocMemo | None = None) -> bool:
     if not text:
         return False
 
-    low = text.lower()
     density = _node_link_density(node, memo)
     n = len(text)
-    phrase = any(p in low for p in rules.BOILERPLATE_PHRASES)
-    unlikely = is_unlikely_candidate(node)
     hints = _hint_text(node)
     hinted = bool(rules.RX_BOILERPLATE_ATTRS.search(hints))
     strongly_hinted = bool(rules.RX_BOILERPLATE_ATTRS_STRONG.search(hints))
 
-    return (
-        (strongly_hinted and (n < 5000 or density > 0.08))
-        or (hinted and n < 2500 and density > 0.05)
-        or (unlikely and (n < 1600 or density > 0.2))
-        or (phrase and hinted and (density > 0.08 or n < 1200))
-        or (phrase and density > 0.35)
-        or (phrase and strongly_hinted and n < 2500)
-    )
+    # Identical truth table to the original single expression, but the
+    # phrase scan (lowercase the WHOLE subtree text + substring-search
+    # every boilerplate phrase — the dominant cost, and O(bytes×depth)
+    # across a sweep since ancestors repeat their descendants' text) is
+    # evaluated ONLY when some phrase-conjunction could still fire.
+    if strongly_hinted and (n < 5000 or density > 0.08):
+        return True
+    if hinted and n < 2500 and density > 0.05:
+        return True
+    if is_unlikely_candidate(node) and (n < 1600 or density > 0.2):
+        return True
+    if not (
+        (hinted and (density > 0.08 or n < 1200))
+        or density > 0.35
+        or (strongly_hinted and n < 2500)
+    ):
+        return False
+    low = text.lower()
+    return any(p in low for p in rules.BOILERPLATE_PHRASES)
 
 
 # ------------------------------------------------------------------

@@ -716,3 +716,78 @@ def sq8_ann_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def write_sq8_codes(
+    emb: DataFrame, path: str, vec_col: str = "embedding"
+) -> tuple[int, int]:
+    """Materialize the SQ8 code table — the storage layout
+    ``sq8_ann_topk_stored`` scans.  At 100 TB this is written once at
+    ingest: (vec_id, codes array<smallint>) is ~4× smaller on the wire
+    than the quantized bigint form (and 2× smaller than float32), so
+    the brute-force candidate stage reads a fraction of the bytes while
+    the full-precision vectors stay in the base table, touched only for
+    the k×RERANK survivors.  Returns the corpus-global (lo, rng) the
+    codes were built with (at scale: ingest-time column stats persisted
+    with the table); the probe itself needs only the code table — the
+    query row's codes come from the same scan."""
+    lo, rng = sq8_range(emb, vec_col)
+    emb.select(
+        F.col("vec_id"),
+        F.transform(
+            sq8_codes(quantized(F.col(vec_col)), lo, rng),
+            lambda c: c.cast("smallint"),
+        ).alias("codes"),
+    ).write.mode("overwrite").parquet(path)
+    return lo, rng
+
+
+def sq8_ann_topk_stored(
+    spark,
+    codes_path: str,
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100-TB shape of ``sq8_ann_topk``: stage 1 brute-force-scans
+    the STORED code table (``write_sq8_codes`` — the small column),
+    never touching the full vectors; stage 2 joins only the k×RERANK
+    survivors back to the base table by vec_id for exact rerank.  The
+    survivor set is k×4 ids — a broadcast-hash join against the base
+    table, not a shuffle of it.  Result is bit-identical to the inline
+    ``sq8_ann_topk`` (same codes, same deterministic cut), pinned by
+    test and by sharing its DuckDB oracle."""
+    # Codes are stored smallint (the byte win); arithmetic must widen
+    # first — smallint×smallint stays smallint in Spark and 255×255
+    # overflows it.
+    widen = lambda col: F.transform(col, lambda c: c.cast("long"))  # noqa: E731
+    codes = spark.read.parquet(codes_path)
+    q = codes.where(F.col("vec_id") == query_id).select(
+        F.col("codes").alias("qc")
+    )
+    cand = (
+        codes.where(F.col("vec_id") != query_id)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_sim(widen(F.col("codes")), widen(F.col("qc"))).alias(
+                "code_cos"
+            ),
+        )
+        .orderBy(F.desc("code_cos"), F.asc("vec_id"))
+        .limit(k * SQ8_RERANK_FACTOR)
+    )
+    base = emb.select(
+        F.col("vec_id"), quantized(F.col(vec_col)).alias("q")
+    )
+    qv = base.where(F.col("vec_id") == query_id).select(
+        F.col("q").alias("qv")
+    )
+    return (
+        base.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .join(F.broadcast(qv))
+        .select("vec_id", cosine_sim(F.col("q"), F.col("qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

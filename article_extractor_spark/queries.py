@@ -2826,6 +2826,22 @@ def q_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sq8_ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_sq8_ann_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-codes SQ8 probe (similarity.sq8_ann_topk_stored):
+    stage 1 scans ONLY the materialized smallint code table (written
+    once per corpus — at 100 TB the stored column, ~4× fewer scan
+    bytes than the full vectors), stage 2 broadcast-joins the k×4
+    survivor ids back to the base table for exact rerank.  Bit-equal
+    to the inline sq8_ann_topk, so it shares that oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = _layout_cache_path(sf_dir, "emb_sq8codes")
+    import os
+
+    if not os.path.exists(path + "/_SUCCESS"):
+        S.write_sq8_codes(emb, path)
+    return S.sq8_ann_topk_stored(spark, path, emb, query_id=0, k=10)
+
+
 def q_lsh_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition-pruned ANN probe over the bucket-partitioned
     storage layout (the at-scale path; see
@@ -5617,6 +5633,7 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
 """,
     "cosine_topk": _cosine_topk_sql(),
     "sq8_ann_topk": _sq8_ann_sql(),
+    "sq8_ann_topk_stored": _sq8_ann_sql(),
     "lsh_ann_topk": _lsh_ann_sql(),
     "lsh_ann_topk_pruned": _lsh_ann_sql(),
     "ivf_ann_topk": _ivf_ann_sql(),
@@ -6278,6 +6295,7 @@ QUERY_FNS: dict[str, Query] = {
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
     "sq8_ann_topk": q_sq8_ann_topk,
+    "sq8_ann_topk_stored": q_sq8_ann_topk_stored,
     "lsh_ann_topk": q_lsh_ann_topk,
     "lsh_ann_topk_pruned": q_lsh_ann_topk_pruned,
     "ivf_ann_topk": q_ivf_ann_topk,

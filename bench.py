@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "dup_ngram_stats",
     "fingerprints",
     "cosine_topk",
+    "sq8_ann_topk",
+    "sq8_ann_topk_stored",
     "lsh_ann_topk",
     "lsh_ann_topk_pruned",
     "ivf_ann_topk",
@@ -131,6 +133,8 @@ def main() -> int:
     # timed window — it is the stored table the pruned probe reads
     # (written once at ingest time at scale), not per-query work
     force(QUERY_FNS["lsh_ann_topk_pruned"](spark, sf_dir))
+    # same for the SQ8 code table (written once at ingest time at scale)
+    force(QUERY_FNS["sq8_ann_topk_stored"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

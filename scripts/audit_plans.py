@@ -83,6 +83,15 @@ CHECKS = {
         "shuffle of k*4 rows; stage 2 exact-reranks only those "
         "survivors — never a shuffle of the big side",
     ),
+    "sq8_ann_topk_stored": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["SortMergeJoin"],
+        "stored-codes SQ8 probe: stage 1 scans ONLY the materialized "
+        "smallint code table (ReadSchema: vec_id+codes — the narrow "
+        "column); stage 2 joins the k*4 survivor ids back to the base "
+        "table via BroadcastHashJoin (survivors broadcast, base table "
+        "never shuffled)",
+    ),
     "lsh_ann_topk_pruned": (
         ["PartitionFilters: [isnotnull(bucket", "TakeOrderedAndProject"],
         ["SortMergeJoin", "Exchange"],

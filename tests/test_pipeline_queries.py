@@ -367,6 +367,35 @@ def test_sq8_rerank_is_exact_and_recall_measured(spark):
     assert {v for v, _ in got} == top10  # recall@10 = 10/10, measured
 
 
+def test_sq8_stored_probe_matches_inline(spark, tmp_path):
+    """The stored-codes probe (scan the smallint code table, broadcast
+    the survivors back for exact rerank) returns exactly what the
+    inline probe returns — and the smallint storage round-trip must not
+    overflow the code arithmetic (255×255 > smallint max; the probe
+    widens before the dot product)."""
+    from article_extractor_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "sq8codes")
+    lo, rng = S.write_sq8_codes(emb, path)
+    assert rng >= 1
+    stored = [
+        (r["vec_id"], r["cosine"])
+        for r in S.sq8_ann_topk_stored(
+            spark, path, emb, query_id=0, k=10
+        ).collect()
+    ]
+    inline = [
+        (r["vec_id"], r["cosine"])
+        for r in S.sq8_ann_topk(emb, query_id=0, k=10).collect()
+    ]
+    assert stored == inline
+    # the stored table really is the narrow column
+    codes = spark.read.parquet(path)
+    assert set(codes.columns) == {"vec_id", "codes"}
+    assert codes.schema["codes"].dataType.elementType.typeName() == "short"
+
+
 def test_ivf_pruned_nprobe_matches_inline(spark, tmp_path):
     """The partitioned-storage probe with nprobe cells returns exactly
     what the inline relational probe returns — for the single cell,
