@@ -732,12 +732,18 @@ def write_sq8_codes(
     with the table); the probe itself needs only the code table — the
     query row's codes come from the same scan."""
     lo, rng = sq8_range(emb, vec_col)
-    emb.select(
+    staged = emb.select(
         F.col("vec_id"),
-        F.transform(
-            sq8_codes(quantized(F.col(vec_col)), lo, rng),
-            lambda c: c.cast("smallint"),
-        ).alias("codes"),
+        sq8_codes(quantized(F.col(vec_col)), lo, rng).alias("c"),
+    )
+    # n2 (the integer squared norm of the codes) is stored WITH the
+    # codes, FAISS-style: the probe's scoring fold then computes only
+    # the dot product (cosine_sim_prenorm) instead of three folds per
+    # row — norms are a per-vector quantity, not per-query work.
+    staged.select(
+        "vec_id",
+        F.transform(F.col("c"), lambda v: v.cast("smallint")).alias("codes"),
+        sq_norm(F.col("c")).alias("n2"),
     ).write.mode("overwrite").parquet(path)
     return lo, rng
 
@@ -752,40 +758,47 @@ def sq8_ann_topk_stored(
 ) -> DataFrame:
     """The 100-TB shape of ``sq8_ann_topk``: stage 1 brute-force-scans
     the STORED code table (``write_sq8_codes`` — the small column),
-    never touching the full vectors; stage 2 joins only the k×RERANK
-    survivors back to the base table by vec_id for exact rerank.  The
-    survivor set is k×4 ids — a broadcast-hash join against the base
-    table, not a shuffle of it.  Result is bit-identical to the inline
-    ``sq8_ann_topk`` (same codes, same deterministic cut), pinned by
-    test and by sharing its DuckDB oracle."""
+    never touching the full vectors; stage 2 point-looks-up only the
+    k×RERANK survivors in the base table for exact rerank.  The
+    survivor ids (k×4 rows of one int — metadata scale, the
+    IVF-codebook collect pattern) become a LITERAL ``In(vec_id)``
+    predicate, so the rerank scan is parquet-row-group-pruned AND the
+    quantize transform runs on exactly the survivor rows — a join-based
+    spelling would evaluate it under the join for every row of the base
+    table.  Result is bit-identical to the inline ``sq8_ann_topk``
+    (same codes, same deterministic cut), pinned by test and by sharing
+    its DuckDB oracle."""
     # Codes are stored smallint (the byte win); arithmetic must widen
     # first — smallint×smallint stays smallint in Spark and 255×255
     # overflows it.
     widen = lambda col: F.transform(col, lambda c: c.cast("long"))  # noqa: E731
     codes = spark.read.parquet(codes_path)
     q = codes.where(F.col("vec_id") == query_id).select(
-        F.col("codes").alias("qc")
+        F.col("codes").alias("qc"), F.col("n2").alias("qn2")
     )
     cand = (
         codes.where(F.col("vec_id") != query_id)
         .join(F.broadcast(q))
         .select(
             "vec_id",
-            cosine_sim(widen(F.col("codes")), widen(F.col("qc"))).alias(
-                "code_cos"
-            ),
+            cosine_sim_prenorm(
+                widen(F.col("codes")),
+                widen(F.col("qc")),
+                F.col("n2"),
+                F.col("qn2"),
+            ).alias("code_cos"),
         )
         .orderBy(F.desc("code_cos"), F.asc("vec_id"))
         .limit(k * SQ8_RERANK_FACTOR)
     )
-    base = emb.select(
-        F.col("vec_id"), quantized(F.col(vec_col)).alias("q")
-    )
-    qv = base.where(F.col("vec_id") == query_id).select(
-        F.col("q").alias("qv")
+    ids = [r["vec_id"] for r in cand.select("vec_id").collect()]
+    qv = (
+        emb.where(F.col("vec_id") == query_id)
+        .select(quantized(F.col(vec_col)).alias("qv"))
     )
     return (
-        base.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        emb.where(F.col("vec_id").isin(ids))
+        .select("vec_id", quantized(F.col(vec_col)).alias("q"))
         .join(F.broadcast(qv))
         .select("vec_id", cosine_sim(F.col("q"), F.col("qv")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))

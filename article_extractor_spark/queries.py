@@ -2834,7 +2834,11 @@ def q_sq8_ann_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor ids back to the base table for exact rerank.  Bit-equal
     to the inline sq8_ann_topk, so it shares that oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    path = _layout_cache_path(sf_dir, "emb_sq8codes")
+    # prefix versions the layout SCHEMA (v2 = +n2 norm column): the
+    # cache fingerprint covers source data and engine params, not the
+    # written shape, so a schema change must rename or a cached v1
+    # table breaks the probe
+    path = _layout_cache_path(sf_dir, "emb_sq8codes_v2")
     import os
 
     if not os.path.exists(path + "/_SUCCESS"):

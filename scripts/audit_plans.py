@@ -84,13 +84,14 @@ CHECKS = {
         "survivors — never a shuffle of the big side",
     ),
     "sq8_ann_topk_stored": (
-        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["TakeOrderedAndProject", "PushedFilters: [In(vec_id"],
         ["SortMergeJoin"],
         "stored-codes SQ8 probe: stage 1 scans ONLY the materialized "
         "smallint code table (ReadSchema: vec_id+codes — the narrow "
-        "column); stage 2 joins the k*4 survivor ids back to the base "
-        "table via BroadcastHashJoin (survivors broadcast, base table "
-        "never shuffled)",
+        "column); stage 2 reranks via a LITERAL In(vec_id) point "
+        "lookup pushed to the parquet scan (k*4 ids collected — "
+        "metadata scale), so the quantize transform runs on exactly "
+        "the survivor rows and the base table is never shuffled",
     ),
     "lsh_ann_topk_pruned": (
         ["PartitionFilters: [isnotnull(bucket", "TakeOrderedAndProject"],
@@ -401,10 +402,12 @@ CHECKS = {
         ["SortMergeJoin", "Exchange hashpartitioning(doc_id"],
         "tokenize-under-trained-merges: the merged vocabulary folds "
         "over each doc's tokens as a broadcast map — the doc side is "
-        "scan → project with no per-token join; the single hash "
-        "exchange in the plan is the vocabulary aggregate feeding "
-        "the broadcast (keyed on w, corpus-sized input, ≤|vocab| out)",
-        {"Exchange hashpartitioning": 1},
+        "scan → project with no per-token join; every hash exchange "
+        "in the plan is vocab-keyed (w / distinct-subword grouping, "
+        "≤|vocab| rows), never doc-keyed — a global Exchange count "
+        "here was order-flaky: whether the vocab build is visible or "
+        "hidden behind an InMemoryTableScan depends on which audit "
+        "query cached it first",
     ),
     "distinct_shingles": (
         ["partial_max", "HashAggregate"],

@@ -113,6 +113,9 @@ def main() -> int:
         S.write_bucket_partitioned(emb, bucket_path)
     if not os.path.exists(cell_path + "/_SUCCESS"):
         S.write_cell_partitioned(emb, cell_path)
+    sq8_path = str(wd / "emb_sq8codes")
+    if not os.path.exists(sq8_path + "/_SUCCESS"):
+        S.write_sq8_codes(emb, sq8_path)
     if not os.path.exists(zorder_path + "/_SUCCESS"):
         ev = spark.read.parquet(ev_path)
         x = md5_int(F.col("user_id").cast("string")).bitwiseAND(F.lit(1023))
@@ -139,6 +142,13 @@ def main() -> int:
     )
     result["lsh_pruned_probe_sec"] = timed_min(
         lambda: force(S.lsh_ann_topk_pruned(spark, bucket_path, emb)),
+        args.trials,
+    )
+    result["sq8_inline_sec"] = timed_min(
+        lambda: force(S.sq8_ann_topk(emb)), args.trials
+    )
+    result["sq8_stored_probe_sec"] = timed_min(
+        lambda: force(S.sq8_ann_topk_stored(spark, sq8_path, emb)),
         args.trials,
     )
     result["ivf_inline_sec"] = timed_min(
@@ -189,6 +199,9 @@ def main() -> int:
     )
     result["zorder_speedup"] = round(
         result["zorder_full_scan_sec"] / result["zorder_pruned_sec"], 2
+    )
+    result["sq8_speedup_vs_full"] = round(
+        result["cosine_full_scan_sec"] / result["sq8_stored_probe_sec"], 2
     )
     print(json.dumps(result))
     return 0

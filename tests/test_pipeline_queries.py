@@ -390,9 +390,10 @@ def test_sq8_stored_probe_matches_inline(spark, tmp_path):
         for r in S.sq8_ann_topk(emb, query_id=0, k=10).collect()
     ]
     assert stored == inline
-    # the stored table really is the narrow column
+    # the stored table really is the narrow column (+ FAISS-style
+    # per-vector norm so the probe folds once per row, not thrice)
     codes = spark.read.parquet(path)
-    assert set(codes.columns) == {"vec_id", "codes"}
+    assert set(codes.columns) == {"vec_id", "codes", "n2"}
     assert codes.schema["codes"].dataType.elementType.typeName() == "short"
 
 
