@@ -143,6 +143,29 @@ def _parse_attrs(soup: str) -> tuple[list[tuple[str, str | None]], bool]:
     return attrs, trailing == "/"
 
 
+def _parse_attrs_dict(soup: str) -> tuple[dict[str, str], bool]:
+    """Tokenize the attr soup straight into the builder's dict shape:
+    first occurrence wins (HTML spec), valueless attr → "".  Exactly
+    ``_parse_attrs`` composed with the tree-builder's conversion loop,
+    minus the intermediate tuple list."""
+    attrs: dict[str, str] = {}
+    last_end = 0
+    for m in _ATTR_RE.finditer(soup):
+        name, has_val, v3, v4, v5 = m.group(1, 2, 3, 4, 5)
+        name = name.lower()
+        if name not in attrs:
+            if has_val is None:
+                attrs[name] = ""
+            else:
+                value = (
+                    v3 if v3 is not None else (v4 if v4 is not None else v5 or "")
+                )
+                attrs[name] = unescape(value) if "&" in value else value
+        last_end = m.end()
+    trailing = soup[last_end:].strip()
+    return attrs, trailing == "/"
+
+
 def feed_fast(builder, html: str) -> None:
     """Tokenize ``html`` and drive ``builder``'s HTMLParser-style hooks."""
     pos = 0
@@ -151,6 +174,13 @@ def feed_fast(builder, html: str) -> None:
     handle_data = builder.handle_data
     handle_starttag = builder.handle_starttag
     handle_endtag = builder.handle_endtag
+    # optional dict-shaped start-tag hooks (the tree builder's native
+    # attr shape); tokenizing straight into a dict skips a per-tag
+    # tuple-list allocation + conversion loop
+    starttag_attrs = getattr(builder, "handle_starttag_attrs", None)
+    startendtag_attrs = getattr(builder, "handle_startendtag_attrs", None)
+    if startendtag_attrs is None:
+        starttag_attrs = None
     start_match = _START_RE.match
     while pos < n:
         lt = find("<", pos)
@@ -163,10 +193,20 @@ def feed_fast(builder, html: str) -> None:
             handle_data(unescape(data) if "&" in data else data)
         nxt = html[lt + 1] if lt + 1 < n else ""
         if nxt == "/":
-            if find(">", lt + 1) < 0:
+            gt = find(">", lt + 1)
+            if gt < 0:
                 # no '>' anywhere: stdlib endendtag fails → close()
                 # recovery emits the bogus data
                 pos = _recover_unterminated(builder, html, lt, n)
+                continue
+            # dominant case ("</p>", "</h1>"): the run between "</" and
+            # ">" is exactly [a-zA-Z][a-zA-Z0-9]* — a strict subset of
+            # _END_STRICT_RE's grammar (which also allows -._: and
+            # surrounding whitespace), handled without the regex
+            seg = html[lt + 2 : gt]
+            if seg and seg.isascii() and seg.isalnum() and seg[0].isalpha():
+                handle_endtag(seg.lower())
+                pos = gt + 1
                 continue
             m = _END_STRICT_RE.match(html, lt)
             if m:
@@ -229,6 +269,32 @@ def feed_fast(builder, html: str) -> None:
             handle_data("<")
             pos = lt + 1
             continue
+        gt = find(">", lt + 1)
+        if gt > lt + 1:
+            # dominant case ("<p>", "<h1>", "<li>"): everything between
+            # "<" and ">" is exactly [a-zA-Z][a-zA-Z0-9]* — no attr
+            # soup, no quotes, no "/" — a strict subset of _START_RE
+            # with empty soup, handled without the regex.  The alnum
+            # guard means the slice cannot contain a quote, so the
+            # quoted-'>' hazard _START_RE exists for cannot arise.
+            seg = html[lt + 1 : gt]
+            if seg.isascii() and seg.isalnum():
+                tag = seg.lower()
+                pos = gt + 1
+                handle_starttag(tag, [])
+                closer = _RAWTEXT_CLOSE.get(tag)
+                if closer is not None and builder.in_rawtext(tag):
+                    cm = closer.search(html, pos)
+                    if cm:
+                        raw = html[pos:cm.start()]
+                        if raw:
+                            handle_data(raw)  # rawtext: no charrefs
+                        handle_endtag(tag)
+                        pos = cm.end()
+                    else:
+                        # unterminated rawtext: content dropped (stdlib)
+                        pos = n
+                continue
         m = start_match(html, lt)
         if not m:
             if find(">", lt) < 0:
@@ -266,15 +332,36 @@ def feed_fast(builder, html: str) -> None:
         if not soup:
             # dominant case in article markup (<p>, <h1>, <main>, …):
             # no attr soup at all — skip the tokenizer call entirely
-            attrs: list[tuple[str, str | None]] = []
-            self_closing = False
+            pos = m.end()
+            handle_starttag(tag, [])
+            closer = _RAWTEXT_CLOSE.get(tag)
+            if closer is not None and builder.in_rawtext(tag):
+                cm = closer.search(html, pos)
+                if cm:
+                    raw = html[pos:cm.start()]
+                    if raw:
+                        handle_data(raw)  # rawtext: no charrefs
+                    handle_endtag(tag)
+                    pos = cm.end()
+                else:
+                    pos = n
+            continue
+        if starttag_attrs is not None:
+            # builder accepts the dict shape directly: skip the
+            # tuple-list round trip through handle_starttag
+            attr_dict, self_closing = _parse_attrs_dict(soup)
+            pos = m.end()
+            if self_closing:
+                startendtag_attrs(tag, attr_dict)
+                continue
+            starttag_attrs(tag, attr_dict)
         else:
             attrs, self_closing = _parse_attrs(soup)
-        pos = m.end()
-        if self_closing:
-            builder.handle_startendtag(tag, attrs)
-            continue
-        handle_starttag(tag, attrs)
+            pos = m.end()
+            if self_closing:
+                builder.handle_startendtag(tag, attrs)
+                continue
+            handle_starttag(tag, attrs)
         closer = _RAWTEXT_CLOSE.get(tag)
         if closer is not None and builder.in_rawtext(tag):
             cm = closer.search(html, pos)

@@ -168,6 +168,31 @@ class _TreeBuilder(HTMLParser):
                     attr_dict[key] = value if value is not None else ""
         self._stack[-1].append_child(Node(tag, attr_dict))
 
+    # -- dict-shaped fast-tokenizer hooks -------------------------------
+    # Same semantics as handle_starttag/handle_startendtag, taking the
+    # attrs already in this builder's native dict shape (first
+    # occurrence wins, valueless → "" — _parse_attrs_dict guarantees
+    # both), so the per-tag conversion loop disappears from the hot
+    # path.  The stdlib tokenizer keeps using the list-shaped hooks.
+
+    def handle_starttag_attrs(self, tag: str, attr_dict: dict) -> None:
+        if tag == "style" and any(n.name == "p" for n in self._stack):
+            self._suppress_cdata = True
+            return
+        passes = _AUTO_CLOSE_PASSES.get(tag)
+        if passes is not None:
+            for closable in passes:
+                self._close_through(closable)
+        node = Node(tag, attr_dict)
+        node.parent = self._stack[-1]
+        self._stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self._stack.append(node)
+
+    def handle_startendtag_attrs(self, tag: str, attr_dict: dict) -> None:
+        self._auto_close(tag)
+        self._stack[-1].append_child(Node(tag, attr_dict))
+
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
             return

@@ -7,9 +7,16 @@ with per-entry handling for ``srcset``.
 
 from __future__ import annotations
 
-from urllib.parse import urljoin
+from functools import lru_cache
+from urllib.parse import urljoin as _urljoin
 
 from . import rules
+
+# urljoin is a pure function and both operands repeat heavily across a
+# corpus (one base per document, site-relative hrefs/srcs shared across
+# pages), so a bounded memo turns the dominant cost — re-splitting the
+# SAME base URL for every link — into a dict hit.  Bounded, per-worker.
+urljoin = lru_cache(maxsize=16384)(_urljoin)
 
 
 def absolutize_srcset(value: str, base_url: str) -> str:

@@ -166,6 +166,15 @@ _DIFFERENTIAL_CASES = [
     "<a href='x' href='y'>dup</a>", "<p class>bare</p>",
     "<sCrIpT>a<b</ScRiPt>done", "<style >css</style >",
     "<script type='t'>x</script><style media=print>y</style>z",
+    # boundary cases for the alnum-slice tokenizer fast paths: each
+    # pair straddles the subset grammar (exact [a-zA-Z][a-zA-Z0-9]*
+    # between the brackets) and its regex fallback
+    "<P>upper</P>", "<h1>digit tag</h1>", "<p >space soup</p >",
+    "</p\t>tab in end tag", "</h-1>dash end tag", "<x-y>dash start</x-y>",
+    "<pé>unicode tag</pé>", "</pé>unicode end",
+    "<script>raw</script>", "<style>.c{}</style>",
+    "<script\t>spaced rawtext</script>", "<br>", "<wbr/>",
+    "<p1>digit-suffix tag</p1>", "</p1>", "<em9/>",
 ]
 
 
