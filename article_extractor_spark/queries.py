@@ -1914,6 +1914,171 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sliding-window chunking: window/stride in whitespace tokens (the
+# embedding-pipeline prep shape: overlap = CHUNK_TOKENS - CHUNK_STRIDE).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking — the retrieval/embedding-pipeline
+    prep step: split each document's token stream into windows of
+    ``CHUNK_TOKENS`` tokens advancing by ``CHUNK_STRIDE`` (16-token
+    overlap), one output row per chunk.
+
+    Scale shape: entirely map-side — tokenize, compute the chunk count
+    arithmetically, ``explode(sequence(...))``, then ``slice`` the
+    already-tokenized array per chunk.  No shuffle, no window function,
+    no per-row Python; output partitioning follows the scan, so a
+    downstream embedding stage consumes chunks with zero exchanges.
+    Empty documents emit no chunks; every non-empty document emits at
+    least one (its full token list when shorter than a window).  All
+    arithmetic is integer-exact, so the oracle compares chunk TEXT
+    byte-for-byte."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.ws_tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (n - CHUNK_TOKENS + (CHUNK_STRIDE - 1)) / F.lit(CHUNK_STRIDE)
+        ).cast("int")
+    )
+    c = toks.filter(n > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        F.col("chunk_id") * CHUNK_STRIDE + 1,
+        F.lit(CHUNK_TOKENS),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("int").alias("start_token"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a per-partition Misra-Gries sketch plus
+    an exact recount of the candidates — hot-domain / hot-token
+    detection over a stream too large for an exact full GROUP BY.
+
+    Scale shape (``functions/sketches.py::mg_candidates``): the sketch
+    pass is one Arrow-batched map over partitions holding ≤ k counters
+    each and emitting ≤ k candidate rows per partition (no shuffle);
+    the exact pass recounts ONLY the candidates via a broadcast
+    semi-join, so the aggregation shuffle carries candidate tokens
+    instead of the full vocabulary.  The MG superset guarantee (any
+    token with count > N/(k+1) survives some partition's sketch) plus
+    the exact threshold filter make the result deterministic —
+    independent of partitioning and batch order — hence exactly
+    oracle-comparable: tokens whose count·(k+1) > N."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(X.ws_tokens(F.lower(F.col("text"))).alias("toks"))
+    total = toks.agg(F.sum(F.size("toks"))).first()[0] or 0  # 1 metadata row
+    cand = K.mg_candidates(toks).distinct()
+    exploded = toks.select(F.explode("toks").alias("token"))
+    counts = exploded.join(F.broadcast(cand), "token").groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return counts.filter(
+        F.col("n_occurrences") * (K.HH_K + 1) > F.lit(int(total))
+    )
+
+
+# IDF-weighted shingle cosine: document-frequency cut bounds the
+# inverted-index join fanout at C(TFIDF_MAX_DF, 2) pairs per shingle.
+TFIDF_MIN_DF = 2
+TFIDF_MAX_DF = 64
+TFIDF_IDF_SCALE = 1_000_000
+TFIDF_MIN_COSINE = 0.3
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse similarity: idf-weighted cosine over binary
+    3-word-shingle vectors via an inverted-index self-join (the
+    Bayardo et al. 2007 all-pairs pattern), with a document-frequency
+    cut — the weighted-lexical member of the near-dup family next to
+    MinHash (set Jaccard) and SimHash (Hamming).
+
+    Scale shape: explode distinct shingles → df per shingle (partial
+    aggregable) → KEEP only shingles with df in [TFIDF_MIN_DF,
+    TFIDF_MAX_DF].  The df cut is the scale lever: ubiquitous
+    (stopword-like) shingles that would quadratically dominate the
+    self-join are dropped — standard practice for all-pairs similarity
+    — so join fanout is ≤ C(64,2) pairs per shingle.  Weights are
+    INTEGER-quantized idf values (round(ln(N/df)·1e6), driver-computed
+    with glibc ``math.log``, the ``bm25_topk`` cross-engine-exactness
+    pattern) so dot products and norms are exact int64 sums —
+    join-order-proof — and the only float ops are one cast, one
+    multiply, one sqrt, one divide, one round, identical IEEE-754
+    trees in both engines.  df ∈ [2, 64] means the idf table is ≤ 63
+    rows: broadcast."""
+    import math
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one metadata scalar, as in bm25_topk
+    per = docs.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"))).alias("s")
+    )
+    dfs = (
+        per.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= TFIDF_MIN_DF) & (F.col("df") <= TFIDF_MAX_DF)
+        )
+    )
+    idf_rows = [
+        (d, int(round(math.log(n_docs / d) * TFIDF_IDF_SCALE)))
+        for d in range(TFIDF_MIN_DF, TFIDF_MAX_DF + 1)
+    ]
+    idf = spark.createDataFrame(idf_rows, "df long, idf_q long")
+    weighted = per.join(F.broadcast(dfs), "s").join(
+        F.broadcast(idf), "df"
+    ).select("doc_id", "s", "idf_q")
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("idf_q") * F.col("idf_q")).alias("norm2")
+    )
+    a, b = weighted.alias("a"), weighted.alias("b")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.idf_q") * F.col("b.idf_q")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("norm2").alias("norm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("norm2").alias("norm_b")
+    )
+    scored = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot")
+                / F.sqrt(
+                    F.col("norm_a").cast("double")
+                    * F.col("norm_b").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= TFIDF_MIN_COSINE)
+
+
 # Lexical quality scorer: broadcastable vocabulary cap.
 QSCORE_VOCAB = 4096
 
@@ -5442,6 +5607,83 @@ WITH t AS (
 SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
 ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_K}
 """,
+    "chunk_windows": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM documents
+), nn AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, toks, n,
+    unnest(range(0, CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+      ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+      END)) AS chunk_id
+  FROM nn
+), s AS (
+  SELECT doc_id, chunk_id,
+    list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+               chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS chunk
+  FROM c
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+  CAST(chunk_id * {CHUNK_STRIDE} AS INT) AS start_token,
+  CAST(len(chunk) AS INT) AS n_chunk_tokens,
+  array_to_string(chunk, ' ') AS chunk_text
+FROM s
+""",
+    # The sketch only nominates candidates; the exact recount + the
+    # count·(k+1) > N filter make the result partitioning-independent,
+    # so the oracle is the plain exact heavy-hitter definition.
+    "heavy_hitters": f"""
+WITH t AS (
+  SELECT {_TOKS.format(c='lower(text)')} AS toks FROM documents
+), e AS (
+  SELECT unnest(toks) AS token FROM t
+)
+SELECT token, COUNT(*) AS n_occurrences FROM e
+GROUP BY token
+HAVING COUNT(*) * {K.HH_K + 1} > (SELECT COUNT(*) FROM e)
+""",
+    # Integer-quantized idf (round(ln(N/df)*scale)) makes dots/norms
+    # exact int sums; ln here and driver-side math.log agree (glibc —
+    # the bm25_topk cross-engine pattern).
+    "tfidf_cosine_pairs": f"""
+WITH base AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS t,
+    {_TOKS.format(c=_NORM.format(c='text'))} AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) < 3 THEN [t]
+    ELSE list_distinct(list_transform(range(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS shingles
+  FROM base
+), per AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), dfs AS (
+  SELECT s, COUNT(*) AS df FROM per GROUP BY s
+  HAVING COUNT(*) BETWEEN {TFIDF_MIN_DF} AND {TFIDF_MAX_DF}
+), w AS (
+  SELECT per.doc_id, per.s,
+    CAST(round(ln((SELECT COUNT(*) FROM documents) / df)
+               * {TFIDF_IDF_SCALE}) AS BIGINT) AS idf_q
+  FROM per JOIN dfs USING (s)
+), norms AS (
+  SELECT doc_id, SUM(idf_q * idf_q) AS norm2 FROM w GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SUM(a.idf_q * b.idf_q) AS dot
+  FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_a, doc_b,
+    round(dot / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)),
+          6) AS cosine
+  FROM pairs
+  JOIN norms na ON na.doc_id = doc_a
+  JOIN norms nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= {TFIDF_MIN_COSINE}
+""",
     # Single-node global-window prefix sum — the ground truth the
     # distributed two-phase scan must reproduce exactly.
     "sequence_pack": f"""
@@ -6295,6 +6537,9 @@ QUERY_FNS: dict[str, Query] = {
     "vocab_topk": q_vocab_topk,
     "source_mixture": q_source_mixture,
     "bm25_topk": q_bm25_topk,
+    "chunk_windows": q_chunk_windows,
+    "heavy_hitters": q_heavy_hitters,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,

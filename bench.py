@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "vocab_topk",
     "source_mixture",
     "bm25_topk",
+    "chunk_windows",
+    "heavy_hitters",
+    "tfidf_cosine_pairs",
     "exact_dedup",
     "line_dedup",
     "exact_substring_dedup",

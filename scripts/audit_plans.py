@@ -363,6 +363,29 @@ CHECKS = {
         "feeds converged min-label components — no all-pairs "
         "expansion anywhere in the plan",
     ),
+    "chunk_windows": (
+        ["Generate", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "Window", "SortMergeJoin"],
+        "sliding-window chunking is fully map-side: tokenize, "
+        "explode(sequence) per document, slice — ZERO exchanges, no "
+        "window function; chunk partitioning follows the scan",
+    ),
+    "heavy_hitters": (
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["SortMergeJoin"],
+        "MG sketch is one Arrow map pass (≤ k counters/partition); the "
+        "exact recount joins the exploded stream against the BROADCAST "
+        "candidate set, so the aggregate shuffle carries candidates "
+        "only, never the full vocabulary",
+    ),
+    "tfidf_cosine_pairs": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "all-pairs similarity: df table and 63-row idf table broadcast "
+        "onto the shingle postings; the self-join fans out at most "
+        "C(64,2) pairs per shingle (df cut) — no unbounded or "
+        "cartesian expansion",
+    ),
     "dsir_weights": (
         ["ReadSchema: struct<doc_id:bigint,text:string>"],
         ["Exchange", "Generate", "SortMergeJoin"],

@@ -2900,3 +2900,146 @@ def test_sitemap_tree_resolution_membership(spark):
     }
     assert got == expected
     assert any(int(s[3:]) % 3 == 1 and s != "src1" for s in all_sources)
+
+
+# ---------------------------------------------------------------------------
+# chunk_windows / heavy_hitters / tfidf_cosine_pairs (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_reassembly_property(spark):
+    """Concatenating each document's chunks with the overlap regions
+    dropped reproduces the document's token stream exactly, and chunk
+    sizing follows the window/stride contract."""
+    from article_extractor_spark.queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        QUERY_FNS,
+    )
+
+    chunks = (
+        QUERY_FNS["chunk_windows"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    assert len(chunks) > 0
+    for doc_id, grp in chunks.groupby("doc_id"):
+        toks = texts[doc_id].split()
+        rebuilt: list[str] = []
+        for _, row in grp.iterrows():
+            ctoks = row["chunk_text"].split()
+            assert row["n_chunk_tokens"] == len(ctoks)
+            assert row["start_token"] == row["chunk_id"] * CHUNK_STRIDE
+            assert len(ctoks) <= CHUNK_TOKENS
+            # drop the overlap with what's already rebuilt
+            rebuilt.extend(ctoks[len(rebuilt) - row["start_token"]:])
+        assert rebuilt == toks, doc_id
+        # every chunk but the last is full-size
+        sizes = list(grp["n_chunk_tokens"])
+        assert all(s == CHUNK_TOKENS for s in sizes[:-1]) or len(toks) < CHUNK_TOKENS
+
+
+def test_mg_candidates_superset_and_partition_independence(spark):
+    """Misra-Gries with a FORCED tiny k: (a) per-partition survivors are
+    a superset of the true global heavy hitters for every partitioning
+    tried, so (b) the exact-recount result is partitioning-independent
+    and equals the brute-force answer."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions.sketches import mg_candidates
+
+    # adversarial stream: two dominant tokens, a mid tail, unique noise
+    rows = (
+        [("hot1 " * 50).split()] * 40
+        + [("hot2 " * 30 + "mid1 mid2 mid3").split()] * 30
+        + [[f"noise{i}", "mid1"] for i in range(300)]
+    )
+    truth = Counter(t for r in rows for t in r)
+    total = sum(truth.values())
+    k = 4
+    heavy = {t for t, c in truth.items() if c * (k + 1) > total}
+    assert heavy  # the test must exercise a non-empty answer
+    for parts in (1, 3, 16):
+        df = spark.createDataFrame(
+            [(r,) for r in rows], "toks array<string>"
+        ).repartition(parts)
+        cand = {
+            r["token"]
+            for r in mg_candidates(df, "toks", k=k).distinct().collect()
+        }
+        assert heavy <= cand, (parts, heavy - cand)
+        exact = {
+            t: truth[t] for t in cand if truth[t] * (k + 1) > total
+        }
+        assert set(exact) == heavy
+
+
+def test_tfidf_cosine_pairs_independent_replay(spark, oracle_con):
+    """Implementation-independent pure-Python replay of the idf-weighted
+    shingle cosine (set shingling, integer-quantized idf, df cut) on the
+    sf0.001 corpus — a third implementation agreeing with both engines."""
+    import math
+    import re
+
+    from article_extractor_spark.queries import (
+        QUERY_FNS,
+        TFIDF_IDF_SCALE,
+        TFIDF_MAX_DF,
+        TFIDF_MIN_COSINE,
+        TFIDF_MIN_DF,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+
+    def shingles(text: str) -> set[str]:
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        w = norm.split(" ") if norm else []
+        if len(w) < 3:
+            return {norm}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {r.doc_id: shingles(r.text) for r in docs.itertuples()}
+    n_docs = len(docs)
+    df_counts: dict[str, int] = {}
+    for s_set in sh.values():
+        for s in s_set:
+            df_counts[s] = df_counts.get(s, 0) + 1
+    idf = {
+        s: int(round(math.log(n_docs / d) * TFIDF_IDF_SCALE))
+        for s, d in df_counts.items()
+        if TFIDF_MIN_DF <= d <= TFIDF_MAX_DF
+    }
+    vecs = {
+        doc: {s: idf[s] for s in s_set if s in idf}
+        for doc, s_set in sh.items()
+    }
+    norms = {doc: sum(w * w for w in v.values()) for doc, v in vecs.items()}
+    expect = set()
+    ids = sorted(vecs)
+    # invert: shingle -> docs, then pair within postings (like the join)
+    postings: dict[str, list] = {}
+    for doc in ids:
+        for s in vecs[doc]:
+            postings.setdefault(s, []).append(doc)
+    pair_dots: dict[tuple, int] = {}
+    for s, ds in postings.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                a, b = sorted((ds[i], ds[j]))
+                pair_dots[(a, b)] = pair_dots.get((a, b), 0) + idf[s] ** 2
+    for (a, b), dot in pair_dots.items():
+        cos = round(dot / math.sqrt(float(norms[a]) * float(norms[b])), 6)
+        if cos >= TFIDF_MIN_COSINE:
+            expect.add((a, b, cos))
+    got = {
+        (r["doc_a"], r["doc_b"], r["cosine"])
+        for _, r in QUERY_FNS["tfidf_cosine_pairs"](spark, SF_DIR)
+        .toPandas()
+        .iterrows()
+    }
+    assert got == expect
+    assert len(got) > 0
