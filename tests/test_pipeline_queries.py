@@ -3043,3 +3043,48 @@ def test_tfidf_cosine_pairs_independent_replay(spark, oracle_con):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_chunk_windows_boundaries(spark, tmp_path):
+    """Window-arithmetic edges: empty text emits nothing; 1, W, and W+1
+    tokens emit exactly 1, 1, and 2 chunks with the right tails."""
+    import pandas as pd
+
+    from article_extractor_spark.queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        QUERY_FNS,
+    )
+
+    w = CHUNK_TOKENS
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "source": ["s"] * 5,
+            "text": [
+                "",
+                "one",
+                " ".join(f"t{i}" for i in range(w)),
+                " ".join(f"t{i}" for i in range(w + 1)),
+                " ".join(f"t{i}" for i in range(w + CHUNK_STRIDE)),
+            ],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs).write.parquet(str(sf / "documents.parquet"))
+    out = (
+        QUERY_FNS["chunk_windows"](spark, str(sf))
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    by_doc = {k: g for k, g in out.groupby("doc_id")}
+    assert 0 not in by_doc  # empty doc: no chunks
+    assert list(by_doc[1]["n_chunk_tokens"]) == [1]
+    assert list(by_doc[2]["n_chunk_tokens"]) == [w]
+    # W+1 tokens: second chunk starts at the stride and carries the tail
+    assert list(by_doc[3]["n_chunk_tokens"]) == [w, w + 1 - CHUNK_STRIDE]
+    assert list(by_doc[3]["start_token"]) == [0, CHUNK_STRIDE]
+    assert by_doc[3].iloc[-1]["chunk_text"].split()[-1] == f"t{w}"
+    # W+S tokens: exactly two chunks, second is full-window
+    assert list(by_doc[4]["n_chunk_tokens"]) == [w, w]
