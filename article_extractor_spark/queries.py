@@ -1914,6 +1914,121 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POSTINGS_BUCKETS = 64
+
+
+def write_postings(docs: DataFrame, path: str) -> None:
+    """Materialize the corpus inverted index: one row per (term, doc)
+    with the term frequency and the document length denormalized in
+    (the classic postings-with-doc-stats layout), physically
+    partitioned by a term-hash bucket.  At 100 TB this is the STORED
+    retrieval table — written once per corpus/wave, probed by every
+    query — and the bucket partitioning is what turns a term lookup
+    into a partition-pruned scan of ``len(terms)/POSTINGS_BUCKETS`` of
+    the files instead of the whole index.
+
+    The corpus scalars BM25 needs (doc count, total token count) ride
+    along as a one-row ``_stats`` side table computed in the same
+    pass shape (fully partial-aggregable sums)."""
+    toks = docs.select(
+        "doc_id", X.ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    per_doc = toks.select(
+        "doc_id", "toks", F.size("toks").alias("dl")
+    )
+    postings = (
+        per_doc.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term")), POSTINGS_BUCKETS)
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+    ).write.mode("overwrite").parquet(path + "_stats")
+
+
+def bm25_topk_stored(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """BM25 top-k over the STORED inverted index (``write_postings``)
+    — the high-query-volume counterpart of ``q_bm25_topk``'s two-pass
+    corpus scan.  The probe (1) computes each query term's bucket
+    driver-side (zlib.crc32 == Spark ``crc32``, so the partition
+    predicate is a literal → static pruning), (2) scans ONLY those
+    buckets' postings for the query terms — at scale a fixed handful
+    of partitions, never the corpus — (3) takes per-term document
+    frequencies from one metadata-scale aggregate over the pruned rows
+    (postings hold tf>0 rows only, so COUNT(term) IS the df), and
+    (4) pivots each candidate doc's tfs into fixed columns so the
+    score sums term contributions in the SAME fixed order as the
+    inline query — bit-identical floats, shared oracle.  Docs matching
+    no query term score exactly 0.0 in the inline pass and are
+    filtered there; here they are simply never read."""
+    import math
+    import zlib
+
+    buckets = sorted(
+        {zlib.crc32(t.encode()) % POSTINGS_BUCKETS for t in terms}
+    )
+    pruned = spark.read.parquet(path).where(
+        F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+    )
+    stats = spark.read.parquet(path + "_stats").first()
+    n = stats["n"]
+    avgdl = stats["total_dl"] / n  # IEEE double division, as inline
+    dfs = {
+        r["term"]: r["cnt"]
+        for r in pruned.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    per_doc = pruned.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("int")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        df_t = dfs.get(t, 0)
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        tf = F.col(f"tf{i}")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+        )
+        score = score + F.lit(idf) * (tf * F.lit(BM25_K1 + 1.0)) / denom
+    scored = per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+    return (
+        scored.filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def q_bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k probing the materialized bucket-partitioned inverted
+    index — bit-equal to ``q_bm25_topk`` (shares its oracle).  The
+    layout is written once per corpus (at 100 TB it IS the stored
+    retrieval table); the probe reads only the query terms' buckets."""
+    path = _layout_cache_path(sf_dir, "doc_postings_v1", "documents")
+    import os
+
+    if not os.path.exists(path + "/_SUCCESS"):
+        write_postings(load(spark, sf_dir, "documents"), path)
+    return bm25_topk_stored(spark, path)
+
+
 # Sliding-window chunking: window/stride in whitespace tokens (the
 # embedding-pipeline prep shape: overlap = CHUNK_TOKENS - CHUNK_STRIDE).
 CHUNK_TOKENS = 64
@@ -6447,6 +6562,11 @@ FROM base b LEFT JOIN hosts h ON b.host = h.blocked_host_key
 # CTEs (nested WITHs are legal subquery bodies in DuckDB), so the
 # funnel can only diverge from the engine if the mix-decision
 # composition itself drifts — every attribute is the already-green SQL.
+# The stored-index probe is bit-equal to the inline two-pass scan by
+# construction (same IEEE expression tree, fixed term order), so it
+# shares bm25_topk's oracle verbatim.
+ORACLE_SQL["bm25_topk_stored"] = ORACLE_SQL["bm25_topk"]
+
 ORACLE_SQL["curation_funnel"] = f"""
 WITH qf AS ({ORACLE_SQL["quality_filter"]}),
 ec0 AS (SELECT doc_id, md5({_NORM.format(c="text")}) AS ck FROM documents),
@@ -6537,6 +6657,7 @@ QUERY_FNS: dict[str, Query] = {
     "vocab_topk": q_vocab_topk,
     "source_mixture": q_source_mixture,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_stored": q_bm25_topk_stored,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,

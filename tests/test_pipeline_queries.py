@@ -3088,3 +3088,40 @@ def test_chunk_windows_boundaries(spark, tmp_path):
     assert by_doc[3].iloc[-1]["chunk_text"].split()[-1] == f"t{w}"
     # W+S tokens: exactly two chunks, second is full-window
     assert list(by_doc[4]["n_chunk_tokens"]) == [w, w]
+
+
+def test_bm25_stored_matches_inline_and_prunes(spark, tmp_path):
+    """The stored-inverted-index BM25 probe is bit-equal to the inline
+    two-pass scan, and its postings scan is partition-pruned to the
+    query terms' buckets (the at-scale property: a term lookup reads
+    len(terms)/POSTINGS_BUCKETS of the index, never the corpus)."""
+    import zlib
+
+    from article_extractor_spark import queries as Q
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    path = str(tmp_path / "postings")
+    Q.write_postings(docs, path)
+
+    stored = Q.bm25_topk_stored(spark, path)
+    inline = Q.q_bm25_topk(spark, SF_DIR)
+    assert [tuple(r) for r in stored.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    buckets = sorted(
+        {
+            zlib.crc32(t.encode()) % Q.POSTINGS_BUCKETS
+            for t in Q.BM25_QUERY_TERMS
+        }
+    )
+    assert "PartitionFilters" in plan
+    for b in buckets:
+        assert str(b) in plan
+
+    # the layout is the classic postings shape: tf>0 rows only, with
+    # the doc length denormalized in (zero joins in the probe)
+    postings = spark.read.parquet(path)
+    assert set(postings.columns) == {"term", "doc_id", "dl", "tf", "bucket"}
+    assert postings.where("tf <= 0").count() == 0
