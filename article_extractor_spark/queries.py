@@ -2734,6 +2734,61 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_verified_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_wave_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl delta: classify every document across two crawl waves
+    as added / removed / changed / unchanged — the production question
+    a continuous crawl answers before spending extraction CPU
+    (reference crawler.py's storage queue reacts to per-URL changes;
+    this is the corpus-level fold of the same signal).
+
+    Waves are derived deterministically from the documents table: the
+    old wave is every doc except ``doc_id % 7 == 6`` (dropped pages →
+    'removed'); the new wave is every doc except ``doc_id % 5 == 4``
+    (fresh pages → 'added'), with every third doc's text refreshed
+    ('changed').
+
+    Scale shape: each side hashes its text MAP-SIDE, so the single
+    shuffle carries (doc_id, 32-byte hash) pairs — never document
+    bodies — and the union + groupBy fold is fully partial-aggregable
+    (one exchange, no join, no skew machinery).  A full-outer join
+    would move the same rows but lose the map-side combine.  The
+    oracle is an independent spelling (FULL OUTER JOIN)."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 6).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        F.lit(False).alias("is_new"),
+    )
+    new = docs.where(F.col("doc_id") % 5 != 4).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" refreshed")),
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+        F.lit(True).alias("is_new"),
+    )
+    folded = (
+        old.unionByName(new)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(~F.col("is_new"), F.col("h"))).alias("old_hash"),
+            F.max(F.when(F.col("is_new"), F.col("h"))).alias("new_hash"),
+        )
+    )
+    return folded.select(
+        "doc_id",
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+
+
 WAVE_MOD = 5  # doc_id % WAVE_MOD == 0 plays the "new ingest wave"
 
 
@@ -6562,6 +6617,24 @@ FROM base b LEFT JOIN hosts h ON b.host = h.blocked_host_key
 # CTEs (nested WITHs are legal subquery bodies in DuckDB), so the
 # funnel can only diverge from the engine if the mix-decision
 # composition itself drifts — every attribute is the already-green SQL.
+ORACLE_SQL["wave_diff"] = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 6
+), new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN md5(text || ' refreshed')
+         ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 5 <> 4
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.h = n.h THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  o.h AS old_hash, n.h AS new_hash
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
 # The stored-index probe is bit-equal to the inline two-pass scan by
 # construction (same IEEE expression tree, fixed term order), so it
 # shares bm25_topk's oracle verbatim.
@@ -6658,6 +6731,7 @@ QUERY_FNS: dict[str, Query] = {
     "source_mixture": q_source_mixture,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_stored": q_bm25_topk_stored,
+    "wave_diff": q_wave_diff,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "server_response",
     "minhash_pairs",
     "incremental_dedup",
+    "wave_diff",
     "simhash",
     "simhash_pairs",
     "decontaminate",
@@ -47,6 +48,7 @@ BENCH_QUERIES = [
     "vocab_topk",
     "source_mixture",
     "bm25_topk",
+    "bm25_topk_stored",
     "chunk_windows",
     "heavy_hitters",
     "tfidf_cosine_pairs",

@@ -356,6 +356,23 @@ CHECKS = {
         "constants baked in from the one-row stats job, top-k is "
         "TakeOrderedAndProject — ZERO exchanges in the scoring plan",
     ),
+    "bm25_topk_stored": (
+        ["PartitionFilters: [", "TakeOrderedAndProject"],
+        ["SortMergeJoin", "Window"],
+        "stored-index BM25 probe: the postings scan carries a literal "
+        "bucket IN predicate (PartitionFilters), so the term lookup "
+        "reads len(terms)/64 of the index; per-doc pivot is one "
+        "partial-aggregable exchange, top-k is TakeOrderedAndProject",
+    ),
+    "wave_diff": (
+        ["partial_max", "Union"],
+        ["SortMergeJoin", "BroadcastHashJoin", "Window",
+         "CartesianProduct"],
+        "re-crawl delta: both waves hash text map-side so the single "
+        "union+groupBy exchange carries (doc_id, hash) pairs, never "
+        "document bodies (partial_max before the exchange), no join, "
+        "no window",
+    ),
     "semantic_dedup": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
