@@ -2657,6 +2657,68 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIN_SHUFFLE_SEED = "shuffle-seed-1|"
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training: every document gets
+    a reproducible global position in the training stream, ordered by
+    a seeded content-independent hash (the standard pretraining data
+    shuffle — epoch order must be reproducible across reruns and
+    independent of partitioning, and a global ``ORDER BY rand()`` is
+    neither).
+
+    Scale shape: the shuffle key is md5(seed || doc_id), and the
+    GLOBAL ordinal is the two-phase decomposition q_sequence_pack
+    documents — here the range bucket is simply the hash's first hex
+    byte (a prefix of the sort key, so lexicographic bucket order IS
+    global hash order): bucket-local row_number over (hash, doc_id),
+    256 per-bucket counts to the driver (metadata), broadcast base
+    offsets back.  No global window, no single-task sort; md5 buckets
+    are uniform by construction, so no bucket skews.  The oracle is
+    the single-node global window — agreement is evidence the
+    decomposition is exact."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(TRAIN_SHUFFLE_SEED), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    totals = {
+        r["bucket"]: r["cnt"]
+        for r in hashed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    base = {}
+    acc = 0
+    for b in sorted(totals):
+        base[b] = acc
+        acc += totals[b]
+    base_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("bucket") == b, F.lit(off))
+                for b, off in base.items()
+            ]
+        )
+        if base
+        else F.lit(0)
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        (base_col + F.row_number().over(w) - 1)
+        .cast("long")
+        .alias("train_pos"),
+    )
+
+
 DUP_NGRAM_N = 3
 
 
@@ -6617,6 +6679,14 @@ FROM base b LEFT JOIN hosts h ON b.host = h.blocked_host_key
 # CTEs (nested WITHs are legal subquery bodies in DuckDB), so the
 # funnel can only diverge from the engine if the mix-decision
 # composition itself drifts — every attribute is the already-green SQL.
+ORACLE_SQL["training_order"] = f"""
+SELECT doc_id,
+  CAST(row_number() OVER (
+    ORDER BY md5({TRAIN_SHUFFLE_SEED!r} || CAST(doc_id AS VARCHAR)), doc_id
+  ) - 1 AS BIGINT) AS train_pos
+FROM documents
+"""
+
 ORACLE_SQL["wave_diff"] = """
 WITH old AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 6
@@ -6732,6 +6802,7 @@ QUERY_FNS: dict[str, Query] = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_stored": q_bm25_topk_stored,
     "wave_diff": q_wave_diff,
+    "training_order": q_training_order,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,

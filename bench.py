@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "quality_filter",
     "quality_lexical",
     "sequence_pack",
+    "training_order",
     "pii_scrub",
     "stratified_sample",
     "split_assign",

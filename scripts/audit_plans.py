@@ -356,6 +356,15 @@ CHECKS = {
         "constants baked in from the one-row stats job, top-k is "
         "TakeOrderedAndProject — ZERO exchanges in the scoring plan",
     ),
+    "training_order": (
+        ["windowspecdefinition(bucket"],
+        ["SortMergeJoin", "CartesianProduct",
+         "Exchange rangepartitioning"],
+        "deterministic training shuffle: the global ordinal is the "
+        "two-phase prefix sum keyed on the hash's first byte — the "
+        "row_number window is PARTITIONED by bucket (never a global "
+        "order-by), per-bucket counts are driver metadata",
+    ),
     "bm25_topk_stored": (
         ["PartitionFilters: [", "TakeOrderedAndProject"],
         ["SortMergeJoin", "Window"],
