@@ -314,3 +314,190 @@ def documents_as_video(docs: DataFrame) -> DataFrame:
         _video_batches,
         schema="doc_id long, payload binary",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAVE parsing (the audio analog of the RAWV kernel)
+# ---------------------------------------------------------------------------
+
+AUDIO_SAMPLE_RATE = 8000  # synthetic-adapter format: 8-bit mono PCM
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("loud_milli", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def parse_wav(p: bytes):
+    """Real RIFF chunk walker (not a fixed-44-byte-header assumption):
+    validates RIFF/WAVE magic, iterates word-aligned chunks, and
+    returns (sample_rate, channels, bits, data_bytes) for linear-PCM
+    8/16-bit files — None for anything malformed or unsupported
+    (crawled audio must diagnose, never crash; the E29 contract).
+    Truncated data chunks yield the bytes actually present."""
+    import struct
+
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        size = int.from_bytes(p[pos + 4 : pos + 8], "little")
+        body = p[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data" and data is None:
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, ch, sr, _byte_rate, _block_align, bits = fmt
+    if audio_fmt != 1 or ch == 0 or sr == 0 or bits not in (8, 16):
+        return None
+    return sr, ch, bits, data
+
+
+def _audio_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    bad = (None, None, None, None, None, None, None, False)
+    for batch in batches:
+        rows = []
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            parsed = parse_wav(bytes(payload or b""))
+            if parsed is None:
+                rows.append((doc_id, *bad))
+                continue
+            sr, ch, bits, data = parsed
+            block = ch * (bits // 8)
+            n = len(data) // block
+            data = data[: n * block]  # truncation-safe: whole samples
+            if bits == 8:
+                a = np.frombuffer(data, dtype=np.uint8).astype(
+                    np.int64
+                ) - 128
+            else:
+                a = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            # integer millis + milli-amplitude: exact across engines
+            dur = n * 1000 // sr
+            loud = (
+                int(np.abs(a).sum()) * 1000 // (n * ch) if n else 0
+            )
+            rows.append(
+                (
+                    doc_id,
+                    sr,
+                    ch,
+                    bits,
+                    n,
+                    dur,
+                    loud,
+                    hashlib.md5(data).hexdigest(),
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "sample_rate",
+                "channels",
+                "bits",
+                "n_samples",
+                "duration_ms",
+                "loud_milli",
+                "digest",
+                "ok",
+            ],
+        )
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-file audio metadata + integer loudness over WAV payloads:
+    prune to (doc_id, payload), ONE Arrow-batched mapInPandas stage,
+    zero shuffles (same plumbing as ``sample_frames``).  Amplitude
+    math is integer-exact (sum |sample| · 1000 // count), so the
+    output is reproducible bit-for-bit under any partitioning and has
+    an exact SQL oracle over the synthetic adapter.  Malformed or
+    non-PCM payloads yield ``ok=false`` diagnostic rows."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    pruned = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+    return pruned.mapInPandas(
+        _audio_feature_batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def encode_wav(
+    data: bytes, sample_rate: int = AUDIO_SAMPLE_RATE,
+    channels: int = 1, bits: int = 8,
+) -> bytes:
+    """Canonical linear-PCM WAV container around ``data`` (the writer
+    half of ``parse_wav``; unit tests and the synthetic adapter share
+    it)."""
+    import struct
+
+    block = channels * (bits // 8)
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data) + (len(data) & 1))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            1,
+            channels,
+            sample_rate,
+            sample_rate * block,
+            block,
+            bits,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data + (b"\x00" if len(data) & 1 else b"")
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        payloads = [
+            encode_wav((text or "").encode("utf-8"))
+            for text in batch["text"]
+        ]
+        yield pd.DataFrame(
+            {"doc_id": batch["doc_id"], "payload": payloads}
+        )
+
+
+def documents_as_audio(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests/benchmarks: wraps each document's UTF-8
+    bytes as 8-bit mono PCM at ``AUDIO_SAMPLE_RATE`` — under the
+    corpus's ASCII purity, sample k is byte k of the text, so every
+    feature the kernel computes is analytically derivable in SQL
+    (n_samples = octet_length, loudness = Σ(128 − ascii(char)),
+    digest = md5(text))."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    pruned = docs.select(F.col("doc_id").cast("long"), F.col("text"))
+    return pruned.mapInPandas(
+        _audio_batches,
+        schema="doc_id long, payload binary",
+    )

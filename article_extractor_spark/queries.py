@@ -3348,6 +3348,30 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio end-to-end: wrap each document's bytes as an
+    8-bit mono PCM WAV (``documents_as_audio``), then ``audio_features``
+    walks the real RIFF chunk structure and computes integer-exact
+    metadata + loudness.  The oracle derives every output column
+    directly from the text under ASCII purity (sample k is byte k:
+    n_samples = octet_length, loudness = Σ(128 − ascii(char)),
+    digest = md5(text)) — an independent reconstruction of the full
+    container round-trip.  Zero shuffles: two chained Arrow stages
+    over a pruned scan (same plan shape as ``frame_samples``)."""
+    docs = load(spark, sf_dir, "documents")
+    out = M.audio_features(M.documents_as_audio(docs))
+    return out.where(F.col("ok")).select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_samples",
+        "duration_ms",
+        "loud_milli",
+        "digest",
+    )
+
+
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.grouped import source_stats
 
@@ -6154,6 +6178,31 @@ SELECT doc_id, CAST(i AS INT) AS frame_idx, n_frames,
 FROM t, UNNEST(generate_series(0, n_frames - 1, 3)) AS u(i)
 WHERE n_frames > 0
 """,
+    # Analytic reconstruction of the WAV round-trip (ASCII purity:
+    # sample k is byte k of the text, every sample value is its
+    # ASCII code, all < 128, so |code - 128| = 128 - code).
+    "audio_features": """
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+), loud AS (
+  SELECT t.doc_id,
+    CAST(sum(128 - ascii(substr(t.text, CAST(i AS INT), 1))) AS BIGINT)
+      AS absum
+  FROM t, UNNEST(generate_series(1, CAST(t.n AS INT))) AS u(i)
+  WHERE t.n > 0
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+  8000 AS sample_rate, 1 AS channels, 8 AS bits,
+  t.n AS n_samples,
+  CAST(t.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN t.n > 0 THEN COALESCE(l.absum, 0) * 1000 // t.n
+       ELSE 0 END AS BIGINT) AS loud_milli,
+  md5(t.text) AS digest
+FROM t LEFT JOIN loud l ON t.doc_id = l.doc_id
+""",
     "extract_interleaved": _extract_interleaved_sql(),
     # Analytic prediction of the engine's span sequence (corpus-purity
     # regime, as extract_spans_full) + the same neighbor/truncation
@@ -6822,6 +6871,7 @@ QUERY_FNS: dict[str, Query] = {
     "link_pagerank": q_link_pagerank,
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
+    "audio_features": q_audio_features,
     "source_stats": q_source_stats,
     "transient_prefilter": q_transient_prefilter,
     "extract_excerpt": q_extract_excerpt,

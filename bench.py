@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "link_pagerank",
     "media_features",
     "frame_samples",
+    "audio_features",
     "source_stats",
     "lineage_rollup",
     "sitemap_locs",

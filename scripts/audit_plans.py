@@ -130,6 +130,13 @@ CHECKS = {
         "wrap, header-parse + stride slice) over a scan pruned to "
         "(doc_id, text) — zero shuffles, embarrassingly parallel",
     ),
+    "audio_features": (
+        ["MapInPandas", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "SortMergeJoin"],
+        "multimodal audio features: two chained Arrow stages (WAV "
+        "wrap, RIFF chunk walk + integer loudness) over a scan pruned "
+        "to (doc_id, text) — zero shuffles, embarrassingly parallel",
+    ),
     "simhash_pairs": (
         ["HashAggregate", "WindowGroupLimit"],
         ["SortMergeJoin", "CartesianProduct"],

@@ -3125,3 +3125,62 @@ def test_bm25_stored_matches_inline_and_prunes(spark, tmp_path):
     postings = spark.read.parquet(path)
     assert set(postings.columns) == {"term", "doc_id", "dl", "tf", "bucket"}
     assert postings.where("tf <= 0").count() == 0
+
+
+def test_audio_features_wav_unit(spark):
+    """WAV kernel battery: canonical 8-bit, 16-bit stereo with an
+    extra LIST chunk before data, odd-size chunk alignment, truncated
+    data, bad magic, unsupported bit depth — expectations computed by
+    hand against the RIFF spec."""
+    import struct
+
+    from article_extractor_spark.functions import multimodal as M
+
+    # 16-bit stereo, 3 frames: samples (L,R) = (100,-100),(0,32767),(-32768,5)
+    pcm16 = struct.pack("<6h", 100, -100, 0, 32767, -32768, 5)
+    stereo = M.encode_wav(pcm16, sample_rate=16000, channels=2, bits=16)
+    # splice a LIST chunk (odd size 3 → pad byte) between fmt and data
+    fmt_end = 12 + 8 + 16
+    listed = (
+        stereo[:fmt_end]
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + stereo[fmt_end:]
+    )
+    good8 = M.encode_wav(b"hello")  # 5 samples, odd → writer pads
+    truncated = good8[:-4]  # loses the pad byte + 3 data bytes
+    bad_magic = b"RIFX" + good8[4:]
+    bits24 = M.encode_wav(b"abc")
+    bits24 = bits24.replace(struct.pack("<H", 8), struct.pack("<H", 24))
+
+    rows = [
+        (1, bytearray(listed)),
+        (2, bytearray(good8)),
+        (3, bytearray(truncated)),
+        (4, bytearray(bad_magic)),
+        (5, bytearray(bits24)),
+        (6, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in M.audio_features(df).collect()
+    }
+
+    r = out[1]  # 16-bit stereo through the LIST chunk
+    assert (r["sample_rate"], r["channels"], r["bits"]) == (16000, 2, 16)
+    assert r["n_samples"] == 3 and r["duration_ms"] == 0
+    expected_loud = (100 + 100 + 0 + 32767 + 32768 + 5) * 1000 // 6
+    assert r["loud_milli"] == expected_loud and r["ok"]
+
+    r = out[2]  # canonical 8-bit: "hello" = 104,101,108,108,111
+    assert r["n_samples"] == 5
+    assert r["loud_milli"] == sum(128 - b for b in b"hello") * 1000 // 5
+    assert r["duration_ms"] == 5 * 1000 // 8000 and r["ok"]
+
+    r = out[3]  # truncated: 2 whole samples survive ("he")
+    assert r["ok"] and r["n_samples"] == 2
+    assert r["loud_milli"] == sum(128 - b for b in b"he") * 1000 // 2
+
+    assert not out[4]["ok"]  # bad magic
+    assert not out[5]["ok"]  # unsupported bit depth
+    assert not out[6]["ok"]  # empty payload
