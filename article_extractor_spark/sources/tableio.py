@@ -101,6 +101,31 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def clear_buckets(spark: SparkSession, path: str, buckets) -> None:
+    """Delete the given ``bucket=k`` partition directories (driver-side
+    FS metadata calls, FS-agnostic via the Hadoop API).
+
+    This is the cheap half of what ``partitionOverwriteMode=dynamic``
+    does — and doing ONLY this lets wave writes be plain appends.  The
+    dynamic-overwrite protocol stages every task file and then moves
+    each partition directory on the driver at job commit: a fixed,
+    core-count-independent cost (measured: +18.5 s on a 240k-doc wave
+    on local disk, worse on object stores, where the "move" is a copy)
+    that Amdahl-caps job scaling.  The job instead wipes uncommitted
+    bucket dirs once up front — a no-op on the happy path, non-empty
+    only after a crash — and appends, which commits task files in
+    place with no staging move."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    for b in buckets:
+        bpath = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={int(b)}")
+        if fs.exists(bpath):
+            fs.delete(bpath, True)
+
+
 def has_iceberg(spark: SparkSession) -> bool:
     """Capability probe: True when the Iceberg Spark runtime jar is on
     the session classpath (``has_image_codec`` pattern — the real
