@@ -2851,6 +2851,91 @@ def q_wave_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNAPSHOT_AS_OF = 2  # the wave the time-travel read pins
+
+
+def q_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot / time-travel read over a wave-committed corpus: the
+    latest version of every document among waves ``<= SNAPSHOT_AS_OF``,
+    with delete tombstones applied — Iceberg's ``VERSION AS OF``
+    (and Delta/Hudi merge-on-read) semantics expressed as pure
+    DataFrame ops over an append-only version log.  This is how a
+    training run pins a reproducible corpus state while later crawl
+    waves keep appending (pairs with ``wave_diff``, which classifies
+    the delta between two such states).
+
+    The version log is derived deterministically from the documents
+    table — four waves of upserts, deletes, late adds, and undeletes:
+
+    - wave 0: initial crawl, every doc except ``doc_id % 7 == 6``;
+    - wave 1: refresh ``% 3 == 0`` (body + ' w1'), tombstone
+      ``% 11 == 3``;
+    - wave 2: late-add the ``% 7 == 6`` docs (' w2'), undelete the
+      even tombstoned docs (' back');
+    - wave 3: refresh ``% 13 == 2`` (' w3') — beyond the pin, so the
+      snapshot must NOT see it.
+
+    Per-wave membership rules are disjoint, so (doc_id, wave) is
+    unique and ``max_by`` has no ties.
+
+    Scale shape: ONE scan of the corpus; the version log materializes
+    map-side as an array of conditional structs + explode (no join
+    against a wave table, no repeated scans); the time-travel filter
+    ``wave <= W`` runs before the fold, so later waves never enter the
+    shuffle; the fold itself is a single partial-aggregable
+    ``groupBy(doc_id).agg(max_by)`` — latest-writer-wins resolved in
+    the combiner, bodies never shuffled (the 32-byte content hash
+    stands in).  At 10^12 docs this is exactly one exchange on the
+    bucket key the table is already laid out on.  The oracle is an
+    independent spelling (UNION ALL log + ROW_NUMBER window)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+
+    def v(wave: int, op: str, body) -> F.Column:
+        return F.struct(
+            F.lit(wave).alias("wave"),
+            F.lit(op).alias("op"),
+            F.md5(body).alias("h"),
+        )
+
+    suffixed = lambda s: F.concat(F.col("text"), F.lit(s))  # noqa: E731
+    log = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(d % 7 != 6, v(0, "upsert", F.col("text"))),
+                    F.when(
+                        (d % 3 == 0) & (d % 11 != 3),
+                        v(1, "upsert", suffixed(" w1")),
+                    ),
+                    F.when(d % 11 == 3, v(1, "delete", F.lit(""))),
+                    F.when(
+                        (d % 7 == 6) & ~((d % 11 == 3) & (d % 2 == 0)),
+                        v(2, "upsert", suffixed(" w2")),
+                    ),
+                    F.when(
+                        (d % 11 == 3) & (d % 2 == 0),
+                        v(2, "upsert", suffixed(" back")),
+                    ),
+                    F.when(d % 13 == 2, v(3, "upsert", suffixed(" w3"))),
+                )
+            )
+        ).alias("v"),
+    ).select("doc_id", "v.*")
+    latest = (
+        log.where(F.col("wave") <= F.lit(SNAPSHOT_AS_OF))
+        .groupBy("doc_id")
+        .agg(
+            F.max("wave").cast("int").alias("version_wave"),
+            F.max_by(F.struct("op", "h"), F.col("wave")).alias("last"),
+        )
+    )
+    return latest.where(F.col("last.op") == "upsert").select(
+        "doc_id", "version_wave", F.col("last.h").alias("h")
+    )
+
+
 WAVE_MOD = 5  # doc_id % WAVE_MOD == 0 plays the "new ingest wave"
 
 
@@ -6759,6 +6844,36 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 # shares bm25_topk's oracle verbatim.
 ORACLE_SQL["bm25_topk_stored"] = ORACLE_SQL["bm25_topk"]
 
+ORACLE_SQL["snapshot_as_of"] = """
+WITH versions AS (
+  SELECT doc_id, 0 AS wave, 'upsert' AS op, md5(text) AS h
+  FROM documents WHERE doc_id % 7 <> 6
+  UNION ALL
+  SELECT doc_id, 1, 'upsert', md5(text || ' w1')
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id, 1, 'delete', md5('')
+  FROM documents WHERE doc_id % 11 = 3
+  UNION ALL
+  SELECT doc_id, 2, 'upsert', md5(text || ' w2')
+  FROM documents
+  WHERE doc_id % 7 = 6 AND NOT (doc_id % 11 = 3 AND doc_id % 2 = 0)
+  UNION ALL
+  SELECT doc_id, 2, 'upsert', md5(text || ' back')
+  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 3, 'upsert', md5(text || ' w3')
+  FROM documents WHERE doc_id % 13 = 2
+),
+latest AS (
+  SELECT doc_id, wave, op, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wave DESC) AS rn
+  FROM versions WHERE wave <= 2
+)
+SELECT doc_id, CAST(wave AS INTEGER) AS version_wave, h
+FROM latest WHERE rn = 1 AND op = 'upsert'
+"""
+
 ORACLE_SQL["curation_funnel"] = f"""
 WITH qf AS ({ORACLE_SQL["quality_filter"]}),
 ec0 AS (SELECT doc_id, md5({_NORM.format(c="text")}) AS ck FROM documents),
@@ -6851,6 +6966,7 @@ QUERY_FNS: dict[str, Query] = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_stored": q_bm25_topk_stored,
     "wave_diff": q_wave_diff,
+    "snapshot_as_of": q_snapshot_as_of,
     "training_order": q_training_order,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "incremental_dedup",
     "wave_diff",
+    "snapshot_as_of",
     "simhash",
     "simhash_pairs",
     "decontaminate",
@@ -115,6 +116,23 @@ BENCH_QUERIES = [
     "top_orders_per_priority",
     "region_customer_rollup",
     "customers_without_orders",
+    # full-registry completion: every remaining queries() entry, so the
+    # per-round bench record covers the whole registry
+    "dedup_visited",
+    "doc_slugs",
+    "embedding_neardup",
+    "events_hourly",
+    "extension_filter",
+    "extract_excerpt",
+    "link_extraction",
+    "minhash_verified_pairs",
+    "prefix_filter_orders",
+    "pricing_summary",
+    "transient_prefilter",
+    "url_hashes",
+    "url_normalize",
+    "url_normalize_rich",
+    "windowed_event_rates",
 ]
 
 

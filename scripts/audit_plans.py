@@ -389,6 +389,16 @@ CHECKS = {
         "document bodies (partial_max before the exchange), no join, "
         "no window",
     ),
+    "snapshot_as_of": (
+        ["Generate", "partial_max", "Exchange hashpartitioning(doc_id"],
+        ["SortMergeJoin", "BroadcastHashJoin", "Window",
+         "CartesianProduct"],
+        "time-travel read: the version log materializes map-side "
+        "(Generate over one scan, no wave-table join), the wave <= W "
+        "filter runs before the fold, and latest-writer-wins is one "
+        "partial-aggregable max_by exchange on doc_id carrying "
+        "hashes, never bodies",
+    ),
     "semantic_dedup": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],

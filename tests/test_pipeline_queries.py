@@ -3184,3 +3184,51 @@ def test_audio_features_wav_unit(spark):
     assert not out[4]["ok"]  # bad magic
     assert not out[5]["ok"]  # unsupported bit depth
     assert not out[6]["ok"]  # empty payload
+
+
+def test_snapshot_as_of_time_travel_semantics(spark):
+    """Pin the MVCC rules the oracle can't state directly: tombstones
+    hide documents, undeletes resurface them, late adds appear with
+    their add wave, and versions beyond the pinned wave are invisible."""
+    from article_extractor_spark.queries import QUERY_FNS
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERY_FNS["snapshot_as_of"](spark, SF_DIR).collect()
+    }
+    import duckdb
+
+    texts = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    for doc_id, text in texts.items():
+        deleted = doc_id % 11 == 3
+        undeleted = deleted and doc_id % 2 == 0
+        late_add = doc_id % 7 == 6
+        # latest-writer-wins: wave-2 upserts (undelete, late add) beat
+        # the wave-1 tombstone, so check them first
+        if undeleted:
+            assert rows[doc_id]["version_wave"] == 2
+            assert rows[doc_id]["h"] == md5(text + " back")
+            continue
+        if late_add:
+            assert rows[doc_id]["version_wave"] == 2
+            assert rows[doc_id]["h"] == md5(text + " w2")
+            continue
+        if deleted:
+            assert doc_id not in rows, f"{doc_id}: tombstone must hide"
+            continue
+        if doc_id % 3 == 0:
+            assert rows[doc_id]["version_wave"] == 1
+            assert rows[doc_id]["h"] == md5(text + " w1")
+        else:
+            # wave-3 refreshes (% 13 == 2) must NOT be visible: the
+            # snapshot pins wave 2, so these stay at their wave-0 body
+            assert rows[doc_id]["version_wave"] == 0
+            assert rows[doc_id]["h"] == md5(text)
