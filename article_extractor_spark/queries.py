@@ -2854,6 +2854,50 @@ def q_wave_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 SNAPSHOT_AS_OF = 2  # the wave the time-travel read pins
 
 
+def _doc_version_log(docs: DataFrame) -> DataFrame:
+    """Deterministic append-only version log derived from the documents
+    table (the synthesis ``q_snapshot_as_of``'s docstring spells out):
+    (doc_id, wave, op, h) rows materialized MAP-SIDE as an array of
+    conditional structs + explode over one scan — never a join against
+    a wave table.  Shared by the time-travel read and the vacuum
+    planner; the per-wave membership rules are disjoint, so
+    (doc_id, wave) is unique."""
+    d = F.col("doc_id")
+
+    def v(wave: int, op: str, body) -> F.Column:
+        return F.struct(
+            F.lit(wave).alias("wave"),
+            F.lit(op).alias("op"),
+            F.md5(body).alias("h"),
+        )
+
+    suffixed = lambda s: F.concat(F.col("text"), F.lit(s))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(d % 7 != 6, v(0, "upsert", F.col("text"))),
+                    F.when(
+                        (d % 3 == 0) & (d % 11 != 3),
+                        v(1, "upsert", suffixed(" w1")),
+                    ),
+                    F.when(d % 11 == 3, v(1, "delete", F.lit(""))),
+                    F.when(
+                        (d % 7 == 6) & ~((d % 11 == 3) & (d % 2 == 0)),
+                        v(2, "upsert", suffixed(" w2")),
+                    ),
+                    F.when(
+                        (d % 11 == 3) & (d % 2 == 0),
+                        v(2, "upsert", suffixed(" back")),
+                    ),
+                    F.when(d % 13 == 2, v(3, "upsert", suffixed(" w3"))),
+                )
+            )
+        ).alias("v"),
+    ).select("doc_id", "v.*")
+
+
 def q_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot / time-travel read over a wave-committed corpus: the
     latest version of every document among waves ``<= SNAPSHOT_AS_OF``,
@@ -2888,41 +2932,7 @@ def q_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in).  At 10^12 docs this is exactly one exchange on the
     bucket key the table is already laid out on.  The oracle is an
     independent spelling (UNION ALL log + ROW_NUMBER window)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    d = F.col("doc_id")
-
-    def v(wave: int, op: str, body) -> F.Column:
-        return F.struct(
-            F.lit(wave).alias("wave"),
-            F.lit(op).alias("op"),
-            F.md5(body).alias("h"),
-        )
-
-    suffixed = lambda s: F.concat(F.col("text"), F.lit(s))  # noqa: E731
-    log = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_compact(
-                F.array(
-                    F.when(d % 7 != 6, v(0, "upsert", F.col("text"))),
-                    F.when(
-                        (d % 3 == 0) & (d % 11 != 3),
-                        v(1, "upsert", suffixed(" w1")),
-                    ),
-                    F.when(d % 11 == 3, v(1, "delete", F.lit(""))),
-                    F.when(
-                        (d % 7 == 6) & ~((d % 11 == 3) & (d % 2 == 0)),
-                        v(2, "upsert", suffixed(" w2")),
-                    ),
-                    F.when(
-                        (d % 11 == 3) & (d % 2 == 0),
-                        v(2, "upsert", suffixed(" back")),
-                    ),
-                    F.when(d % 13 == 2, v(3, "upsert", suffixed(" w3"))),
-                )
-            )
-        ).alias("v"),
-    ).select("doc_id", "v.*")
+    log = _doc_version_log(load(spark, sf_dir, "documents"))
     latest = (
         log.where(F.col("wave") <= F.lit(SNAPSHOT_AS_OF))
         .groupBy("doc_id")
@@ -2933,6 +2943,60 @@ def q_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return latest.where(F.col("last.op") == "upsert").select(
         "doc_id", "version_wave", F.col("last.h").alias("h")
+    )
+
+
+def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-log vacuum planner — the table-maintenance half of the
+    snapshot story (Iceberg's rewrite_data_files / Delta VACUUM
+    decision): per storage bucket, how many log entries are live under
+    latest-writer-wins vs dead (superseded versions + tombstones and
+    everything they hide), and whether the dead fraction justifies
+    rewriting the bucket.  A 10^12-doc corpus cannot afford to rewrite
+    everything each wave; this plan bounds maintenance IO to the
+    buckets that actually accumulated garbage.
+
+    Buckets are the hash's first hex byte over md5(doc_id) — 256
+    uniform buckets both engines can compute identically (the
+    ``training_order`` idiom standing in for the table's
+    pmod(xxhash64) layout, which DuckDB cannot evaluate).
+
+    The rewrite rule is exact integer arithmetic (4·dead ≥ versions,
+    i.e. dead fraction ≥ 25%) so the decision is float-free and
+    reproducible across engines.
+
+    Scale shape: the same single-scan map-side version log as
+    ``snapshot_as_of``; fold 1 is the partial-aggregable per-doc
+    latest-writer fold (count + max_by riding the SAME shuffle — one
+    exchange on doc_id); fold 2 reduces doc rows to 256 bucket rows
+    (metadata-scale exchange).  Nothing rescans the table per bucket
+    and no version bodies move — the log carries 32-byte hashes."""
+    log = _doc_version_log(load(spark, sf_dir, "documents"))
+    per_doc = (
+        log.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max_by(F.col("op"), F.col("wave")).alias("last_op"),
+        )
+        .select(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+                "bucket"
+            ),
+            "n_versions",
+            (F.col("last_op") == "upsert").cast("int").alias("live"),
+        )
+    )
+    plan = per_doc.groupBy("bucket").agg(
+        F.sum("n_versions").cast("bigint").alias("n_versions"),
+        F.sum("live").cast("bigint").alias("n_live"),
+        (F.sum("n_versions") - F.sum("live")).cast("bigint").alias("n_dead"),
+    )
+    return plan.select(
+        "bucket",
+        "n_versions",
+        "n_live",
+        "n_dead",
+        (F.col("n_dead") * 4 >= F.col("n_versions")).alias("rewrite"),
     )
 
 
@@ -6874,6 +6938,47 @@ SELECT doc_id, CAST(wave AS INTEGER) AS version_wave, h
 FROM latest WHERE rn = 1 AND op = 'upsert'
 """
 
+ORACLE_SQL["vacuum_plan"] = """
+WITH versions AS (
+  SELECT doc_id, 0 AS wave, 'upsert' AS op
+  FROM documents WHERE doc_id % 7 <> 6
+  UNION ALL
+  SELECT doc_id, 1, 'upsert'
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id, 1, 'delete'
+  FROM documents WHERE doc_id % 11 = 3
+  UNION ALL
+  SELECT doc_id, 2, 'upsert'
+  FROM documents
+  WHERE doc_id % 7 = 6 AND NOT (doc_id % 11 = 3 AND doc_id % 2 = 0)
+  UNION ALL
+  SELECT doc_id, 2, 'upsert'
+  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 3, 'upsert'
+  FROM documents WHERE doc_id % 13 = 2
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_versions,
+         ARG_MAX(op, wave) AS last_op
+  FROM versions GROUP BY doc_id
+),
+bucketed AS (
+  SELECT SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         n_versions,
+         CASE WHEN last_op = 'upsert' THEN 1 ELSE 0 END AS live
+  FROM per_doc
+)
+SELECT bucket,
+       CAST(SUM(n_versions) AS BIGINT) AS n_versions,
+       CAST(SUM(live) AS BIGINT) AS n_live,
+       CAST(SUM(n_versions) - SUM(live) AS BIGINT) AS n_dead,
+       (SUM(n_versions) - SUM(live)) * 4 >= SUM(n_versions) AS rewrite
+FROM bucketed GROUP BY bucket
+"""
+
 ORACLE_SQL["curation_funnel"] = f"""
 WITH qf AS ({ORACLE_SQL["quality_filter"]}),
 ec0 AS (SELECT doc_id, md5({_NORM.format(c="text")}) AS ck FROM documents),
@@ -6967,6 +7072,7 @@ QUERY_FNS: dict[str, Query] = {
     "bm25_topk_stored": q_bm25_topk_stored,
     "wave_diff": q_wave_diff,
     "snapshot_as_of": q_snapshot_as_of,
+    "vacuum_plan": q_vacuum_plan,
     "training_order": q_training_order,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "wave_diff",
     "snapshot_as_of",
+    "vacuum_plan",
     "simhash",
     "simhash_pairs",
     "decontaminate",

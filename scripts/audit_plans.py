@@ -399,6 +399,15 @@ CHECKS = {
         "partial-aggregable max_by exchange on doc_id carrying "
         "hashes, never bodies",
     ),
+    "vacuum_plan": (
+        ["Generate", "partial_count", "Exchange hashpartitioning(doc_id"],
+        ["SortMergeJoin", "BroadcastHashJoin", "Window",
+         "CartesianProduct"],
+        "vacuum planner: single-scan map-side version log; per-doc "
+        "count + max_by ride ONE doc_id exchange, then a 256-row "
+        "metadata-scale bucket fold — no per-bucket rescans, no "
+        "bodies in the shuffle",
+    ),
     "semantic_dedup": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],

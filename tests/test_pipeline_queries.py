@@ -3232,3 +3232,37 @@ def test_snapshot_as_of_time_travel_semantics(spark):
             # snapshot pins wave 2, so these stay at their wave-0 body
             assert rows[doc_id]["version_wave"] == 0
             assert rows[doc_id]["h"] == md5(text)
+
+
+def test_vacuum_plan_consistent_with_snapshot(spark):
+    """The vacuum planner and the time-travel read must agree: the
+    planner's live-version total equals the full-log snapshot's row
+    count (every live version IS a snapshot row at the final wave), and
+    the synthetic log is garbage-rich enough that both rewrite
+    decisions occur."""
+    from article_extractor_spark.queries import (
+        QUERY_FNS,
+        _doc_version_log,
+        load,
+    )
+    from pyspark.sql import functions as F
+
+    plan = QUERY_FNS["vacuum_plan"](spark, SF_DIR).collect()
+    assert {r["rewrite"] for r in plan} == {True, False}
+    for r in plan:
+        assert r["n_versions"] == r["n_live"] + r["n_dead"]
+        assert r["rewrite"] == (r["n_dead"] * 4 >= r["n_versions"])
+
+    # live under latest-writer-wins at the FINAL wave (3) — recompute
+    # independently from the shared log
+    log = _doc_version_log(load(spark, SF_DIR, "documents"))
+    final_live = (
+        log.groupBy("doc_id")
+        .agg(F.max_by("op", "wave").alias("last_op"))
+        .where(F.col("last_op") == "upsert")
+        .count()
+    )
+    assert sum(r["n_live"] for r in plan) == final_live
+    # version log covers every document (no doc escapes all waves)
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert log.select("doc_id").distinct().count() == n_docs
