@@ -930,22 +930,31 @@ def doc_lines(docs: DataFrame, text_col: str = "text", k: int = LINE_TOKENS) -> 
 
     Returns (doc_id, pos, line) — one row per segment, ``pos`` is the
     0-based segment index inside its document.
+
+    The token array is let-bound (the ``doc_windows`` lesson: HOFs are
+    interpreted with no CSE, so an unbound ``ws_tokens`` re-splits the
+    whole text once per segment — measured 83 s → 11 s for the bare
+    explode at 500k docs).
     """
-    toks = ws_tokens(F.col(text_col))
-    n_lines = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
     # the empty guard matters twice: a tokenless document must emit NO
     # lines (the SQL oracle's range() is empty there — and without the
     # guard Spark's sequence(0, -1) DESCENDS, fabricating a phantom ''
     # line whose md5 then deduplicates across every empty doc; caught
     # by test_line_dedup_matches_brute_force, masked until then by a
     # corpus with no blank texts)
-    lines = F.when(
-        F.size(toks) < 1, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-        )
+    lines = _let(
+        ws_tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) < 1, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(float(k))).cast("int") - 1,
+                ),
+                lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+            )
+        ),
     )
     return docs.select("doc_id", F.posexplode(lines).alias("pos", "line"))
 
@@ -972,7 +981,8 @@ def line_dedup(docs: DataFrame, text_col: str = "text", k: int = LINE_TOKENS) ->
     explode).  The earlier shape — join the 10M exploded rows back to
     the firsts on line_key and flag each row — moved every line body
     through a second exchange plus an equi-join; measured at 500k docs
-    it was 17.8× slower than this aggregate-only plan (174 s → 9.8 s).
+    it was 2.0× slower than this aggregate-only plan (202 s → 101 s at
+    500k docs, full-output-forced timing, identical output hash).
     A window
     ``row_number() OVER (PARTITION BY line_key)`` would also work but
     concentrates a hot boilerplate key in a single unsplittable sort
@@ -1071,8 +1081,15 @@ def exact_substring_dedup(
     build side is the duplicated subset, not the corpus.  Per-doc
     removal starts ride one doc_id-keyed shuffle; the final coverage
     test is a per-row array fold over that doc's own dup starts — no
-    token-level join, no window functions over the corpus."""
-    wins = doc_windows(docs, text_col, w)
+    token-level join, no window functions over the corpus.
+
+    The window table feeds both the stats aggregate and the join probe,
+    and its md5-per-window explode is the query's dominant kernel — so
+    it is persisted rather than recomputed per consumer (~2× the md5
+    work otherwise; at 100 TB this is the intermediate you'd
+    materialize between the count and excise stages, exactly the
+    two-pass structure of Lee et al.'s suffix-array dedup)."""
+    wins = doc_windows(docs, text_col, w).persist()
     stats = (
         wins.groupBy("win_key")
         .agg(
