@@ -184,10 +184,11 @@ def documents_as_mixed(docs: DataFrame) -> DataFrame:
     the dispatch operator's sniff-and-route is exercised on every
     batch."""
     from ..shipping import ensure_shipped
+    from .parallelism import ensure_compute_parallelism
 
     ensure_shipped(docs.sparkSession)
     pruned = docs.select(F.col("doc_id").cast("long"), F.col("text"))
-    return pruned.mapInArrow(
+    return ensure_compute_parallelism(pruned).mapInArrow(
         _mixed_corpus_batches,
         schema="doc_id long, url string, payload binary",
     )
@@ -206,6 +207,7 @@ def extract_documents_auto(
     One pruned scan → one Arrow stage; per-document sniff + the right
     extractor; shared span-model output."""
     from ..shipping import ensure_shipped
+    from .parallelism import ensure_compute_parallelism
 
     ensure_shipped(df.sparkSession)
     pruned = df.select(
@@ -213,6 +215,6 @@ def extract_documents_auto(
         F.col(url_col).cast("string").alias("url"),
         F.col(payload_col).cast("binary").alias("payload"),
     )
-    return pruned.mapInArrow(
+    return ensure_compute_parallelism(pruned).mapInArrow(
         _dispatch_batches(min_word_count), schema=MIXED_SCHEMA
     )

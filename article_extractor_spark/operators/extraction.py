@@ -233,6 +233,7 @@ def extract_articles(
     ``resolve_giant_threshold``.
     """
     from ..shipping import ensure_shipped
+    from .parallelism import ensure_compute_parallelism
 
     ensure_shipped(df.sparkSession)
     pruned = df.select(
@@ -240,6 +241,10 @@ def extract_articles(
         F.col(url_col).cast("string").alias("url"),
         F.col(html_col).cast("string").alias("html"),
     )
+
+    # Parallelism floor for the CPU-bound Arrow stage (no-op when the
+    # scan already has >= cores partitions) — see operators/parallelism.
+    pruned = ensure_compute_parallelism(pruned)
 
     def runner(batches):
         return _batch_extract(

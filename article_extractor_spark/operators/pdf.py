@@ -144,13 +144,16 @@ def extract_pdf_articles(
     spans.
     """
     from ..shipping import ensure_shipped
+    from .parallelism import ensure_compute_parallelism
 
     ensure_shipped(df.sparkSession)
     pruned = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(payload_col).cast("binary").alias("payload"),
     )
-    return pruned.mapInArrow(_extract_batches, schema=PDF_ARTICLE_SCHEMA)
+    return ensure_compute_parallelism(pruned).mapInArrow(
+        _extract_batches, schema=PDF_ARTICLE_SCHEMA
+    )
 
 
 def _pdf_corpus_batches(batches):
@@ -183,10 +186,11 @@ def documents_as_pdf(docs: DataFrame) -> DataFrame:
     expected parse output is analytically derivable from the text, so
     the extractor has an exact SQL oracle."""
     from ..shipping import ensure_shipped
+    from .parallelism import ensure_compute_parallelism
 
     ensure_shipped(docs.sparkSession)
     pruned = docs.select(F.col("doc_id").cast("long"), F.col("text"))
-    return pruned.mapInArrow(
+    return ensure_compute_parallelism(pruned).mapInArrow(
         _pdf_corpus_batches,
         schema="doc_id long, payload binary",
     )

