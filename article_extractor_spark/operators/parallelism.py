@@ -28,12 +28,34 @@ from pyspark.sql import DataFrame
 _WAVES = 4
 
 
-def ensure_compute_parallelism(df: DataFrame) -> DataFrame:
+# (cache_key, applicationId) -> whether the floor is needed; planning
+# the RDD to count partitions costs ~100 ms, so per-path decisions are
+# memoized for repeated load() calls inside one session
+_NEED_FLOOR: dict[tuple[str, str], bool] = {}
+
+
+def ensure_compute_parallelism(
+    df: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """Round-robin ``df`` across the cluster when its planned partition
     count is below ``defaultParallelism``; identity otherwise.  Call on
     the PRUNED projection feeding a CPU-bound ``mapInArrow`` stage, so
     only consumed columns cross the shuffle."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    if df.isStreaming:
+        # Streaming plans cannot be inspected via .rdd, and micro-batch
+        # parallelism is governed by the source (maxFilesPerTrigger /
+        # file-split sizing), not by a static floor.
+        return df
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if cache_key is not None:
+        key = (cache_key, sc.applicationId)
+        need = _NEED_FLOOR.get(key)
+        if need is None:
+            need = df.rdd.getNumPartitions() < cores
+            _NEED_FLOOR[key] = need
+    else:
+        need = df.rdd.getNumPartitions() < cores
+    if need:
         return df.repartition(cores * _WAVES)
     return df

@@ -33,8 +33,21 @@ from .operators.extraction import (
 Query = Callable[[SparkSession, str], DataFrame]
 
 
+# Tables whose per-row work is CPU (regex/array/Arrow kernels over
+# text or float vectors), so a compressed-bytes-sized scan starves the
+# cluster — see operators/parallelism.py.  The numeric TPC-H tables
+# scan wide enough on their own and shuffle on their agg/join keys
+# immediately anyway.
+_CPU_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _CPU_TABLES:
+        from .operators.parallelism import ensure_compute_parallelism
+
+        df = ensure_compute_parallelism(df, cache_key=f"{sf_dir}/{name}")
+    return df
 
 
 # ---------------------------------------------------------------------------
