@@ -1578,9 +1578,21 @@ def q_bpe_merges(
     queries.py::test_bpe_merges_match_python_reference`` pins the
     semantics against an independent plain-Python subword-nmt
     implementation."""
+    cur = _bpe_vocab(spark, sf_dir)
+    merges = _bpe_train(cur, small_vocab_max)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
+    )
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-word ``(w, freq, syms)`` relation BPE trains on —
+    the ONE corpus-sized pass (explode → partial-aggregable count),
+    localCheckpointed so trainer and consumers (subword counting,
+    packing) share it instead of each re-scanning the token stream."""
     docs = load(spark, sf_dir, "documents")
     chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
-    cur = (
+    return (
         docs.select(
             F.explode(X.ws_tokens(F.lower(F.col("text")))).alias("w")
         )
@@ -1595,6 +1607,14 @@ def q_bpe_merges(
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _bpe_train(
+    cur: DataFrame, small_vocab_max: int | None = None
+) -> list[tuple[int, str, str, int]]:
+    """Run the BPE merge loop over a ``_bpe_vocab`` relation and return
+    the learned merge table in rank order (driver metadata: ≤
+    BPE_MERGES rows).  See ``q_bpe_merges`` for semantics."""
     # Size-gate the merge loop (the connected_components pattern): a
     # vocabulary at most BPE_SMALL_VOCAB_MAX entries is driver metadata
     # by the engine's own standard (the merge table / IVF codebook
@@ -1625,9 +1645,7 @@ def q_bpe_merges(
             dmerges.append((rank, lhs, rhs, int(counts[pair])))
             joined = f" {lhs}{rhs} "
             vocab = [(f, s.replace(pair, joined)) for f, s in vocab]
-        return spark.createDataFrame(
-            dmerges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
-        )
+        return dmerges
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(BPE_MERGES):
         syms = F.split(F.trim(F.col("syms")), "  ")
@@ -1661,9 +1679,7 @@ def q_bpe_merges(
                 F.col("syms"), F.lit(pair), F.lit(f" {lhs}{rhs} ")
             ).alias("syms"),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
-    )
+    return merges
 
 
 BPE_VOCAB_BROADCAST_MAX = 2_000_000  # vocab entries; ≈ tens of MB broadcast
@@ -1692,28 +1708,24 @@ def q_bpe_subword_counts(
     spelling switches to explode → shuffled equi-join on the word →
     re-agg by doc_id (one partial-aggregable shuffle), both paths
     pinned equal in tests via ``threshold=0``.  A real pipeline would
-    persist the merge table instead of retraining it inline."""
-    merge_rows = q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    persist the merge table instead of retraining it inline.  Trainer
+    and segmenter share ONE checkpointed ``_bpe_vocab`` pass — the
+    merges re-apply to that relation's ``syms`` column, so the corpus
+    is never re-exploded a second time."""
+    wvocab = _bpe_vocab(spark, sf_dir)
+    merge_rows = _bpe_train(wvocab)
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", X.ws_tokens(F.lower(F.col("text"))).alias("toks")
     )
-    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
-    syms = F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
-    for r in merge_rows:
+    syms = F.col("syms")
+    for _rank, lhs, rhs, _cnt in merge_rows:
         syms = F.replace(
-            syms,
-            F.lit(f" {r['lhs']}  {r['rhs']} "),
-            F.lit(f" {r['lhs']}{r['rhs']} "),
+            syms, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
         )
-    vocab = (
-        base.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select(
-            "w",
-            F.size(F.split(F.trim(syms), "  ")).cast("long").alias("n_sub"),
-        )
+    vocab = wvocab.select(
+        "w",
+        F.size(F.split(F.trim(syms), "  ")).cast("long").alias("n_sub"),
     )
     if vocab_broadcast_threshold is None:
         vocab_broadcast_threshold = BPE_VOCAB_BROADCAST_MAX
@@ -1800,58 +1812,146 @@ def q_packed_examples(
     units a training loop can consume.
 
     Scale shape: segmentation touches the DISTINCT-word vocabulary;
-    within-doc offsets are doc-partitioned windows (bounded by
-    document length); the GLOBAL offset is the same two-phase
-    deterministic-bucket prefix sum as sequence_pack
-    (``_global_prefix_sum``); chunk assembly is one groupBy(chunk)
-    whose collect_list is bounded by the chunk size.  Vocabulary
-    access is SIZE-GATED like q_bpe_subword_counts: at most
-    ``vocab_broadcast_threshold`` entries → broadcast joins + a global
-    row_number for the subword-id table; above the gate the joins
-    shuffle on the word/subword key and ids come from the two-phase
-    ``_lex_dense_ids`` rank (no unpartitioned window anywhere), both
+    the GLOBAL offset is the same two-phase deterministic-bucket
+    prefix sum as sequence_pack (``_global_prefix_sum``); chunk
+    assembly is one groupBy(chunk) whose collect_list is bounded by
+    the chunk size.  Vocabulary access is SIZE-GATED like
+    q_bpe_subword_counts.  At most ``vocab_broadcast_threshold``
+    entries: the word→subword-ids mapping folds into ONE broadcast
+    map, each document's full id sequence is a map-side
+    ``flatten(transform(toks, …))``, and the only shuffle over the
+    corpus moves one ARRAY SLICE per document-chunk overlap
+    (≤ len/chunk+2 rows per doc) — never a row per token, so the
+    shuffle carries ~none of the per-record overhead the exploded
+    spelling pays 10^2 tokens/doc times (measured 81.6 s → the
+    map-side spelling at 500k docs/50M tokens).  Above the gate — an
+    uncapped web vocabulary that no longer fits a broadcast — the
+    joins shuffle on the word/subword key, per-doc offsets come from
+    doc-partitioned windows, and ids come from the two-phase
+    ``_lex_dense_ids`` rank (no unpartitioned window anywhere); both
     paths pinned equal in tests via ``threshold=0``.  Ids are emitted
     as a space-joined string (arrays hash differently across pandas
-    bridges; the string is exact)."""
-    merge_rows = (
-        q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
-    )
+    bridges; the string is exact).  Like q_bpe_subword_counts, trainer
+    and segmenter share ONE checkpointed ``_bpe_vocab`` corpus pass."""
     from pyspark.sql.window import Window
 
+    wvocab = _bpe_vocab(spark, sf_dir)
+    merge_rows = _bpe_train(wvocab)
     docs = load(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", X.ws_tokens(F.lower(F.col("text"))).alias("toks")
     )
-    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != "")
-    syms = F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
-    for r in merge_rows:
+    syms = F.col("syms")
+    for _rank, lhs, rhs, _cnt in merge_rows:
         syms = F.replace(
-            syms,
-            F.lit(f" {r['lhs']}  {r['rhs']} "),
-            F.lit(f" {r['lhs']}{r['rhs']} "),
+            syms, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
         )
-    vocab = (
-        base.select(F.explode("toks").alias("w"))
-        .distinct()
-        .select("w", F.split(F.trim(syms), "  ").alias("subs"))
+    vocab = wvocab.select(
+        "w", F.split(F.trim(syms), "  ").alias("subs")
     )
     if vocab_broadcast_threshold is None:
         vocab_broadcast_threshold = BPE_VOCAB_BROADCAST_MAX
     vocab = vocab.persist()
     small_vocab = vocab.count() <= vocab_broadcast_threshold
     distinct_subs = vocab.select(F.explode("subs").alias("sub")).distinct()
+    C = PACK_CHUNK_TOKENS
     if small_vocab:
         sub_ids = distinct_subs.select(
             "sub",
             F.row_number().over(Window.orderBy("sub")).alias("tid"),
         )
-    else:
-        sub_ids = _lex_dense_ids(distinct_subs, "sub")
-    maybe_bcast = F.broadcast if small_vocab else (lambda df: df)
+        # word → ordered subword-id array, folded into one broadcast
+        # map over the (bounded) vocabulary relation.
+        wids = (
+            vocab.select("w", F.posexplode("subs").alias("spos", "sub"))
+            .join(F.broadcast(sub_ids), "sub")
+            .groupBy("w")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("spos", "tid"))),
+                    lambda s: s["tid"],
+                ).alias("wids")
+            )
+        )
+        wmap = wids.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "wids"))
+            ).alias("wm")
+        )
+        doc_ids = (
+            base.crossJoin(F.broadcast(wmap))
+            .select(
+                "doc_id",
+                F.flatten(
+                    F.transform(
+                        "toks", lambda t: F.element_at(F.col("wm"), t)
+                    )
+                ).alias("ids"),
+            )
+            .filter(F.size("ids") > 0)
+        )
+        doc_tot = doc_ids.select("doc_id", F.size("ids").alias("n"))
+        starts = _global_prefix_sum(doc_tot, n_col="n").select(
+            "doc_id", "start"
+        )
+        sliced = (
+            doc_ids.join(starts, "doc_id")
+            .select(
+                "ids",
+                "start",
+                (F.col("start") + F.size("ids")).alias("end"),
+                F.explode(
+                    F.sequence(
+                        F.expr(f"start DIV {C}"),
+                        F.expr(f"(start + size(ids) - 1) DIV {C}"),
+                    )
+                ).alias("chunk_id"),
+            )
+            .select(
+                "ids",
+                "start",
+                "chunk_id",
+                F.greatest(
+                    F.col("start"), F.col("chunk_id") * F.lit(C)
+                ).alias("from_g"),
+                F.least(
+                    F.col("end"), (F.col("chunk_id") + 1) * F.lit(C)
+                ).alias("to_g"),
+            )
+            .select(
+                "chunk_id",
+                (F.col("from_g") - F.col("chunk_id") * F.lit(C))
+                .cast("int")
+                .alias("off"),
+                F.slice(
+                    "ids",
+                    (F.col("from_g") - F.col("start") + 1).cast("int"),
+                    (F.col("to_g") - F.col("from_g")).cast("int"),
+                ).alias("part"),
+            )
+        )
+        return sliced.groupBy("chunk_id").agg(
+            F.sum(F.size("part")).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("off", "part"))
+                            ),
+                            lambda s: s["part"],
+                        )
+                    ),
+                    lambda t: t.cast("string"),
+                ),
+                " ",
+            ).alias("ids"),
+        )
+    sub_ids = _lex_dense_ids(distinct_subs, "sub")
     tokpos = base.select(
         "doc_id", F.posexplode("toks").alias("wpos", "w")
     )
-    jw = tokpos.join(maybe_bcast(vocab), "w").select(
+    jw = tokpos.join(vocab, "w").select(
         "doc_id", "wpos", "subs", F.size("subs").alias("ns")
     )
     wdoc = (
@@ -1874,10 +1974,10 @@ def q_packed_examples(
         )
         .select((F.col("base_off") + F.col("spos")).alias("gpos"), "sub")
     )
-    ided = ex.join(maybe_bcast(sub_ids), "sub")
+    ided = ex.join(sub_ids, "sub")
     return (
         ided.select(
-            F.expr(f"gpos DIV {PACK_CHUNK_TOKENS}").alias("chunk_id"),
+            F.expr(f"gpos DIV {C}").alias("chunk_id"),
             "gpos",
             "tid",
         )
