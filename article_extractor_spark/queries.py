@@ -41,12 +41,30 @@ Query = Callable[[SparkSession, str], DataFrame]
 _CPU_TABLES = frozenset({"documents", "embeddings"})
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _CPU_TABLES:
-        from .operators.parallelism import ensure_compute_parallelism
+def load(
+    spark: SparkSession, sf_dir: str, name: str, floor: bool = True
+) -> DataFrame:
+    """Read a testdata table; for the CPU-per-row tables apply the
+    compute-parallelism floor (operators/parallelism.py) unless the
+    caller opts out with ``floor=False`` — right for LOOP-dominated
+    consumers (PageRank, anchor aggregation, Bloom build) whose
+    checkpointed loop tables would inherit the widened non-AQE-
+    coalescible partitioning every iteration and pay task-launch
+    overhead that dwarfs the scan-CPU win (A/B-measured at both sf0.1
+    and sf10)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if floor and name in _CPU_TABLES:
+        from .operators.parallelism import (
+            ensure_compute_parallelism,
+            table_size_bytes,
+        )
 
-        df = ensure_compute_parallelism(df, cache_key=f"{sf_dir}/{name}")
+        df = ensure_compute_parallelism(
+            df,
+            cache_key=path,
+            size_bytes=table_size_bytes(spark, path),
+        )
     return df
 
 
@@ -947,7 +965,7 @@ def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from .functions.bloom import bloom_probe, build_bloom_words
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", floor=False)
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
@@ -3413,7 +3431,7 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is join-on-src + partial-agg-on-dst (PageRank's minimal
     two-shuffle step), and per-iteration ``localCheckpoint`` truncates
     the lineage so plan size stays linear in iterations."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", floor=False)
     n = docs.count()
     src = F.col("doc_id")
     edges = docs.select(
@@ -3475,7 +3493,7 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min(struct(-cnt, anchor))`` — a plain partial-aggregable min,
     no window, no second sort.  distinct_anchors is a COUNT over the
     first-level groups, so no count-distinct Expand appears."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", floor=False)
     n = docs.count()
     src = F.col("doc_id")
     toks = X.ws_tokens(F.lower(F.col("text")))
