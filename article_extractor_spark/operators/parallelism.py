@@ -37,32 +37,60 @@ _WAVES = 4
 _TARGET_BYTES_PER_TASK = 2 << 20
 
 
+# Rows a re-spread task should carry at minimum: compressed bytes
+# UNDERSTATE work on compressible text (the very problem the floor
+# exists for — 500k synthetic docs fit 6 MB), so task demand is the
+# max of the byte and the row estimate.
+_TARGET_ROWS_PER_TASK = 8192
+
+# The table-level floor only engages when the table holds enough work
+# to fill at least half the cluster in task-sized units.  Below that
+# the whole table is a few seconds of CPU, the fixed shuffle +
+# task-launch cost is the bigger term, and measured sf0.1 bench deltas
+# are a wash (wins ≈ losses) with an asymmetric regression ledger.
+# The floor targets the MIDDLE regime — a compressed-byte-starved scan
+# planning < cores splits while hiding minutes of per-row CPU; at true
+# production scale the scan is already wide and the floor is a no-op.
+# Operator-side callers (extraction/pdf/dispatch Arrow stages) pass no
+# size hints and keep the unconditional floor: their per-row CPU is
+# known-heavy.
+
+
 # (cache_key, applicationId) -> respread width (0 = no floor needed);
 # planning the RDD to count partitions costs ~100 ms, so per-path
 # decisions are memoized for repeated load() calls inside one session
 _FLOOR_WIDTH: dict[tuple[str, str], int] = {}
 
 
-def _width(cores: int, size_bytes: int | None) -> int:
-    if size_bytes is None:
+def _width(
+    cores: int, size_bytes: int | None, rows: int | None = None
+) -> int:
+    if size_bytes is None and rows is None:
         return cores * _WAVES
-    by_bytes = (size_bytes + _TARGET_BYTES_PER_TASK - 1) // (
-        _TARGET_BYTES_PER_TASK
+    by_bytes = (
+        -(-size_bytes // _TARGET_BYTES_PER_TASK) if size_bytes else 0
     )
-    return max(cores, min(cores * _WAVES, int(by_bytes)))
+    by_rows = -(-rows // _TARGET_ROWS_PER_TASK) if rows else 0
+    tasks = max(by_bytes, by_rows)
+    if tasks < cores // 2:
+        return 0
+    return max(cores, min(cores * _WAVES, int(tasks)))
 
 
 def ensure_compute_parallelism(
     df: DataFrame,
     cache_key: str | None = None,
     size_bytes: int | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """Round-robin ``df`` across the cluster when its planned partition
     count is below ``defaultParallelism``; identity otherwise.  Call on
     the PRUNED projection feeding a CPU-bound ``mapInArrow`` stage, so
-    only consumed columns cross the shuffle.  Pass ``size_bytes`` (the
-    table's compressed on-disk size) when known so the re-spread width
-    is sized to the data instead of the full cores*_WAVES fan."""
+    only consumed columns cross the shuffle.  Pass ``size_bytes`` /
+    ``rows`` (compressed on-disk size, parquet-footer row count) when
+    known so the re-spread width is sized to the data — and skipped
+    when the table is too small to repay the shuffle — instead of the
+    unconditional full cores*_WAVES fan."""
     if df.isStreaming:
         # Streaming plans cannot be inspected via .rdd, and micro-batch
         # parallelism is governed by the source (maxFilesPerTrigger /
@@ -75,14 +103,14 @@ def ensure_compute_parallelism(
         width = _FLOOR_WIDTH.get(key)
         if width is None:
             width = (
-                _width(cores, size_bytes)
+                _width(cores, size_bytes, rows)
                 if df.rdd.getNumPartitions() < cores
                 else 0
             )
             _FLOOR_WIDTH[key] = width
     else:
         width = (
-            _width(cores, size_bytes)
+            _width(cores, size_bytes, rows)
             if df.rdd.getNumPartitions() < cores
             else 0
         )
@@ -100,5 +128,29 @@ def table_size_bytes(spark, path: str) -> int | None:
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return int(fs.getContentSummary(p).getLength())
+    except Exception:
+        return None
+
+
+def table_row_count(path: str) -> int | None:
+    """Row count from parquet FOOTER metadata (no data read) — the
+    signal compressed bytes cannot give on highly compressible text.
+    Local-filesystem paths only in this sandbox; a production catalog
+    (Iceberg/Hive) serves the same number from table statistics.
+    None if footers cannot be read (hints are best-effort)."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for name in os.listdir(path):
+                if name.endswith(".parquet"):
+                    total += pq.read_metadata(
+                        os.path.join(path, name)
+                    ).num_rows
+            return total
+        return pq.read_metadata(path).num_rows
     except Exception:
         return None

@@ -57,6 +57,7 @@ def load(
     if floor and name in _CPU_TABLES:
         from .operators.parallelism import (
             ensure_compute_parallelism,
+            table_row_count,
             table_size_bytes,
         )
 
@@ -64,6 +65,7 @@ def load(
             df,
             cache_key=path,
             size_bytes=table_size_bytes(spark, path),
+            rows=table_row_count(path),
         )
     return df
 

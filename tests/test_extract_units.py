@@ -443,16 +443,22 @@ def test_extract_options_api_parity():
 
 def test_compute_floor_width_is_sized_by_bytes():
     """The respread width carries >=2 MB compressed per task, clamped
-    to [cores, cores*_WAVES]: small tables floor to exactly `cores`
-    (task-launch overhead, not fan-out, dominates there — measured
-    +0.84 s at 128 tasks vs +0.27 s at 32 on a sub-second query), big
-    tables get the full wave width, and an unknown size keeps the
-    conservative full fan for genuinely CPU-bound operator stages."""
+    to [cores, cores*_WAVES]; tables under the 16 MB minimum skip the
+    table-level floor entirely (test-scale tables hold seconds of CPU;
+    the fixed shuffle + task-launch cost dominates — measured +0.84 s
+    at 128 tasks vs +0.27 s at 32 on a sub-second query), and an
+    unknown size keeps the conservative full fan for the known-heavy
+    CPU-bound operator stages (extraction/pdf/dispatch)."""
     from article_extractor_spark.operators.parallelism import _WAVES, _width
 
     cores = 32
-    assert _width(cores, 6 << 20) == cores  # 6 MB -> 3 tasks -> clamp up
-    assert _width(cores, 100 << 20) == 50  # 100 MB -> 50 tasks, in range
-    assert _width(cores, 10 << 30) == cores * _WAVES  # 10 GB -> clamp down
-    assert _width(cores, None) == cores * _WAVES  # unknown -> full fan
-    assert _width(cores, 0) == cores
+    # test-scale table: 3 byte-tasks, 7 row-tasks -> under cores/2, off
+    assert _width(cores, 6 << 20, 50_000) == 0
+    assert _width(cores, 0, 0) == 0
+    # compressible text: 6 MB hides 500k rows -> rows win, 62 tasks
+    assert _width(cores, 6 << 20, 500_000) == 62
+    # embeddings-like: bytes win (25 tasks) -> clamp up to cores
+    assert _width(cores, 52 << 20, 100_000) == cores
+    assert _width(cores, 100 << 20, None) == 50  # 50 tasks, in range
+    assert _width(cores, 10 << 30, None) == cores * _WAVES  # clamp down
+    assert _width(cores, None, None) == cores * _WAVES  # unknown -> full fan
