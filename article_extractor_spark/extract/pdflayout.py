@@ -49,7 +49,16 @@ _ESCAPE = {ord("\\"): "\\\\", ord("("): "\\(", ord(")"): "\\)",
 
 
 def pdf_escape(s: str) -> str:
-    """Escape a literal string for a PDF ``( )`` string object."""
+    """Escape a literal string for a PDF ``( )`` string object.
+
+    Text confined to latin-1 is emitted as raw bytes; anything wider
+    becomes a UTF-16BE text string with a leading BOM (PDF 32000-1
+    §7.9.2.2 — the spec's own convention for non-PDFDocEncoding text),
+    so the writer is total over unicode instead of dying inside an
+    Arrow batch on the first CJK character (found by the format
+    fuzzer).  ``_lex_string`` reverses the convention."""
+    if any(ord(ch) > 0xFF for ch in s):
+        s = "\xfe\xff" + s.encode("utf-16-be").decode("latin-1")
     return s.translate(_ESCAPE)
 
 
@@ -331,6 +340,20 @@ _STR_ESC = {
 }
 
 
+def _decode_text_string(raw: str) -> str:
+    """PDF text-string convention (32000-1 §7.9.2.2): a string whose
+    bytes begin with the UTF-16BE BOM is UTF-16BE text; anything else
+    is kept byte-for-byte (latin-1 view).  Damaged UTF-16 (odd length,
+    lone surrogate — the fuzzer produces both) falls back to the raw
+    byte view rather than raising."""
+    if raw.startswith("\xfe\xff"):
+        try:
+            return raw[2:].encode("latin-1").decode("utf-16-be")
+        except UnicodeError:
+            pass
+    return raw
+
+
 def _lex_string(data: bytes, i: int) -> tuple[str, int]:
     """Literal string starting at ``(``; returns (text, next index).
     Handles nested parens, the escape set, octal escapes, and
@@ -367,7 +390,7 @@ def _lex_string(data: bytes, i: int) -> tuple[str, int]:
         elif c == 0x29:  # )
             depth -= 1
             if depth == 0:
-                return "".join(out), i + 1
+                return _decode_text_string("".join(out)), i + 1
             out.append(")")
             i += 1
         else:
@@ -396,7 +419,9 @@ def _lex_content(data: bytes):
                 hx += b"0"
             yield (
                 "str",
-                bytes.fromhex(hx.decode("latin-1")).decode("latin-1"),
+                _decode_text_string(
+                    bytes.fromhex(hx.decode("latin-1")).decode("latin-1")
+                ),
             )
             i = (j + 1) if j >= 0 else n
         elif data[i : i + 2] in (b"<<", b">>"):

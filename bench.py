@@ -236,6 +236,17 @@ def main() -> int:
         else None,
         "cores": spark.sparkContext.defaultParallelism,
     }
+    # North-rule two-parallelism criterion: embed the latest pinned
+    # N -> 4N scaling measurement (scripts/scaling_bench.py writes
+    # SCALING.json; it is a separate subprocess-pinned protocol, not
+    # re-run inside this bench — the record carries its own protocol
+    # string and timestamp).
+    scaling_path = Path(__file__).resolve().parent / "SCALING.json"
+    if scaling_path.exists():
+        try:
+            result["scaling"] = json.loads(scaling_path.read_text())
+        except (OSError, ValueError):
+            pass
     line = json.dumps(result)
     # The driver tails stdout and can truncate a long final line
     # (BENCH_r03.json lost its totals that way) — ALSO write the

@@ -178,7 +178,25 @@ def main() -> int:
             "scaling_efficiency": round(eff, 3),
             "pass": eff >= 0.8,
         }
-        print(json.dumps(result))
+        line = json.dumps(result)
+        print(line)
+        # Persist the measurement so bench.py can embed the latest
+        # scaling record into BENCH.json — the north rule's two-cluster
+        # criterion then rides the same driver-parsed artifact as the
+        # throughput numbers.
+        result["protocol"] = (
+            "scripts/scaling_bench.py: identical extraction job at "
+            f"local[{args.low}] and local[{args.high}], CPU-pinned "
+            "subprocesses (taskset), fresh JVM per config, best of "
+            f"{args.trials} trials per config"
+        )
+        result["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        try:
+            (REPO / "SCALING.json").write_text(json.dumps(result) + "\n")
+        except OSError:
+            pass
         return 0
     finally:
         if not args.keep:

@@ -256,3 +256,26 @@ def test_indirect_length_with_nonzero_generation():
     )
     r = parse_pdf(pdf)
     assert r["ok"] and r["spans"][0][1] == "gen three ref"
+
+
+def test_unicode_text_round_trips_via_utf16_text_strings():
+    """Non-latin-1 text (CJK, emoji, mixed) round-trips writer→parser
+    via the PDF text-string convention (UTF-16BE + BOM, §7.9.2.2) —
+    the format fuzzer found the writer used to crash on it."""
+    text = "東京 data 数据 naïve café 🚀 mixed ascii tail"
+    for compress in (False, True):
+        r = parse_pdf(build_article_pdf(7, text, compress=compress))
+        assert r["ok"], r["error"]
+        body = r["spans"][1][1]
+        assert body.replace("\n", "") == text
+    # latin-1-only text must NOT grow a BOM (byte-for-byte unchanged)
+    assert pdf_escape("plain ascii") == "plain ascii"
+    # a hex text string with BOM decodes the same way
+    from article_extractor_spark.extract.pdflayout import (
+        _decode_text_string,
+    )
+    assert _decode_text_string(
+        "\xfe\xff" + "東".encode("utf-16-be").decode("latin-1")
+    ) == "東"
+    # damaged UTF-16 (odd byte count) stays raw instead of raising
+    assert _decode_text_string("\xfe\xff\x00") == "\xfe\xff\x00"
