@@ -3182,6 +3182,63 @@ def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECRAWL_WAVES = 4           # the version log spans waves 0..3
+RECRAWL_HOT_PPM = 600_000   # smoothed change rate ≥ 60% → re-crawl every wave
+RECRAWL_WARM_PPM = 350_000  # ≥ 35% → re-crawl every few waves
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate-driven re-crawl scheduling — the consumer of the
+    wave history ``wave_diff`` classifies and ``snapshot_as_of`` pins.
+    A 10^12-doc crawl cannot re-fetch everything per wave; freshness
+    literature (Cho & Garcia-Molina, VLDB 2000) schedules revisits by
+    each page's estimated change rate.  The reference re-discovers
+    from scratch per run (discovery.py's BFS has no revisit policy);
+    this operator derives the policy from the corpus's own version
+    log.
+
+    Per document over the 4-wave log (``_doc_version_log``):
+    ``changes`` = versions after first sighting (every logged entry —
+    refresh, tombstone, undelete — is an observed change);
+    ``opportunities`` = waves after first sighting in the observed
+    window; the estimated change rate is Laplace-smoothed in exact
+    integer micro-units, ``rate_ppm = (10^6 · (changes+1)) div
+    (opportunities+2)`` — the add-one/add-two prior keeps one-wave-old
+    pages from saturating the estimate either way.  Tombstoned docs
+    (latest op = delete) are 'retired' (never re-fetched); the rest
+    tier hot / warm / cold by fixed rate thresholds.
+
+    Scale shape: the same ONE-scan map-side version log as
+    ``snapshot_as_of``; the whole schedule is a single
+    partial-aggregable ``groupBy(doc_id)`` (count + min + max_by ride
+    one exchange on the table's own bucket key); rate and tier are
+    constant integer arithmetic on the folded row — no window, no
+    join, no second pass.  Integer division makes the rate
+    bit-reproducible across engines."""
+    log = _doc_version_log(load(spark, sf_dir, "documents"))
+    per_doc = log.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) - 1).alias("changes"),
+        F.min("wave").alias("first_wave"),
+        F.max_by(F.col("op"), F.col("wave")).alias("last_op"),
+    )
+    opportunities = F.lit(RECRAWL_WAVES - 1) - F.col("first_wave")
+    rate = F.expr(
+        f"(1000000 * (changes + 1)) div (({RECRAWL_WAVES - 1} "
+        "- first_wave) + 2)"
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("changes").cast("bigint").alias("changes"),
+        opportunities.cast("bigint").alias("opportunities"),
+        rate.cast("bigint").alias("rate_ppm"),
+        F.when(F.col("last_op") == "delete", F.lit("retired"))
+        .when(rate >= RECRAWL_HOT_PPM, F.lit("hot"))
+        .when(rate >= RECRAWL_WARM_PPM, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("tier"),
+    )
+
+
 WAVE_MOD = 5  # doc_id % WAVE_MOD == 0 plays the "new ingest wave"
 
 
@@ -4443,11 +4500,15 @@ def q_sitemap_tree_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
             .join(visited, "sitemap_url", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint()  # eager: the round's ONE materialization
         )
-        if frontier.count() == 0:
+        # isEmpty on the just-checkpointed frame is a take(1) over
+        # materialized partitions; visited stays a UNION of checkpointed
+        # frontiers (lineage already flat — re-checkpointing it was one
+        # more eager job per level, the crawl_frontier lesson)
+        if frontier.isEmpty():
             break
-        visited = visited.unionByName(frontier).localCheckpoint()
+        visited = visited.unionByName(frontier)
     resolved = collected[0]
     for df in collected[1:]:
         resolved = resolved.unionByName(df)
@@ -7161,6 +7222,48 @@ SELECT bucket,
 FROM bucketed GROUP BY bucket
 """
 
+ORACLE_SQL["recrawl_schedule"] = f"""
+WITH versions AS (
+  SELECT doc_id, 0 AS wave, 'upsert' AS op
+  FROM documents WHERE doc_id % 7 <> 6
+  UNION ALL
+  SELECT doc_id, 1, 'upsert'
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id, 1, 'delete'
+  FROM documents WHERE doc_id % 11 = 3
+  UNION ALL
+  SELECT doc_id, 2, 'upsert'
+  FROM documents
+  WHERE doc_id % 7 = 6 AND NOT (doc_id % 11 = 3 AND doc_id % 2 = 0)
+  UNION ALL
+  SELECT doc_id, 2, 'upsert'
+  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 3, 'upsert'
+  FROM documents WHERE doc_id % 13 = 2
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) - 1 AS changes,
+         MIN(wave) AS first_wave,
+         ARG_MAX(op, wave) AS last_op
+  FROM versions GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(changes AS BIGINT) AS changes,
+  CAST(3 - first_wave AS BIGINT) AS opportunities,
+  CAST((1000000 * (changes + 1)) // ((3 - first_wave) + 2) AS BIGINT)
+    AS rate_ppm,
+  CASE WHEN last_op = 'delete' THEN 'retired'
+       WHEN (1000000 * (changes + 1)) // ((3 - first_wave) + 2)
+            >= {RECRAWL_HOT_PPM} THEN 'hot'
+       WHEN (1000000 * (changes + 1)) // ((3 - first_wave) + 2)
+            >= {RECRAWL_WARM_PPM} THEN 'warm'
+       ELSE 'cold' END AS tier
+FROM per_doc
+"""
+
 ORACLE_SQL["curation_funnel"] = f"""
 WITH qf AS ({ORACLE_SQL["quality_filter"]}),
 ec0 AS (SELECT doc_id, md5({_NORM.format(c="text")}) AS ck FROM documents),
@@ -7255,6 +7358,7 @@ QUERY_FNS: dict[str, Query] = {
     "wave_diff": q_wave_diff,
     "snapshot_as_of": q_snapshot_as_of,
     "vacuum_plan": q_vacuum_plan,
+    "recrawl_schedule": q_recrawl_schedule,
     "training_order": q_training_order,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,

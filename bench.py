@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "wave_diff",
     "snapshot_as_of",
     "vacuum_plan",
+    "recrawl_schedule",
     "simhash",
     "simhash_pairs",
     "decontaminate",

@@ -413,6 +413,16 @@ CHECKS = {
         "metadata-scale bucket fold — no per-bucket rescans, no "
         "bodies in the shuffle",
     ),
+    "recrawl_schedule": (
+        ["Generate", "partial_count", "Exchange hashpartitioning(doc_id"],
+        ["SortMergeJoin", "BroadcastHashJoin", "Window",
+         "CartesianProduct"],
+        "re-crawl scheduler: single-scan map-side version log; the "
+        "whole schedule is ONE partial-aggregable doc_id fold (count "
+        "+ min + max_by on the same exchange); rate and tier are "
+        "constant integer arithmetic — no window, no join, no second "
+        "pass",
+    ),
     "semantic_dedup": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],

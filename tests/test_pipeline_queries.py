@@ -3287,3 +3287,49 @@ def test_vacuum_plan_consistent_with_snapshot(spark):
     # version log covers every document (no doc escapes all waves)
     n_docs = load(spark, SF_DIR, "documents").count()
     assert log.select("doc_id").distinct().count() == n_docs
+
+
+def test_recrawl_schedule_tier_semantics(spark):
+    """The re-crawl scheduler must (a) retire exactly the tombstoned
+    docs, (b) produce all four tiers on the synthetic log, (c) keep
+    the smoothed rate consistent with its integer definition, and
+    (d) order tiers by rate (hot ≥ warm ≥ cold within non-retired)."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import (
+        QUERY_FNS,
+        RECRAWL_HOT_PPM,
+        RECRAWL_WARM_PPM,
+        _doc_version_log,
+        load,
+    )
+
+    rows = QUERY_FNS["recrawl_schedule"](spark, SF_DIR).collect()
+    tiers = {r["tier"] for r in rows}
+    assert tiers == {"hot", "warm", "cold", "retired"}
+
+    for r in rows:
+        expect = (1_000_000 * (r["changes"] + 1)) // (
+            r["opportunities"] + 2
+        )
+        assert r["rate_ppm"] == expect
+        if r["tier"] == "hot":
+            assert r["rate_ppm"] >= RECRAWL_HOT_PPM
+        elif r["tier"] == "warm":
+            assert RECRAWL_WARM_PPM <= r["rate_ppm"] < RECRAWL_HOT_PPM
+        elif r["tier"] == "cold":
+            assert r["rate_ppm"] < RECRAWL_WARM_PPM
+
+    # retired == docs whose latest log op is a delete, recomputed
+    # independently from the shared log
+    log = _doc_version_log(load(spark, SF_DIR, "documents"))
+    tombstoned = {
+        r["doc_id"]
+        for r in log.groupBy("doc_id")
+        .agg(F.max_by("op", "wave").alias("last_op"))
+        .where(F.col("last_op") == "delete")
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows if r["tier"] == "retired"} == tombstoned
+    # every document is scheduled exactly once
+    assert len(rows) == len({r["doc_id"] for r in rows})
