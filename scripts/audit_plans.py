@@ -529,11 +529,14 @@ CHECKS = {
         "is the per-file stats rollup with map-side partials",
     ),
     "packed_examples": (
-        ["BroadcastHashJoin", "HashAggregate"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
-        "packed-example assembly: vocabulary and id table broadcast "
-        "to the exploded token stream, within-doc offsets are "
-        "doc-partitioned windows, the global offset is the two-phase "
+        ["BroadcastHashJoin", "HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+        "packed-example assembly: the word→subword-ids mapping folds "
+        "to a ONE-ROW map attached to the corpus via "
+        "crossJoin(broadcast) — the BroadcastNestedLoopJoin is that "
+        "single-build-row scalar attach (constant cost at any corpus "
+        "size), not a pairwise expansion; subword ids broadcast-join "
+        "the bounded vocab; the global offset is the two-phase "
         "deterministic-bucket prefix sum — no corpus-wide window sort",
     ),
     "curation_funnel": (
