@@ -57,8 +57,11 @@ def pdf_escape(s: str) -> str:
     so the writer is total over unicode instead of dying inside an
     Arrow batch on the first CJK character (found by the format
     fuzzer).  ``_lex_string`` reverses the convention."""
-    if any(ord(ch) > 0xFF for ch in s):
-        s = "\xfe\xff" + s.encode("utf-16-be").decode("latin-1")
+    if not s.isascii():  # C-level gate: ASCII text skips the probe
+        try:
+            s.encode("latin-1")
+        except UnicodeEncodeError:
+            s = "\xfe\xff" + s.encode("utf-16-be").decode("latin-1")
     return s.translate(_ESCAPE)
 
 

@@ -3452,6 +3452,66 @@ def _crawl_frontier(
     return visited
 
 
+REDIRECT_SPAN = 16  # chains u -> u-1 ... down to multiples of 16
+
+
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain canonicalization by POINTER DOUBLING — resolve
+    every URL to its final redirect target plus hop count.  The
+    reference follows redirects one fetch at a time (httpx inside
+    crawler.py's fetch loop); at corpus scale the redirect graph is a
+    stored edge table and resolution is a join problem.  URL dedup /
+    canonical-URL assignment needs every chain collapsed before ids
+    are compared.
+
+    The redirect graph is synthesized deterministically from the
+    documents table: ``u`` redirects to ``u-1`` unless ``u`` is a
+    multiple of ``REDIRECT_SPAN`` (terminal) — chains up to 15 hops,
+    acyclic by construction.
+
+    Scale shape: the naive per-hop walk needs max-chain-length
+    shuffles of the full table (the BFS-frontier spelling); pointer
+    doubling composes the successor function with itself —
+    ``f = f∘f`` per round — so ``ceil(log2(L))`` self-equi-joins
+    resolve chains of length L (4 rounds for 15 hops, 40 rounds would
+    cover a trillion-hop chain).  Every round shuffles only
+    (src, dst, hops) id triples, never bodies; terminals self-loop
+    with hops 0, so composition is idempotent at the fixpoint and the
+    hop sum stays exact.  Per-round ``localCheckpoint`` keeps the
+    iterative lineage flat (the crawl_frontier lesson).  The oracle is
+    an INDEPENDENT algorithm: a DuckDB recursive CTE walking chains
+    one hop at a time."""
+    docs = load(spark, sf_dir, "documents")
+    u = F.col("doc_id")
+    is_term = u % REDIRECT_SPAN == 0
+    f = docs.select(
+        u.alias("src"),
+        F.when(is_term, u).otherwise(u - 1).alias("dst"),
+        F.when(is_term, F.lit(0)).otherwise(F.lit(1)).alias("hops"),
+    )
+    rounds = max(1, (REDIRECT_SPAN - 1).bit_length())  # ceil(log2(L+1))
+    for _ in range(rounds):
+        g = f.select(
+            F.col("src").alias("g_src"),
+            F.col("dst").alias("g_dst"),
+            F.col("hops").alias("g_hops"),
+        )
+        f = (
+            f.join(g, f.dst == g.g_src)
+            .select(
+                "src",
+                F.col("g_dst").alias("dst"),
+                (F.col("hops") + F.col("g_hops")).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    return f.select(
+        F.col("src").alias("doc_id"),
+        F.col("dst").alias("canonical_id"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crawl_frontier(spark, sf_dir, max_depth=3)
 
@@ -6538,6 +6598,17 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     "ivf_ann_topk_trained": _ivf_ann_sql(train_iters=2),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "crawl_frontier_deep": _crawl_frontier_sql(8),
+    # independent algorithm: the oracle walks chains ONE hop at a time
+    # (linear recursion), the engine resolves them by pointer doubling
+    "redirect_resolution": f"""
+WITH RECURSIVE walk AS (
+  SELECT doc_id AS src, doc_id AS cur, 0 AS hops FROM documents
+  UNION ALL
+  SELECT src, cur - 1, hops + 1 FROM walk WHERE cur % {REDIRECT_SPAN} <> 0
+)
+SELECT src AS doc_id, cur AS canonical_id, CAST(hops AS INTEGER) AS hops
+FROM walk WHERE cur % {REDIRECT_SPAN} = 0
+""",
     "link_pagerank": _pagerank_sql(),
     "source_stats": f"""
 WITH slim AS (
@@ -7375,6 +7446,7 @@ QUERY_FNS: dict[str, Query] = {
     "ivf_ann_topk_nprobe": q_ivf_ann_topk_nprobe,
     "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
     "crawl_frontier": q_crawl_frontier,
+    "redirect_resolution": q_redirect_resolution,
     "crawl_frontier_deep": q_crawl_frontier_deep,
     "link_pagerank": q_link_pagerank,
     "media_features": q_media_features,

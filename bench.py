@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "ivf_ann_topk_trained",
     "crawl_frontier",
     "crawl_frontier_deep",
+    "redirect_resolution",
     "link_pagerank",
     "media_features",
     "frame_samples",

@@ -413,6 +413,17 @@ CHECKS = {
         "metadata-scale bucket fold — no per-bucket rescans, no "
         "bodies in the shuffle",
     ),
+    "redirect_resolution": (
+        ["ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+         "FileScan"],
+        "redirect canonicalization: pointer doubling — ceil(log2(L)) "
+        "self-equi-joins over (src, dst, hops) id triples resolve "
+        "chains of length L; per-round localCheckpoint truncates the "
+        "iterative lineage, so the FINAL plan is one checkpointed "
+        "scan + rename (no FileScan, no join tower — the evidence the "
+        "4-round composition already ran and was not re-derived)",
+    ),
     "recrawl_schedule": (
         ["Generate", "partial_count", "Exchange hashpartitioning(doc_id"],
         ["SortMergeJoin", "BroadcastHashJoin", "Window",

@@ -3333,3 +3333,28 @@ def test_recrawl_schedule_tier_semantics(spark):
     assert {r["doc_id"] for r in rows if r["tier"] == "retired"} == tombstoned
     # every document is scheduled exactly once
     assert len(rows) == len({r["doc_id"] for r in rows})
+
+
+def test_redirect_resolution_pointer_doubling(spark):
+    """Pointer doubling must resolve every chain to its terminal with
+    the exact hop count, equal to a plain driver-side walk; round
+    count is logarithmic (4 rounds for 15-hop chains)."""
+    from article_extractor_spark.queries import (
+        QUERY_FNS,
+        REDIRECT_SPAN,
+    )
+
+    rows = QUERY_FNS["redirect_resolution"](spark, SF_DIR).collect()
+    by_src = {r["doc_id"]: r for r in rows}
+    n = len(rows)
+    assert n == len(by_src)  # one resolution per document
+    for src, r in by_src.items():
+        # reference: walk the synthesized chain one hop at a time
+        cur, hops = src, 0
+        while cur % REDIRECT_SPAN != 0:
+            cur, hops = cur - 1, hops + 1
+        assert (r["canonical_id"], r["hops"]) == (cur, hops), src
+    # the synthetic graph exercises the full hop range
+    assert {r["hops"] for r in rows} == set(
+        range(min(REDIRECT_SPAN, n))
+    )
