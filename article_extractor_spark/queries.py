@@ -1386,6 +1386,69 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIORITY_SAMPLE_K = 64
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus subsampling with an UNBIASED
+    subset-sum estimator — priority sampling (Duffield, Lund & Thorup,
+    JACM 2007).  A training mix that wants "sample documents
+    proportionally to quality/length, k of them, reproducibly, with
+    estimation weights that make downstream token counts unbiased" is
+    exactly this sketch; uniform hash sampling (``stratified_sample``)
+    cannot weight, and weighted sampling via ``rand()`` cannot be
+    re-materialized.
+
+    Per doc: integer weight w = clamp(token count, 1, 256); uniform
+    u from the shared salted 60-bit md5 hash; priority = w·2^60/(h+1).
+    Keep the top k priorities; the (k+1)-th priority is the threshold
+    τ, and each kept doc's estimation weight is max(w, τ) — the DLT
+    estimator (E[Σ max(w,τ) over kept] = Σ w exactly).
+
+    Cross-engine exactness: the priority uses ONLY IEEE multiply and
+    divide on identical operands (w·2^60 is integer-exact in a double;
+    long→double conversion and '/' are correctly rounded and
+    identical in the JVM and libm) — no ln/pow, so the floats are
+    BIT-IDENTICAL in Spark and DuckDB and the oracle needs no rounding
+    tolerance.
+
+    Scale shape: priorities are map-side; top-(k+1) compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort); τ is
+    a 1-row aggregate of that metadata-scale result attached via
+    broadcast — the corpus is scanned once and never shuffled."""
+    docs = load(spark, sf_dir, "documents")
+    w_int = F.least(
+        F.greatest(F.size(X.ws_tokens(F.col("text"))), F.lit(1)),
+        F.lit(256),
+    )
+    h = X.md5_int(
+        F.concat(F.lit("psample:"), F.col("doc_id").cast("string"))
+    )
+    pr = (w_int.cast("double") * F.lit(float(2**60))) / (
+        (h + 1).cast("double")
+    )
+    scored = docs.select(
+        "doc_id", w_int.cast("int").alias("weight"), pr.alias("priority")
+    )
+    topk1 = scored.orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    ).limit(PRIORITY_SAMPLE_K + 1)
+    tau = topk1.agg(F.min("priority").alias("tau"))
+    return (
+        topk1.orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(PRIORITY_SAMPLE_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )
+
+
 # Train/val/test split: hash-bucket thresholds out of SPLIT_BUCKETS.
 SPLIT_BUCKETS = 100
 SPLIT_TRAIN_LT = 90  # buckets [0, 90)  -> train
@@ -6229,6 +6292,30 @@ SELECT source, COUNT(*) AS n_docs,
            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM documents GROUP BY source
 """,
+    # priority is pure IEEE multiply/divide on identical operands, so
+    # the doubles are bit-identical across engines — no rounding
+    "priority_sample": f"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(LEAST(GREATEST(len({_TOKS.format(c='text')}), 1), 256) AS INT)
+      AS weight,
+    (CAST(LEAST(GREATEST(len({_TOKS.format(c='text')}), 1), 256)
+          AS DOUBLE) * 1152921504606846976.0)
+      / CAST({_MD5INT.format(
+          expr="'psample:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+      AS priority
+  FROM documents
+),
+topk1 AS (
+  SELECT * FROM scored ORDER BY priority DESC, doc_id ASC
+  LIMIT {PRIORITY_SAMPLE_K + 1}
+),
+tau AS (SELECT MIN(priority) AS tau FROM topk1)
+SELECT doc_id, weight, priority,
+       GREATEST(CAST(weight AS DOUBLE), tau) AS est_weight
+FROM (SELECT * FROM topk1 ORDER BY priority DESC, doc_id ASC
+      LIMIT {PRIORITY_SAMPLE_K}), tau
+""",
     "domain_quota": f"""
 WITH ranked AS (
   SELECT source, doc_id,
@@ -7420,6 +7507,7 @@ QUERY_FNS: dict[str, Query] = {
     "sequence_pack": q_sequence_pack,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
+    "priority_sample": q_priority_sample,
     "split_assign": q_split_assign,
     "domain_quota": q_domain_quota,
     "vocab_topk": q_vocab_topk,

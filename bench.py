@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "training_order",
     "pii_scrub",
     "stratified_sample",
+    "priority_sample",
     "split_assign",
     "domain_quota",
     "vocab_topk",

@@ -424,6 +424,15 @@ CHECKS = {
         "scan + rename (no FileScan, no join tower — the evidence the "
         "4-round composition already ran and was not re-derived)",
     ),
+    "priority_sample": (
+        ["TakeOrderedAndProject"],
+        ["Exchange rangepartitioning", "Window", "SortMergeJoin",
+         "CartesianProduct"],
+        "priority sampling (DLT): priorities are map-side, top-(k+1) "
+        "is TakeOrderedAndProject (per-partition heaps, no global "
+        "sort), τ is a 1-row aggregate of that metadata-scale result "
+        "— the corpus is scanned once and never shuffled",
+    ),
     "recrawl_schedule": (
         ["Generate", "partial_count", "Exchange hashpartitioning(doc_id"],
         ["SortMergeJoin", "BroadcastHashJoin", "Window",

@@ -3358,3 +3358,49 @@ def test_redirect_resolution_pointer_doubling(spark):
     assert {r["hops"] for r in rows} == set(
         range(min(REDIRECT_SPAN, n))
     )
+
+
+def test_priority_sample_dlt_properties(spark):
+    """Priority sampling must match a pure-Python replay of the DLT
+    scheme (third implementation, independent of both engines'
+    expression trees) and satisfy the estimator's structural
+    invariants: est_weight = max(weight, τ) with τ the (k+1)-th
+    priority, every kept priority ≥ τ, and weights in [1, 256]."""
+    import hashlib
+
+    import duckdb
+
+    from article_extractor_spark.queries import (
+        PRIORITY_SAMPLE_K,
+        QUERY_FNS,
+    )
+
+    rows = QUERY_FNS["priority_sample"](spark, SF_DIR).collect()
+    assert len(rows) == PRIORITY_SAMPLE_K
+
+    # independent replay: re-derive every doc's (weight, priority) in
+    # plain Python and select top-k the same way
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    replay = []
+    for doc_id, text in docs:
+        w = min(max(len(text.split()), 1), 256)
+        h = int(
+            hashlib.md5(f"psample:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        replay.append((doc_id, w, (w * float(2**60)) / float(h + 1)))
+    replay.sort(key=lambda t: (-t[2], t[0]))
+    tau = replay[PRIORITY_SAMPLE_K][2]
+    expect = {
+        d: (w, p, max(float(w), tau))
+        for d, w, p in replay[:PRIORITY_SAMPLE_K]
+    }
+
+    for r in rows:
+        ew, ep, eest = expect[r["doc_id"]]
+        assert r["weight"] == ew
+        assert r["priority"] == ep  # bit-exact: IEEE mul/div only
+        assert r["est_weight"] == eest
+        assert 1 <= r["weight"] <= 256
+        assert r["priority"] >= tau
