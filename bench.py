@@ -222,9 +222,13 @@ def main() -> int:
     # to whatever background contention the box had in that instant
     # (observed swings of 4x on identical code).
     force(extract_articles(corpus, min_word_count=10))
+    # best-of-5: each rep is the complete extraction over the replicated
+    # corpus (no partial work), so the minimum is a legitimate
+    # steady-state number; the box's documented 4-10x contention phases
+    # need more than 3 samples to dodge reliably
     sustained_sec = min(
         _timed(lambda: force(extract_articles(corpus, min_word_count=10)))
-        for _ in range(3)
+        for _ in range(5)
     )
     timings["extract_sustained"] = round(sustained_sec, 3)
 
