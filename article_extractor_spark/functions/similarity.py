@@ -1009,3 +1009,90 @@ def pq_ann_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def write_pq_codes(
+    emb: DataFrame,
+    path: str,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ layout ``pq_ann_topk_stored`` scans: the
+    M-entry smallint code arrays under ``path``/codes (at 100 TB the
+    stored column — M·4 bits of code per vector vs 256 bytes of
+    float32) and the trained (m, cid, cvec) codebook under
+    ``path``/codebook (M·K rows — table metadata, written once at
+    ingest beside the data like the SQ8 range stats)."""
+    codebook = train_pq_codebook(emb, iters, vec_col)
+    codebook.write.mode("overwrite").parquet(path + "/codebook")
+    pq_encode(emb, codebook, vec_col).select(
+        "vec_id",
+        F.transform(F.col("codes"), lambda c: c.cast("smallint")).alias(
+            "codes"
+        ),
+    ).write.mode("overwrite").parquet(path + "/codes")
+
+
+def pq_ann_topk_stored(
+    spark,
+    path: str,
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100-TB shape of ``pq_ann_topk``: stage 1 brute-force-scans
+    ONLY the stored code table (M smallints per vector), folding the
+    broadcast literal LUT built from the STORED codebook and the query
+    vector — no training, no join on the scan; stage 2 broadcast-joins
+    the k·RERANK survivor ids back to the base table for the exact
+    rerank.  Bit-equal to the inline ``pq_ann_topk`` by construction
+    (same training determinism at write time, same encode, same ADC,
+    same rerank), so it shares that oracle."""
+    base = emb.select(
+        F.col("vec_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    qv = [
+        int(v)
+        for v in base.where(F.col("vec_id") == query_id).first()["qv"]
+    ]
+    d = len(qv) // PQ_M
+    lut = [0] * (PQ_M * PQ_K)
+    for r in spark.read.parquet(path + "/codebook").collect():
+        m, c = int(r["m"]), int(r["cid"])
+        qs = qv[m * d : (m + 1) * d]
+        lut[m * PQ_K + c] = sum(a * b for a, b in zip(qs, r["cvec"]))
+    lut_lit = F.array(*[F.lit(v).cast("long") for v in lut])
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda c, m: F.element_at(
+                lut_lit, (m * PQ_K + c.cast("int") + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        spark.read.parquet(path + "/codes")
+        .where(F.col("vec_id") != query_id)
+        .select("vec_id", adc.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k * PQ_RERANK_FACTOR)
+    )
+    q = base.where(F.col("vec_id") == query_id).select(
+        F.col("qv").alias("qq")
+    )
+    return (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "adc_score",
+            cosine_sim(F.col("qv"), F.col("qq")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

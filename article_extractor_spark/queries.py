@@ -3834,6 +3834,23 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_ann_topk(emb, query_id=0, k=10, iters=2)
 
 
+def q_pq_ann_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-codes PQ probe (similarity.pq_ann_topk_stored): stage 1
+    scans only the materialized M-smallint code table with the stored
+    codebook's broadcast LUT — at 100 TB the scan reads M·4 bits per
+    vector instead of 256 float32 bytes — stage 2 exact-reranks the
+    k·RERANK survivors against the base table.  Bit-equal to the
+    inline pq_ann_topk, so it shares that oracle (the bm25_topk_stored
+    precedent)."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = _layout_cache_path(sf_dir, "emb_pqcodes_v1")
+    import os
+
+    if not os.path.exists(path + "/codes/_SUCCESS"):
+        S.write_pq_codes(emb, path, iters=2)
+    return S.pq_ann_topk_stored(spark, path, emb, query_id=0, k=10)
+
+
 def q_ivf_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition-pruned IVF probe over cell-partitioned storage
     (see similarity.ivf_ann_topk_pruned); same oracle as the inline
@@ -6785,6 +6802,9 @@ FROM w a JOIN w b ON a.doc_id + 1 = b.doc_id
     # CTEs — exact because training is integer-only (similarity.py)
     "ivf_ann_topk_trained": _ivf_ann_sql(train_iters=2),
     "pq_ann_topk": _pq_ann_sql(iters=2),
+    # stored probe is bit-equal to the inline chain by construction
+    # (same write-time training determinism, same encode/ADC/rerank)
+    "pq_ann_topk_stored": _pq_ann_sql(iters=2),
     "crawl_frontier": _CRAWL_FRONTIER_SQL,
     "crawl_frontier_deep": _crawl_frontier_sql(8),
     # independent algorithm: the oracle walks chains ONE hop at a time
@@ -7636,6 +7656,7 @@ QUERY_FNS: dict[str, Query] = {
     "ivf_ann_topk_nprobe": q_ivf_ann_topk_nprobe,
     "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
     "pq_ann_topk": q_pq_ann_topk,
+    "pq_ann_topk_stored": q_pq_ann_topk_stored,
     "crawl_frontier": q_crawl_frontier,
     "redirect_resolution": q_redirect_resolution,
     "crawl_frontier_deep": q_crawl_frontier_deep,

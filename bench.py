@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "ivf_ann_topk_nprobe",
     "ivf_ann_topk_trained",
     "pq_ann_topk",
+    "pq_ann_topk_stored",
     "crawl_frontier",
     "crawl_frontier_deep",
     "redirect_resolution",
@@ -165,6 +166,8 @@ def main() -> int:
     force(QUERY_FNS["lsh_ann_topk_pruned"](spark, sf_dir))
     # same for the SQ8 code table (written once at ingest time at scale)
     force(QUERY_FNS["sq8_ann_topk_stored"](spark, sf_dir))
+    # and the PQ code+codebook layout (trained/written once at ingest)
+    force(QUERY_FNS["pq_ann_topk_stored"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

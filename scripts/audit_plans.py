@@ -434,6 +434,16 @@ CHECKS = {
         "(K·dim integers); the rerank joins only k·RERANK survivor "
         "ids back to the base table",
     ),
+    "pq_ann_topk_stored": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin",
+         "Exchange rangepartitioning"],
+        "stored PQ probe: stage 1 scans only the materialized M-code "
+        "table folding the stored codebook's literal LUT (no train, "
+        "no join on the scan), candidates cut by "
+        "TakeOrderedAndProject; stage 2 broadcast-joins k·RERANK "
+        "survivor ids back to the base table",
+    ),
     "priority_sample": (
         ["TakeOrderedAndProject"],
         ["Exchange rangepartitioning", "Window", "SortMergeJoin",

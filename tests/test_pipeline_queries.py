@@ -3438,3 +3438,15 @@ def test_pq_ann_codes_and_recall(spark):
         for r in QUERY_FNS["pq_ann_topk"](spark, SF_DIR).collect()
     }
     assert len(truth & pq) == 10
+
+
+def test_pq_stored_matches_inline(spark):
+    """The stored-codes PQ probe must return exactly the inline
+    chain's rows (same training determinism at write time, same
+    encode/ADC/rerank) — the bit-equality its shared oracle rests
+    on."""
+    from article_extractor_spark.queries import QUERY_FNS
+
+    inline = QUERY_FNS["pq_ann_topk"](spark, SF_DIR).collect()
+    stored = QUERY_FNS["pq_ann_topk_stored"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in stored]
