@@ -3515,6 +3515,21 @@ def _crawl_frontier(
     return visited
 
 
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured HTML table extraction (operators/tables.py): every
+    document renders to a page with a real thead/tbody data grid (the
+    document's tokens, 4 per row; every 4th doc's header th carries
+    colspan="2") plus a fixed auxiliary table — the extractor walks
+    the SAME DOM the flagship pipeline parses and must reproduce
+    table order, row order, colspan-advanced column indexes, and the
+    th/td header flag, cell-exactly.  One zero-shuffle mapInArrow
+    stage; the oracle is the analytic cell-set prediction."""
+    from .operators.tables import documents_as_table_html, extract_tables
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_tables(documents_as_table_html(docs))
+
+
 REDIRECT_SPAN = 16  # chains u -> u-1 ... down to multiples of 16
 
 
@@ -7502,6 +7517,40 @@ SELECT bucket,
 FROM bucketed GROUP BY bucket
 """
 
+ORACLE_SQL["table_extract"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS.format(c='lower(text)')} AS t FROM documents
+), body AS (
+  SELECT doc_id, 0 AS table_idx,
+    CAST(1 + (pos - 1) // 4 AS INT) AS row_idx,
+    CAST((pos - 1) % 4 AS INT) AS col_idx,
+    FALSE AS is_header, tok AS cell
+  FROM (
+    SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+    FROM toks
+  )
+), hdr AS (
+  SELECT doc_id, 0 AS table_idx, 0 AS row_idx, u.col_idx, TRUE AS is_header,
+         u.cell
+  FROM documents, (VALUES (0, 'c0'), (2, 'c2'), (3, 'c3')) u(col_idx, cell)
+  WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id, 0, 0, u.col_idx, TRUE, u.cell
+  FROM documents,
+       (VALUES (0, 'c0'), (1, 'c1'), (2, 'c2'), (3, 'c3')) u(col_idx, cell)
+  WHERE doc_id % 4 <> 0
+), aux AS (
+  SELECT doc_id, 1 AS table_idx, 0 AS row_idx, u.col_idx,
+         FALSE AS is_header, u.cell
+  FROM documents, (VALUES (0, 'x'), (1, 'y')) u(col_idx, cell)
+)
+SELECT doc_id, CAST(table_idx AS INT) AS table_idx,
+       CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT) AS col_idx,
+       is_header, cell
+FROM (SELECT * FROM hdr UNION ALL SELECT * FROM body
+      UNION ALL SELECT * FROM aux)
+"""
+
 ORACLE_SQL["recrawl_schedule"] = f"""
 WITH versions AS (
   SELECT doc_id, 0 AS wave, 'upsert' AS op
@@ -7640,6 +7689,7 @@ QUERY_FNS: dict[str, Query] = {
     "snapshot_as_of": q_snapshot_as_of,
     "vacuum_plan": q_vacuum_plan,
     "recrawl_schedule": q_recrawl_schedule,
+    "table_extract": q_table_extract,
     "training_order": q_training_order,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,

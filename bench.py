@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "mixed_extract",
     "warc_ingest",
     "warc_extract",
+    "table_extract",
     "server_response",
     "minhash_pairs",
     "incremental_dedup",

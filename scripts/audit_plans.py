@@ -434,6 +434,16 @@ CHECKS = {
         "(K·dim integers); the rerank joins only k·RERANK survivor "
         "ids back to the base table",
     ),
+    "table_extract": (
+        ["MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange hashpartitioning", "SortMergeJoin", "Window",
+         "CartesianProduct"],
+        "table extraction: JVM-rendered corpus feeds ONE pruned "
+        "mapInArrow stage — the flagship's zero-shuffle "
+        "scan→Arrow→rows plan (the only exchange is the "
+        "compute-parallelism round-robin respread, no hash/sort "
+        "shuffle)",
+    ),
     "pq_ann_topk_stored": (
         ["TakeOrderedAndProject", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin",

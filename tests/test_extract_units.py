@@ -462,3 +462,53 @@ def test_compute_floor_width_is_sized_by_bytes():
     assert _width(cores, 100 << 20, None) == 50  # 50 tasks, in range
     assert _width(cores, 10 << 30, None) == cores * _WAVES  # clamp down
     assert _width(cores, None, None) == cores * _WAVES  # unknown -> full fan
+
+
+def test_table_extraction_grid_semantics():
+    """Table extractor edge cases the synthetic corpus can't reach:
+    nested tables stay separate (nearest-ancestor scoping), colspan
+    advances col_idx (invalid/absent colspan counts as 1), implicit
+    cell closes parse, th flags headers, garbage yields no rows."""
+    from article_extractor_spark.operators.tables import (
+        extract_tables_rows,
+    )
+
+    html = """
+    <table>
+      <tr><th colspan="2">a</th><th>b</th></tr>
+      <tr><td>c</td><td colspan="zzz">d</td>
+          <td><table><tr><td>inner</td></tr></table>outer</td></tr>
+    </table>
+    <table><tr><td>second</td></tr></table>
+    """
+    rows = extract_tables_rows(html, 7)
+    # table order: outer (0), nested (1), second (2) — document order
+    # of <table> starts
+    by_table = {}
+    for r in rows:
+        by_table.setdefault(r[1], []).append(r)
+    assert set(by_table) == {0, 1, 2}
+    outer = by_table[0]
+    # header row: 'a' at col 0 (span 2), 'b' at col 2
+    assert (7, 0, 0, 0, True, "a") in outer
+    assert (7, 0, 0, 2, True, "b") in outer
+    # body row: c@0, d@1 (invalid colspan -> 1), nested-holder@2
+    assert (7, 0, 1, 0, False, "c") in outer
+    assert (7, 0, 1, 1, False, "d") in outer
+    holder = [r for r in outer if r[2] == 1 and r[3] == 2]
+    assert len(holder) == 1 and "outer" in holder[0][5]
+    # the nested table's cell belongs to table 1, not the outer grid
+    assert by_table[1] == [(7, 1, 0, 0, False, "inner")]
+    assert by_table[2] == [(7, 2, 0, 0, False, "second")]
+
+    # implicit closes (HTML-spec auto-closing): <tr><td>a<td>b</tr>
+    implicit = extract_tables_rows(
+        "<table><tr><td>a<td>b<tr><td>c</table>", 1
+    )
+    assert [(r[2], r[3], r[5]) for r in implicit] == [
+        (0, 0, "a"), (0, 1, "b"), (1, 0, "c"),
+    ]
+
+    # crash-freedom on garbage
+    assert extract_tables_rows("<table><tr><td", 2) in ([], [(2, 0, 0, 0, False, "")])
+    assert extract_tables_rows("\x00\xff not html", 3) == []
