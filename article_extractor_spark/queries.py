@@ -1589,6 +1589,135 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-based source sampling (XLM-R/mC4-style): sampling
+# probability p_i ∝ n_i^α with α = 0.5 so low-resource sources are
+# up-weighted relative to their raw share.  α = 0.5 is deliberately
+# sqrt: IEEE-754 specifies sqrt as correctly rounded, so Spark and
+# DuckDB produce the same double bit-for-bit (a general pow(x, 0.3)
+# carries no such guarantee across libms).
+TEMP_WEIGHT_SCALE = 1_000_000  # weights in parts-per-million
+TEMP_BUDGET_DEN = 2  # sample budget = total docs // 2
+
+
+def _temperature_quotas(counts: DataFrame) -> DataFrame:
+    """Shared mixture math: per-source doc counts → raw share,
+    temperature weight, and doc quota, all in exact integer ppm.
+    s_i = floor(sqrt(n_i) · 1e6) is one correctly-rounded sqrt and one
+    exactly-representable multiply per source — deterministic across
+    engines and partitionings; everything downstream is int64."""
+    t = counts.withColumn(
+        "s",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double"))
+            * F.lit(float(TEMP_WEIGHT_SCALE))
+        ).cast("long"),
+    )
+    tot = t.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("s").alias("total_s")
+    )
+    weight = f"s * {TEMP_WEIGHT_SCALE} DIV total_s"
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"n_docs * {TEMP_WEIGHT_SCALE} DIV total_docs").alias(
+            "share_ppm"
+        ),
+        F.expr(weight).alias("temp_weight_ppm"),
+        F.expr(
+            f"({weight}) * (total_docs DIV {TEMP_BUDGET_DEN})"
+            f" DIV {TEMP_WEIGHT_SCALE}"
+        ).alias("quota"),
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture (the multilingual-sampling
+    rule from XLM-R / mC4: p_i ∝ n_i^α, here α = 0.5): per source,
+    the raw corpus share, the temperature-flattened sampling weight,
+    and the resulting doc quota at a budget of half the corpus.
+    Complements ``q_source_mixture`` (balance-to-smallest): that rule
+    levels every source to the floor; temperature sampling keeps
+    big sources bigger while boosting the tail — the knob real
+    multilingual pretraining mixes use.
+
+    Scale shape: ONE partial-aggregable groupBy(source) count, then a
+    one-row totals aggregate broadcast back over the (tiny relative to
+    the corpus) per-source table.  The corpus is scanned once and
+    never shuffled; no window, no collect.  All arithmetic is integer
+    ppm except the single IEEE-exact sqrt (see TEMP_WEIGHT_SCALE
+    note), so the oracle matches bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return _temperature_quotas(counts)
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document temperature resampling: materialize the mixture
+    ``q_temperature_mixture`` plans — each source keeps its quota's
+    worth of documents, chosen by deterministic md5 priority (never
+    ``rand()``: the sample must be reproducible across reruns and
+    partitionings).
+
+    Scale shape: the per-source priority rank is the same two-phase
+    decomposition as ``q_training_order`` — a window partitioned only
+    by source would serialize a 10-TB source through one task, so the
+    rank runs per (source, priority-bucket) where the bucket is an
+    order-respecting prefix of the priority (``priority DIV width``),
+    per-bucket counts collect to the driver (sources × MIX_BUCKETS
+    rows — metadata), and base offsets come back via a broadcast join.
+    Quotas ride the same broadcast (per-source table is metadata).
+    ONE shuffle of the corpus on (source, bucket).  The oracle is the
+    single-node per-source global window — agreement is evidence the
+    decomposition is exact."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    width = (1 << 60) // MIX_BUCKETS
+    t = docs.select(
+        "doc_id",
+        "source",
+        X.md5_int(F.col("doc_id").cast("string")).alias("priority"),
+    ).withColumn("bkt", F.expr(f"priority DIV {width}").cast("int"))
+    # phase 1: (source, bucket) doc counts -> driver (metadata)
+    per_source: dict[str, dict[int, int]] = {}
+    for r in t.groupBy("source", "bkt").count().collect():
+        per_source.setdefault(r["source"], {})[r["bkt"]] = r["count"]
+    base_rows = []
+    for s, bks in per_source.items():
+        acc = 0
+        for bkt in sorted(bks):
+            base_rows.append((s, bkt, acc))
+            acc += bks[bkt]
+    base = spark.createDataFrame(
+        base_rows, "source string, bkt int, base long"
+    )
+    counts = spark.createDataFrame(
+        [(s, sum(b.values())) for s, b in per_source.items()],
+        "source string, n_docs long",
+    )
+    quotas = _temperature_quotas(counts).select("source", "quota")
+    # phase 2: bucket-local rank + broadcast base offset vs quota
+    w = Window.partitionBy("source", "bkt").orderBy(
+        F.asc("priority"), F.asc("doc_id")
+    )
+    return (
+        t.join(F.broadcast(base), ["source", "bkt"])
+        .join(F.broadcast(quotas), "source")
+        .withColumn(
+            "src_rank",
+            (F.col("base") + F.row_number().over(w)).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "src_rank",
+            (F.col("src_rank") <= F.col("quota")).alias("kept"),
+        )
+    )
+
+
 VOCAB_TOP_K = 20
 
 
@@ -2262,6 +2391,68 @@ def q_bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(path + "/_SUCCESS"):
         write_postings(load(spark, sf_dir, "documents"), path)
     return bm25_topk_stored(spark, path)
+
+
+# Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): the standard
+# hybrid-retrieval merge of a lexical and a dense ranking.  Scores in
+# integer micro-units — floor(1e9/(RRF_K + rank)) — so the fused
+# ordering is exact and engine-independent (1/(60+r) as a double would
+# hang the comparison on float division).
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+RRF_TOP_K = 10
+
+
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical top-k (documents table)
+    with the cosine dense top-k (embeddings table, vec_id == doc_id)
+    by Reciprocal Rank Fusion — the production shape of every modern
+    RAG / eval-retrieval stack, and the natural composition of the two
+    retrieval families this engine already verifies independently.
+
+    Scale shape: each arm is its own optimal plan (BM25's shuffle-free
+    scoring scan + TakeOrderedAndProject; cosine's broadcast-query
+    map-side scan + TakeOrderedAndProject) and emits ≤ k rows.  The
+    fusion — rank assignment, full-outer id join, integer RRF sum —
+    runs on those k-row frames, so its global windows and join are
+    metadata-scale BY CONSTRUCTION (k rows, not corpus rows), the same
+    argument as the IVF codebook.  The corpus is scanned once per arm
+    and never shuffled."""
+    from pyspark.sql.window import Window
+
+    bm = q_bm25_topk(spark, sf_dir)  # ≤ BM25_TOP_K rows
+    dn = q_cosine_topk(spark, sf_dir)  # 10 rows
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("bm25_rank"),
+    )
+    dn_r = dn.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("cosine_rank"),
+    )
+    fused = bm_r.join(dn_r, "doc_id", "full").select(
+        "doc_id",
+        "bm25_rank",
+        "cosine_rank",
+        (
+            F.coalesce(
+                F.expr(f"{RRF_SCALE} DIV ({RRF_K} + bm25_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE} DIV ({RRF_K} + cosine_rank)"),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    ).limit(RRF_TOP_K)
 
 
 # Sliding-window chunking: window/stride in whitespace tokens (the
@@ -3667,6 +3858,85 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         edges.unpersist()
     return ranks
+
+
+HITS_ITERS = 2
+# Total score mass 1e9: small enough that every intermediate product
+# (per-node raw sum ≤ indeg·max_score ≤ ~5e9, times the scale in the
+# normalization ≤ ~5e18) stays inside int64, large enough that the
+# integer scores keep ~6 significant digits at sf0.1's 600k nodes.
+HITS_SCALE = 1_000_000_000
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the same synthetic
+    link graph as the PageRank / frontier family — the second classic
+    link-centrality signal (good-hub pages are exactly the seed lists
+    a discovery crawler wants; the reference crawls the graph but
+    never scores it, crawler.py:754-834).
+
+    Arithmetic is FIXED-POINT INTEGER like ``q_link_pagerank``: each
+    half-iteration sums the opposite score over edges, then
+    renormalizes to total mass ``HITS_SCALE`` by one integer
+    ``raw * SCALE DIV total`` (the scalar total rides a broadcast
+    one-row aggregate — HITS's L1 normalization, float-free), so the
+    result is bit-identical under any partitioning and replays in a
+    chained-CTE DuckDB oracle with scalar subqueries.
+
+    Iterative-plan hygiene (the PageRank lessons): edges built once
+    and persisted; each half-step is join-on-one-side + partial agg on
+    the other (the minimal two-shuffle step); per-half-iteration
+    ``localCheckpoint`` keeps plan size linear in iterations; nodes
+    with no in/out edges anchor on the full doc set with score 0
+    rather than dropping out of the frame."""
+    docs = load(spark, sf_dir, "documents", floor=False)
+    n = docs.count()
+    src = F.col("doc_id")
+    edges = docs.select(
+        src.alias("src"),
+        F.explode(F.array((src * 2 + 1) % n, (src * 3 + 7) % n)).alias(
+            "dst"
+        ),
+    ).persist()
+
+    def _normalize(raw: DataFrame, key: str, col: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("t"))
+        return (
+            docs.select("doc_id")
+            .join(raw.withColumnRenamed(key, "doc_id"), "doc_id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"coalesce(raw, 0) * {HITS_SCALE} DIV t"
+                ).alias(col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hubs = docs.select(
+        "doc_id", F.lit(HITS_SCALE // n).alias("hub")
+    )
+    auth = None
+    try:
+        for _ in range(HITS_ITERS):
+            a_raw = (
+                edges.join(hubs, edges.src == hubs.doc_id)
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("raw"))
+            )
+            auth = _normalize(a_raw, "dst", "auth")
+            h_raw = (
+                edges.join(auth, edges.dst == auth.doc_id)
+                .groupBy("src")
+                .agg(F.sum("auth").alias("raw"))
+            )
+            hubs = _normalize(h_raw, "src", "hub")
+    finally:
+        edges.unpersist()
+    return auth.join(hubs, "doc_id").select(
+        "doc_id", "hub", F.col("auth").alias("authority")
+    )
 
 
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7616,6 +7886,114 @@ LEFT JOIN de ON d.doc_id = de.doc_id
 JOIN sp ON d.doc_id = sp.doc_id
 """
 
+# Shared mixture CTE chain: per-source counts -> IEEE-exact sqrt
+# temperature weight -> integer-ppm quota (see _temperature_quotas).
+_TEMP_CTES = f"""c AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs,
+    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))
+               * {float(TEMP_WEIGHT_SCALE)!r}) AS BIGINT) AS s
+  FROM c
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         CAST(SUM(s) AS BIGINT) AS total_s
+  FROM t
+)"""
+
+ORACLE_SQL["temperature_mixture"] = f"""
+WITH {_TEMP_CTES}
+SELECT source, n_docs,
+  n_docs * {TEMP_WEIGHT_SCALE} // total_docs AS share_ppm,
+  s * {TEMP_WEIGHT_SCALE} // total_s AS temp_weight_ppm,
+  (s * {TEMP_WEIGHT_SCALE} // total_s)
+    * (total_docs // {TEMP_BUDGET_DEN}) // {TEMP_WEIGHT_SCALE} AS quota
+FROM t, tot
+"""
+
+# Single-node per-source global window — the Spark side decomposes the
+# rank over (source, priority-bucket); agreement proves the
+# decomposition exact.
+ORACLE_SQL["temperature_sample"] = f"""
+WITH {_TEMP_CTES}, q AS (
+  SELECT source,
+    (s * {TEMP_WEIGHT_SCALE} // total_s)
+      * (total_docs // {TEMP_BUDGET_DEN}) // {TEMP_WEIGHT_SCALE} AS quota
+  FROM t, tot
+), p AS (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (
+      PARTITION BY source
+      ORDER BY {_MD5INT.format(expr='CAST(doc_id AS VARCHAR)')}, doc_id
+    ) AS BIGINT) AS src_rank
+  FROM documents
+)
+SELECT p.doc_id, p.source, p.src_rank, p.src_rank <= q.quota AS kept
+FROM p JOIN q ON p.source = q.source
+"""
+
+ORACLE_SQL["rrf_hybrid_topk"] = f"""
+WITH bm AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS r
+  FROM ({ORACLE_SQL['bm25_topk']})
+), dn AS (
+  SELECT vec_id AS doc_id,
+    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r
+  FROM ({ORACLE_SQL['cosine_topk']})
+)
+SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+  bm.r AS bm25_rank, dn.r AS cosine_rank,
+  CAST(COALESCE({RRF_SCALE} // ({RRF_K} + bm.r), 0)
+     + COALESCE({RRF_SCALE} // ({RRF_K} + dn.r), 0) AS BIGINT) AS rrf_micro
+FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+ORDER BY rrf_micro DESC, COALESCE(bm.doc_id, dn.doc_id) ASC
+LIMIT {RRF_TOP_K}
+"""
+
+
+def _hits_sql() -> str:
+    """Chained-CTE fixed-point HITS: one authority + one hub CTE per
+    iteration, L1 renormalization via integer scalar subqueries — the
+    same ops bit-for-bit as q_link_hits (all values nonnegative, so
+    DuckDB ``//`` matches Spark's truncating DIV)."""
+    n = "(SELECT COUNT(*) FROM documents)"
+    iters = []
+    for i in range(1, HITS_ITERS + 1):
+        iters.append(
+            f"""ar{i} AS (
+  SELECT e.dst AS doc_id, SUM(h.hub) AS raw
+  FROM edges e JOIN h{i - 1} h ON e.src = h.doc_id GROUP BY e.dst
+), a{i} AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(r.raw, 0) * {HITS_SCALE}
+         // (SELECT SUM(raw) FROM ar{i}) AS BIGINT) AS auth
+  FROM documents d LEFT JOIN ar{i} r ON d.doc_id = r.doc_id
+), hr{i} AS (
+  SELECT e.src AS doc_id, SUM(a.auth) AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.doc_id GROUP BY e.src
+), h{i} AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(r.raw, 0) * {HITS_SCALE}
+         // (SELECT SUM(raw) FROM hr{i}) AS BIGINT) AS hub
+  FROM documents d LEFT JOIN hr{i} r ON d.doc_id = r.doc_id
+)"""
+        )
+    return f"""
+WITH edges AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % {n} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 3 + 7) % {n} AS dst FROM documents
+), h0 AS (
+  SELECT doc_id, {HITS_SCALE} // {n} AS hub FROM documents
+), {', '.join(iters)}
+SELECT h.doc_id, h.hub, a.auth AS authority
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.doc_id = a.doc_id
+"""
+
+
+ORACLE_SQL["link_hits"] = _hits_sql()
+
 QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
@@ -7683,8 +8061,11 @@ QUERY_FNS: dict[str, Query] = {
     "domain_quota": q_domain_quota,
     "vocab_topk": q_vocab_topk,
     "source_mixture": q_source_mixture,
+    "temperature_mixture": q_temperature_mixture,
+    "temperature_sample": q_temperature_sample,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_stored": q_bm25_topk_stored,
+    "rrf_hybrid_topk": q_rrf_hybrid_topk,
     "wave_diff": q_wave_diff,
     "snapshot_as_of": q_snapshot_as_of,
     "vacuum_plan": q_vacuum_plan,
@@ -7711,6 +8092,7 @@ QUERY_FNS: dict[str, Query] = {
     "redirect_resolution": q_redirect_resolution,
     "crawl_frontier_deep": q_crawl_frontier_deep,
     "link_pagerank": q_link_pagerank,
+    "link_hits": q_link_hits,
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
     "audio_features": q_audio_features,

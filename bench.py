@@ -53,8 +53,11 @@ BENCH_QUERIES = [
     "domain_quota",
     "vocab_topk",
     "source_mixture",
+    "temperature_mixture",
+    "temperature_sample",
     "bm25_topk",
     "bm25_topk_stored",
+    "rrf_hybrid_topk",
     "chunk_windows",
     "heavy_hitters",
     "tfidf_cosine_pairs",
@@ -97,6 +100,7 @@ BENCH_QUERIES = [
     "crawl_frontier_deep",
     "redirect_resolution",
     "link_pagerank",
+    "link_hits",
     "media_features",
     "frame_samples",
     "audio_features",

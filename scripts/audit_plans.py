@@ -643,6 +643,33 @@ CHECKS = {
         "corpus-sized input partial-aggregates into per-file rows "
         "before the exchange",
     ),
+    "temperature_mixture": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["SortMergeJoin", "Window", "CartesianProduct",
+         "Exchange rangepartitioning"],
+        "temperature mixture: ONE partial-aggregable per-source "
+        "count, totals ride a one-row broadcast (the scalar-attach "
+        "BroadcastNestedLoopJoin is a 1-row side by construction); "
+        "no window, corpus scanned once and never shuffled",
+    ),
+    "temperature_sample": (
+        ["windowspecdefinition(source", "BroadcastHashJoin"],
+        ["SortMergeJoin", "Exchange rangepartitioning"],
+        "temperature resampling: per-source rank decomposed over "
+        "(source, priority-bucket) like training_order — the "
+        "row_number window is partitioned by (source, bkt), never "
+        "source alone; offsets and quotas come back as broadcast "
+        "joins (metadata-sized sides)",
+    ),
+    "rrf_hybrid_topk": (
+        ["TakeOrderedAndProject"],
+        ["CartesianProduct"],
+        "hybrid fusion: each retrieval arm keeps its own optimal "
+        "corpus plan (shuffle-free scoring + TakeOrderedAndProject); "
+        "the rank windows and the full-outer id join run on ≤k-row "
+        "frames (full outer forces a merge join in Spark — fine, the "
+        "inputs are k rows by construction, not corpus rows)",
+    ),
 }
 
 

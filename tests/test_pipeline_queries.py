@@ -3450,3 +3450,91 @@ def test_pq_stored_matches_inline(spark):
     inline = QUERY_FNS["pq_ann_topk"](spark, SF_DIR).collect()
     stored = QUERY_FNS["pq_ann_topk_stored"](spark, SF_DIR).collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in stored]
+
+
+def test_hits_mass_conservation_and_signal(spark):
+    """L1 renormalization keeps each score family's total at
+    HITS_SCALE up to per-node floor truncation (≤ 1 unit each), and
+    the fixed-point arithmetic makes every value a nonnegative
+    integer — the partitioning-independence the oracle relies on."""
+    from article_extractor_spark.queries import HITS_SCALE, QUERY_FNS
+
+    rows = QUERY_FNS["link_hits"](spark, SF_DIR).collect()
+    n = len(rows)
+    hub_tot = sum(r["hub"] for r in rows)
+    auth_tot = sum(r["authority"] for r in rows)
+    for tot in (hub_tot, auth_tot):
+        assert HITS_SCALE - n <= tot <= HITS_SCALE
+    assert all(r["hub"] >= 0 and r["authority"] >= 0 for r in rows)
+    # the graph has out-degree exactly 2 everywhere, so hub scores are
+    # non-degenerate (not all mass on one node)
+    assert sum(1 for r in rows if r["hub"] > 0) > n // 2
+
+
+def test_temperature_quotas_flatten_skew(spark):
+    """The α=0.5 temperature rule must up-weight small sources
+    relative to their raw share and down-weight dominant ones —
+    checked on a deliberately skewed synthetic count table (the
+    testdata sources are uniform, which would vacuously pass)."""
+    from article_extractor_spark.queries import _temperature_quotas
+
+    counts = spark.createDataFrame(
+        [("big", 90_000), ("mid", 9_000), ("tiny", 1_000)],
+        "source string, n_docs long",
+    )
+    out = {r["source"]: r for r in _temperature_quotas(counts).collect()}
+    assert out["big"]["temp_weight_ppm"] < out["big"]["share_ppm"]
+    assert out["tiny"]["temp_weight_ppm"] > out["tiny"]["share_ppm"]
+    # weights are a distribution in ppm (up to integer truncation)
+    w = sum(r["temp_weight_ppm"] for r in out.values())
+    assert 1_000_000 - len(out) <= w <= 1_000_000
+    # quotas respect the global budget of total // 2
+    q = sum(r["quota"] for r in out.values())
+    assert q <= 100_000 // 2
+
+
+def test_temperature_sample_respects_quotas(spark):
+    """Per-source kept counts equal min(quota, n_docs), and the kept
+    set is the deterministic priority prefix (re-running yields the
+    same sample)."""
+    from article_extractor_spark.queries import QUERY_FNS
+
+    mix = {
+        r["source"]: r
+        for r in QUERY_FNS["temperature_mixture"](spark, SF_DIR).collect()
+    }
+    rows = QUERY_FNS["temperature_sample"](spark, SF_DIR).collect()
+    kept: dict[str, int] = {}
+    seen: dict[str, int] = {}
+    for r in rows:
+        seen[r["source"]] = seen.get(r["source"], 0) + 1
+        if r["kept"]:
+            kept[r["source"]] = kept.get(r["source"], 0) + 1
+        # kept iff rank within quota
+        assert r["kept"] == (r["src_rank"] <= mix[r["source"]]["quota"])
+    for s, m in mix.items():
+        assert kept.get(s, 0) == min(m["quota"], seen[s])
+
+
+def test_rrf_fusion_arithmetic(spark):
+    """Every fused row's score recomputes exactly from its arm ranks,
+    and membership is the union of the two arms' top-k lists."""
+    from article_extractor_spark.queries import (
+        QUERY_FNS,
+        RRF_K,
+        RRF_SCALE,
+    )
+
+    rows = QUERY_FNS["rrf_hybrid_topk"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = 0
+        if r["bm25_rank"] is not None:
+            expect += RRF_SCALE // (RRF_K + r["bm25_rank"])
+        if r["cosine_rank"] is not None:
+            expect += RRF_SCALE // (RRF_K + r["cosine_rank"])
+        assert r["bm25_rank"] is not None or r["cosine_rank"] is not None
+        assert r["rrf_micro"] == expect
+    # descending by fused score, ties by id
+    scores = [(r["rrf_micro"], -r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
