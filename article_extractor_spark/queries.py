@@ -3197,6 +3197,75 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+# fingerprint scheme): token k-grams, window of WINNOW_W consecutive
+# gram hashes, select the window minimum (rightmost on ties).
+# Guarantees every shared run of WINNOW_W+WINNOW_K-1 tokens yields at
+# least one shared fingerprint, at expected density 2/(W+1).
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints — the position-aware
+    complement of the MinHash/SimHash whole-doc sketches: selected
+    (position, hash) pairs localize WHERE two documents overlap
+    (plagiarism/quote detection, partial-copy mining), with the
+    winnowing guarantee that any sufficiently long shared substring
+    is always detected regardless of alignment.
+
+    Scale shape: ENTIRELY map-side — gram hashing, the sliding
+    window-min, rightmost-tie selection, and the dedup of adjacent
+    windows that picked the same gram are all higher-order array
+    expressions over the let-bound hash array (no window function, no
+    self-join); ``array_distinct`` runs before the explode, so the
+    operator emits ~2/(W+1) of the gram stream with ZERO exchanges.
+    A downstream cross-doc probe groups the output by fp — one
+    partial-aggregable shuffle of the fingerprints, never the text.
+    All hashes are 60-bit md5 ints (the shared oracle idiom), so the
+    oracle matches exactly."""
+    docs = load(spark, sf_dir, "documents")
+
+    def _fps(hs: Column) -> Column:
+        n = F.size(hs)
+        m = F.greatest(n - (WINNOW_W - 1), F.lit(1))
+
+        def _sel(i: Column) -> Column:
+            win = F.slice(hs, i + 1, WINNOW_W)
+            return X.let(
+                F.array_min(win),
+                lambda mn: F.struct(
+                    (
+                        i
+                        + F.array_max(
+                            F.filter(
+                                F.sequence(F.lit(0), F.size(win) - 1),
+                                lambda j: F.element_at(win, j + 1) == mn,
+                            )
+                        )
+                    )
+                    .cast("int")
+                    .alias("pos"),
+                    mn.alias("fp"),
+                ),
+            )
+
+        return F.when(n == 0, F.array().cast(
+            "array<struct<pos:int,fp:bigint>>"
+        )).otherwise(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(0), m - 1), _sel)
+            )
+        )
+
+    grams = X.word_ngrams(F.col("text"), WINNOW_K)
+    hashed = F.transform(grams, lambda g: X.md5_int(g))
+    return docs.select(
+        "doc_id",
+        F.explode(X.let(hashed, _fps)).alias("s"),
+    ).select("doc_id", "s.pos", "s.fp")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (documents table)
 # ---------------------------------------------------------------------------
@@ -4004,6 +4073,111 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+EVAL_N_QUERIES = 5
+EVAL_K = 10
+# Integer nDCG discount table floor(1e6 / log2(rank+1)) and its prefix
+# sums (for ideal DCG), computed ONCE driver-side and interpolated as
+# literals into BOTH engines — no libm in the comparison at all.
+_EVAL_D = [
+    int(1_000_000 / __import__("math").log2(r + 1))
+    for r in range(1, EVAL_K + 1)
+]
+_EVAL_D_PREFIX = [sum(_EVAL_D[: i + 1]) for i in range(EVAL_K)]
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: score EVAL_N_QUERIES query
+    vectors against the corpus, take each query's exact cosine top-k,
+    and report hits / precision@k / recall@k / nDCG@k per query using
+    the embedding ``label`` as the relevance judgment — the eval loop
+    every ANN/retrieval stack in this registry feeds (and the metric
+    the recall@10 tests of the LSH/IVF/PQ family report informally).
+
+    All metrics are exact integers: counts, ppm ratios by integer DIV,
+    and nDCG from a driver-computed literal discount table (see
+    _EVAL_D) so no log/float-sum enters either engine.
+
+    Scale shape: the corpus is scanned once; the query side (5 rows)
+    is broadcast, scoring is map-side with PRE-COMPUTED squared norms
+    (one fold per pair, not three), and the per-query top-k compiles
+    to WindowGroupLimit — every task forwards at most k rows per
+    query before the (queries × k)-row sort, so the plan is flat in
+    corpus size.  Per-label relevant totals are one partial-aggregable
+    metadata aggregate joined back by broadcast."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") < EVAL_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            S.quantized(F.col("embedding")).alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+        .withColumn("qn2", S.sq_norm(F.col("qv")))
+    )
+    corpus = emb.where(F.col("vec_id") >= EVAL_N_QUERIES).select(
+        "vec_id",
+        "label",
+        S.quantized(F.col("embedding")).alias("v"),
+    ).withColumn("n2", S.sq_norm(F.col("v")))
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        S.cosine_sim_prenorm(
+            F.col("v"), F.col("qv"), F.col("n2"), F.col("qn2")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= EVAL_K
+    )
+    d_arr = F.array(*[F.lit(d).cast("long") for d in _EVAL_D])
+    rel = F.col("label") == F.col("qlabel")
+    per_q = top.groupBy("query_id", "qlabel").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("hits"),
+        F.sum(
+            F.when(rel, F.element_at(d_arr, F.col("rank"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_micro"),
+    )
+    rel_tot = corpus.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    prefix = F.array(*[F.lit(p).cast("long") for p in _EVAL_D_PREFIX])
+    return (
+        per_q.join(
+            F.broadcast(rel_tot), per_q.qlabel == rel_tot.label
+        )
+        .withColumn(
+            "idcg_micro",
+            F.element_at(
+                prefix,
+                F.least(F.col("n_rel"), F.lit(EVAL_K)).cast("int"),
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("n_rel").cast("long").alias("n_rel"),
+            "hits",
+            F.expr(f"hits * 1000000 DIV {EVAL_K}").alias(
+                "precision_ppm"
+            ),
+            F.expr("hits * 1000000 DIV n_rel").alias("recall_ppm"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("dcg_micro * 1000000 DIV idcg_micro").alias(
+                "ndcg_ppm"
+            ),
+        )
+    )
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7994,6 +8168,95 @@ FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.doc_id = a.doc_id
 
 ORACLE_SQL["link_hits"] = _hits_sql()
 
+# Winnowing replay: same k-gram md5-int hashes, same window-min with
+# rightmost tie-break (1-based SQL positions mapped to the 0-based
+# gram index the Spark side emits), DISTINCT standing in for the
+# pre-explode array_distinct.
+ORACLE_SQL["winnow_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS w FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= {WINNOW_K}
+      THEN list_transform(
+        generate_series(1, len(w) - {WINNOW_K - 1}),
+        i -> {_MD5INT.format(
+            expr=f"array_to_string(w[i:i+{WINNOW_K - 1}], ' ')"
+        )})
+      ELSE []::BIGINT[] END AS hs
+  FROM t
+), nz AS (
+  SELECT doc_id, hs, len(hs) AS n FROM g WHERE len(hs) > 0
+), win AS (
+  SELECT doc_id, hs, n,
+    unnest(generate_series(1, greatest(n - {WINNOW_W - 1}, 1))) AS i
+  FROM nz
+), mn AS (
+  SELECT doc_id, hs, n, i,
+    list_aggregate(hs[i:least(i + {WINNOW_W - 1}, n)], 'min') AS fp
+  FROM win
+)
+SELECT DISTINCT doc_id,
+  CAST(i + list_aggregate(
+    list_filter(generate_series(1, least({WINNOW_W}, n - i + 1)),
+                j -> hs[i + j - 1] = fp),
+    'max') - 2 AS INT) AS pos,
+  fp
+FROM mn
+"""
+
+
+def _retrieval_eval_sql() -> str:
+    """Same IEEE cosine expression tree as the Spark side, same
+    literal integer discount tables, BIGINT casts everywhere the
+    Spark schema is long."""
+    d_list = "[" + ", ".join(str(d) for d in _EVAL_D) + "]"
+    p_list = "[" + ", ".join(str(p) for p in _EVAL_D_PREFIX) + "]"
+    dot = _IDOT.format(a="c.v", b="q.qv")
+    na = _IDOT.format(a="c.v", b="c.v")
+    nb = _IDOT.format(a="q.qv", b="q.qv")
+    idcg = f"CAST(({p_list})[least(r.n_rel, {EVAL_K})] AS BIGINT)"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QUANT} AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {EVAL_N_QUERIES}
+), c AS (
+  SELECT vec_id, label, {_QUANT} AS v
+  FROM embeddings WHERE vec_id >= {EVAL_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+    round(CAST({dot} AS DOUBLE) /
+          (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))),
+          6) AS cos
+  FROM c, q
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS r
+  FROM scored
+), top AS (
+  SELECT * FROM ranked WHERE r <= {EVAL_K}
+), rel AS (
+  SELECT label, COUNT(*) AS n_rel FROM c GROUP BY label
+), agg AS (
+  SELECT query_id, qlabel,
+    CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+         AS BIGINT) AS hits,
+    CAST(SUM(CASE WHEN label = qlabel THEN ({d_list})[r] ELSE 0 END)
+         AS BIGINT) AS dcg_micro
+  FROM top GROUP BY 1, 2
+)
+SELECT a.query_id, CAST(r.n_rel AS BIGINT) AS n_rel, a.hits,
+  a.hits * 1000000 // {EVAL_K} AS precision_ppm,
+  a.hits * 1000000 // r.n_rel AS recall_ppm,
+  a.dcg_micro,
+  {idcg} AS idcg_micro,
+  a.dcg_micro * 1000000 // {idcg} AS ndcg_ppm
+FROM agg a JOIN rel r ON a.qlabel = r.label
+"""
+
+
+ORACLE_SQL["retrieval_eval"] = _retrieval_eval_sql()
+
 QUERY_FNS: dict[str, Query] = {
     "manifest_fold": q_manifest_fold,
     "latest_event_per_user": q_latest_event_per_user,
@@ -8074,10 +8337,12 @@ QUERY_FNS: dict[str, Query] = {
     "training_order": q_training_order,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "decontaminate": q_decontaminate,
     "jaccard_pairs": q_jaccard_pairs,
     "cosine_topk": q_cosine_topk,
+    "retrieval_eval": q_retrieval_eval,
     "sq8_ann_topk": q_sq8_ann_topk,
     "sq8_ann_topk_stored": q_sq8_ann_topk_stored,
     "lsh_ann_topk": q_lsh_ann_topk,
