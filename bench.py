@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "url_normalize",
     "url_normalize_rich",
     "windowed_event_rates",
+    "winnow_fingerprints",
+    "retrieval_eval",
 ]
 
 

@@ -670,6 +670,25 @@ CHECKS = {
         "frames (full outer forces a merge join in Spark — fine, the "
         "inputs are k rows by construction, not corpus rows)",
     ),
+    "winnow_fingerprints": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange hashpartitioning", "Window", "SortMergeJoin"],
+        "winnowing is ENTIRELY map-side: gram hashing, window-min "
+        "selection, and adjacent-window dedup are array expressions "
+        "over a let-bound hash array — zero exchanges, scan pruned "
+        "to (doc_id, text)",
+    ),
+    "retrieval_eval": (
+        ["WindowGroupLimit", "BroadcastNestedLoopJoin",
+         "BroadcastHashJoin"],
+        ["SortMergeJoin", "CartesianProduct",
+         "Exchange rangepartitioning"],
+        "retrieval eval: 5-row query side broadcast (the scalar-"
+        "attach BroadcastNestedLoopJoin), per-query top-k compiles "
+        "to partial+final WindowGroupLimit so each task forwards ≤k "
+        "rows per query; per-label totals are a partial-aggregable "
+        "metadata aggregate joined back by broadcast",
+    ),
 }
 
 
