@@ -303,6 +303,37 @@ def token_count_pudf():
     return pandas_udf("int")(_count)
 
 
+def nfc_normalize_pudf():
+    """Unicode NFC normalization as an Arrow-batched scalar pandas UDF
+    — the canonical text-fixing pass every training pipeline runs
+    before tokenization (combining sequences → precomposed forms, so
+    'e'+U+0301 and 'é' dedup/tokenize identically).
+
+    Spark SQL has no built-in normalizer, so this is one of the
+    legitimate Python-kernel cases (the image-decode precedent): the
+    kernel is a C-implemented table lookup (CPython ``unicodedata``),
+    Arrow moves the batches, and the column it runs over should be
+    pruned to (id, text) first.  ASCII fast path: ``str.isascii`` is a
+    C scan, and ASCII is NFC by construction, so pure-ASCII batches
+    skip the normalizer entirely.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(texts):
+        def one(v):
+            if v is None or v.isascii():
+                return v
+            return unicodedata.normalize("NFC", v)
+
+        return texts.map(one)
+
+    _nfc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf("string")(_nfc)
+
+
 # Gopher (Rae et al. 2021) document-filter constants.  Symbols are the
 # paper's hash + ellipsis set; bullets are common list markers.  The
 # regexes are shared verbatim with the SQL oracle.

@@ -5301,6 +5301,193 @@ def q_discovery_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MD_SUFFIX = ".md"
+
+
+def q_markdown_variant_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discovery crawler's markdown-URL-suffix conversion
+    (reference discovery.py:748-785, ``_convert_to_markdown_url``) as a
+    pure column map: docs sites that serve ``page.md`` next to
+    ``page.html`` let the crawler fetch markdown directly.  The exact
+    reference decision table, pinned branch by branch on synthesized
+    URLs (shape = doc_id % 8 covers every arm):
+
+    - seeds and suffix-less configs pass through VERBATIM (query and
+      fragment intact — the early returns never reach urlunparse);
+    - root path ('' after rstrip('/')) passes through verbatim;
+    - a dotted last segment with a non-html extension (.pdf, .tar.gz)
+      passes through verbatim;
+    - a trailing-``.md`` path keeps its path but is REBUILT through
+      urlunparse (fragment dropped, query dropped when
+      allow_querystrings=false — the reference default);
+    - ``.html``/``.htm`` (case-insensitive) is stripped before the
+      suffix is appended; bare segments get the suffix appended;
+      trailing slashes are rstripped first.
+
+    Scale shape: zero-exchange whole-stage-codegen'd string
+    expressions over a (doc_id, source)-pruned scan — no UDF, no
+    shuffle, no driver round-trip.  A unit test replays the reference
+    algorithm verbatim in Python (urlparse/urlunparse) over the same
+    rows and asserts equality row-for-row."""
+    docs = load(spark, sf_dir, "documents")
+    base = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    i = F.col("doc_id").cast("string")
+    shape = F.pmod(F.col("doc_id"), F.lit(8))
+    url = (
+        F.when(shape == 0, F.concat(base, F.lit("/#top")))
+        .when(shape == 1, F.concat(base, F.lit("/news/item-"), i))
+        .when(
+            shape == 2,
+            F.concat(base, F.lit("/docs/page-"), i, F.lit(".html?ref=rss")),
+        )
+        .when(shape == 3, F.concat(base, F.lit("/docs/page-"), i, F.lit(".HTM")))
+        .when(
+            shape == 4,
+            F.concat(base, F.lit("/files/report-"), i, F.lit(".pdf?dl=1")),
+        )
+        .when(shape == 5, F.concat(base, F.lit("/guide/intro-"), i, F.lit(".md#s2")))
+        .when(shape == 6, F.concat(base, F.lit("/a/b-"), i, F.lit("///")))
+        .otherwise(F.concat(base, F.lit("/c.v2/d-"), i))
+    )
+    t = docs.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(13)) == 0).alias("is_seed"),
+        url.alias("url"),
+    )
+    scheme = F.regexp_extract("url", r"^([a-z]+)://", 1)
+    netloc = F.regexp_extract("url", r"^[a-z]+://([^/?#]*)", 1)
+    raw_path = F.regexp_extract("url", r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    trimmed = F.regexp_replace(path, "/+$", "")
+    seg = F.element_at(F.split(trimmed, "/"), -1)
+    has_dot = seg.contains(".")
+    ext = F.lower(F.regexp_extract(seg, r"\.([^.]*)$", 1))
+    html_ext = ext.isin("html", "htm")
+    stripped = trimmed.substr(
+        F.lit(1), F.length(trimmed) - F.length(ext) - F.lit(1)
+    )
+    md_path = (
+        F.when(trimmed.endswith(MD_SUFFIX), trimmed)
+        .when(~has_dot, F.concat(trimmed, F.lit(MD_SUFFIX)))
+        .otherwise(F.concat(stripped, F.lit(MD_SUFFIX)))
+    )
+    passthrough = (
+        F.col("is_seed")
+        | (trimmed == "")
+        | (has_dot & ~trimmed.endswith(MD_SUFFIX) & ~html_ext)
+    )
+    md_url = F.when(passthrough, F.col("url")).otherwise(
+        F.concat(scheme, F.lit("://"), netloc, md_path)
+    )
+    return t.select(
+        "doc_id",
+        "is_seed",
+        "url",
+        md_url.alias("md_url"),
+        (md_url != F.col("url")).alias("changed"),
+    )
+
+
+# fastText-style quality classifier (Joulin et al. 2017; the
+# DCLM/CCNet-style corpus-quality gate): a linear model over hashed
+# unigram+bigram features.  Weights are a closed-form integer function
+# of the bucket id (micro-units), so inference needs NO weight table at
+# all — the model is baked into the expression and the scoring pass is
+# a zero-exchange map.  A trained model swaps the closed form for a
+# 4096-entry array literal (the DSIR weight-table pattern) — same plan.
+FT_BUCKETS = 4096
+FT_WEIGHT_MOD = 2001  # weights span [-1000, 1000] micro-units
+
+
+def q_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape quality-classifier INFERENCE over the corpus:
+    score(doc) = Σ w[h(feature)] over hashed unigram + bigram features
+    of the lowercased whitespace tokens; keep iff score ≥ 0.  This is
+    the quality-gate shape used to build LLaMA/DCLM-style corpora
+    (classifier scores every document, threshold selects).
+
+    Exactness: md5-derived buckets (the DSIR hashing trick) and
+    integer micro-unit weights — sums are order-independent, so Spark
+    and DuckDB agree bit-for-bit.
+
+    Scale shape: ZERO exchanges — tokenize, build the bigram list with
+    zip_with over two slices (no explode: features stay inside the
+    row), fold with a higher-order aggregate.  Per-partition output is
+    4 scalars/doc; at 10^12 docs nothing shuffles and the scan prunes
+    to (doc_id, text)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    n = F.size(toks)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+    )
+
+    def bucket(s: Column) -> Column:
+        return F.pmod(X.md5_int(s), F.lit(FT_BUCKETS))
+
+    def weight(b: Column) -> Column:
+        return F.pmod(
+            X.md5_int(F.concat(F.lit("w"), b.cast("string"))),
+            F.lit(FT_WEIGHT_MOD),
+        ) - F.lit(1000)
+
+    feats = F.concat(
+        F.transform(toks, bucket), F.transform(bigrams, bucket)
+    )
+    t = docs.select(
+        "doc_id", X.ws_tokens(F.lower(F.col("text"))).alias("toks")
+    ).select("doc_id", feats.alias("feats"))
+    score = F.aggregate(
+        F.col("feats"), F.lit(0).cast("long"), lambda acc, b: acc + weight(b)
+    )
+    return t.select(
+        "doc_id",
+        F.size("feats").alias("n_feats"),
+        score.alias("score"),
+        (score >= 0).alias("keep"),
+    )
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC text fixing (the ftfy/cleanup pass before
+    tokenization): combining sequences fold to precomposed forms so
+    'cafe'+U+0301 and 'café' hash/dedup/tokenize identically.  Input
+    texts get a deterministic decomposed decoration (doc_id % 4 arms:
+    combining acute, combining tilde, ring+diaeresis, and an
+    already-composed control that must pass through unchanged).
+
+    Engine side runs the Arrow-batched ``nfc_normalize_pudf`` kernel
+    (Spark SQL has no built-in normalizer — the documented legitimate
+    Python-kernel case, with a C-level ASCII fast path); the oracle is
+    DuckDB's independent utf8proc implementation of the same Unicode
+    algorithm — cross-library agreement IS the correctness claim.
+
+    Scale shape: scan pruned to (doc_id, text), one MapInArrow stage,
+    zero exchanges; ``delta_cp`` (codepoints removed by composition)
+    and ``changed`` ride the same projection."""
+    docs = load(spark, sf_dir, "documents")
+    shape = F.pmod(F.col("doc_id"), F.lit(4))
+    decor = (
+        F.when(shape == 0, F.lit(" cafe\u0301 plain"))
+        .when(shape == 1, F.lit(" man\u0303ana"))
+        .when(shape == 2, F.lit(" A\u030Angstro\u0308m"))
+        .otherwise(F.lit(" caf\u00e9 composed"))
+    )
+    raw = F.concat(F.col("text"), decor)
+    nfc = X.nfc_normalize_pudf()(raw)
+    t = docs.select("doc_id", raw.alias("raw"), nfc.alias("nfc"))
+    return t.select(
+        "doc_id",
+        "nfc",
+        (F.col("nfc") != F.col("raw")).alias("changed"),
+        (F.length("raw") - F.length("nfc")).cast("int").alias("delta_cp"),
+    )
+
+
 _EPOCH_ISO = "1970-01-01T00:00:00+00:00"
 
 
@@ -7739,6 +7926,118 @@ FROM frontier f JOIN priors p USING (host, pattern)
 ORDER BY prior DESC, f.url LIMIT {DISCOVERY_TOPK}
 """
 
+# Markdown-variant URL conversion: the reference's decision table
+# (discovery.py:748-785) replayed in SQL over the same synthesized
+# URL shapes.  Early-return arms keep the raw URL verbatim; converted
+# arms rebuild scheme://netloc + md_path (query + fragment dropped).
+ORACLE_SQL["markdown_variant_urls"] = """
+WITH t AS (
+  SELECT doc_id, (doc_id % 13 = 0) AS is_seed,
+    CASE CAST(doc_id % 8 AS INT)
+      WHEN 0 THEN 'https://' || source || '.example.com/#top'
+      WHEN 1 THEN 'https://' || source || '.example.com/news/item-'
+        || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://' || source || '.example.com/docs/page-'
+        || CAST(doc_id AS VARCHAR) || '.html?ref=rss'
+      WHEN 3 THEN 'https://' || source || '.example.com/docs/page-'
+        || CAST(doc_id AS VARCHAR) || '.HTM'
+      WHEN 4 THEN 'https://' || source || '.example.com/files/report-'
+        || CAST(doc_id AS VARCHAR) || '.pdf?dl=1'
+      WHEN 5 THEN 'https://' || source || '.example.com/guide/intro-'
+        || CAST(doc_id AS VARCHAR) || '.md#s2'
+      WHEN 6 THEN 'https://' || source || '.example.com/a/b-'
+        || CAST(doc_id AS VARCHAR) || '///'
+      ELSE 'https://' || source || '.example.com/c.v2/d-'
+        || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, is_seed, url,
+    regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+    regexp_extract(url, '^[a-z]+://([^/?#]*)', 1) AS netloc,
+    regexp_replace(
+      CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) = ''
+           THEN '/'
+           ELSE regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1) END,
+      '/+$', '') AS trimmed
+  FROM t
+),
+r AS (
+  SELECT *,
+    contains(string_split(trimmed, '/')[-1], '.') AS has_dot,
+    lower(regexp_extract(string_split(trimmed, '/')[-1],
+                         '\\.([^.]*)$', 1)) AS ext
+  FROM p
+),
+s AS (
+  SELECT *,
+    CASE WHEN ends_with(trimmed, '.md') THEN trimmed
+         WHEN NOT has_dot THEN trimmed || '.md'
+         ELSE substr(trimmed, 1, len(trimmed) - len(ext) - 1) || '.md'
+    END AS md_path
+  FROM r
+),
+f AS (
+  SELECT doc_id, is_seed, url,
+    CASE WHEN is_seed OR trimmed = ''
+              OR (has_dot AND NOT ends_with(trimmed, '.md')
+                  AND ext NOT IN ('html', 'htm'))
+         THEN url
+         ELSE scheme || '://' || netloc || md_path END AS md_url
+  FROM s
+)
+SELECT doc_id, is_seed, url, md_url, (md_url != url) AS changed FROM f
+"""
+
+_FT_UNI = _MD5INT.format(expr="t") + f" % {FT_BUCKETS}"
+_FT_BI = _MD5INT.format(expr="toks[i] || '_' || toks[i+1]") + f" % {FT_BUCKETS}"
+_FT_W = (
+    _MD5INT.format(expr="'w' || CAST(b AS VARCHAR)")
+    + f" % {FT_WEIGHT_MOD} - 1000"
+)
+# fastText-shape classifier inference: hashed unigram+bigram features,
+# closed-form integer weights — order-independent integer sums, exact
+# across engines.
+ORACLE_SQL["fasttext_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    list_concat(
+      list_transform(toks, t -> {_FT_UNI}),
+      list_transform(range(1, len(toks)), i -> {_FT_BI})
+    ) AS feats
+  FROM base
+),
+sc AS (
+  SELECT doc_id, CAST(len(feats) AS INT) AS n_feats,
+    CAST(COALESCE(list_aggregate(
+      list_transform(feats, b -> {_FT_W}), 'sum'), 0) AS BIGINT) AS score
+  FROM feat
+)
+SELECT doc_id, n_feats, score, (score >= 0) AS keep FROM sc
+"""
+
+# NFC normalization: DuckDB's utf8proc nfc_normalize is an independent
+# implementation of the same Unicode algorithm as CPython's
+# unicodedata — cross-library agreement is the correctness claim.
+ORACLE_SQL["nfc_normalize"] = """
+WITH t AS (
+  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN ' café plain'
+    WHEN 1 THEN ' mañana'
+    WHEN 2 THEN ' Ångström'
+    ELSE ' café composed' END AS raw
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(raw) AS nfc,
+  (nfc_normalize(raw) != raw) AS changed,
+  CAST(len(raw) - len(nfc_normalize(raw)) AS INT) AS delta_cp
+FROM t
+"""
+
 ORACLE_SQL["anchor_texts"] = f"""
 WITH base AS (
   SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks FROM documents
@@ -8378,6 +8677,9 @@ QUERY_FNS: dict[str, Query] = {
     "sitemap_tree_locs": q_sitemap_tree_locs,
     "robots_eval": q_robots_eval,
     "discovery_priorities": q_discovery_priorities,
+    "markdown_variant_urls": q_markdown_variant_urls,
+    "fasttext_quality": q_fasttext_quality,
+    "nfc_normalize": q_nfc_normalize,
     "rate_limit_schedule": q_rate_limit_schedule,
     "rate_limit_adaptive": q_rate_limit_adaptive,
     "extract_spans_full": q_extract_spans_full,

@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     "windowed_event_rates",
     "winnow_fingerprints",
     "retrieval_eval",
+    "markdown_variant_urls",
+    "fasttext_quality",
+    "nfc_normalize",
 ]
 
 

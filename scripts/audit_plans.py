@@ -180,6 +180,27 @@ CHECKS = {
         "partial-aggregable max_by over (prefix_len, is_allow), so "
         "the per-URL rollup combines map-side",
     ),
+    "markdown_variant_urls": (
+        ["ReadSchema: struct<doc_id:bigint,source:string>"],
+        ["Exchange hashpartitioning", "Window", "SortMergeJoin", "BatchEvalPython"],
+        "reference markdown-suffix conversion as pure codegen'd string "
+        "expressions: scan pruned to (doc_id, source), zero shuffles, "
+        "no Python",
+    ),
+    "fasttext_quality": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange hashpartitioning", "Window", "SortMergeJoin", "BatchEvalPython"],
+        "classifier inference is a zero-exchange map: hashed features "
+        "stay inside the row (zip_with slices, no explode), weights are "
+        "a closed-form expression — no weight table, no shuffle",
+    ),
+    "nfc_normalize": (
+        ["ArrowEvalPython", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange hashpartitioning", "Window", "SortMergeJoin", "BatchEvalPython"],
+        "NFC kernel is Arrow-batched (the documented Python-kernel "
+        "case; Spark has no built-in normalizer) over a scan pruned to "
+        "(doc_id, text); zero exchanges",
+    ),
     "discovery_priorities": (
         ["BroadcastHashJoin", "TakeOrderedAndProject", "HashAggregate"],
         ["SortMergeJoin", "Window"],

@@ -3538,3 +3538,139 @@ def test_rrf_fusion_arithmetic(spark):
     # descending by fused score, ties by id
     scores = [(r["rrf_micro"], -r["doc_id"]) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_markdown_variant_matches_reference_replay(spark):
+    """Reference parity for the markdown-suffix conversion
+    (discovery.py:748-785): the engine's column expressions must agree
+    with the reference's actual urlparse/urlunparse algorithm —
+    replayed verbatim below with suffix='.md' and
+    allow_querystrings=False (the reference defaults) — on every
+    generated URL, including every early-return arm."""
+    from urllib.parse import urlparse, urlunparse
+
+    from article_extractor_spark.queries import QUERY_FNS
+
+    def reference_convert(url: str, is_seed: bool) -> str:
+        suffix = ".md"
+        if is_seed or not suffix:
+            return url
+        parsed = urlparse(url)
+        path = parsed.path or "/"
+        trimmed_path = path.rstrip("/")
+        if not trimmed_path:
+            return url
+        if trimmed_path.endswith(suffix):
+            markdown_path = trimmed_path
+        else:
+            last_segment = trimmed_path.split("/")[-1]
+            if "." in last_segment:
+                _base, ext = last_segment.rsplit(".", 1)
+                if ext.lower() in {"html", "htm"}:
+                    trimmed_path = trimmed_path[: -(len(ext) + 1)]
+                else:
+                    return url
+            markdown_path = f"{trimmed_path}{suffix}"
+        return urlunparse(
+            (parsed.scheme, parsed.netloc, markdown_path, parsed.params, "", "")
+        )
+
+    rows = QUERY_FNS["markdown_variant_urls"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    shapes_changed = set()
+    for r in rows:
+        expect = reference_convert(r["url"], r["is_seed"])
+        assert r["md_url"] == expect, (r["url"], r["md_url"], expect)
+        assert r["changed"] == (r["md_url"] != r["url"])
+        if r["changed"]:
+            shapes_changed.add(int(r["doc_id"]) % 8)
+    # converted arms: bare segment, .html, .HTM, .md+fragment,
+    # trailing slashes, dotted-middle-segment; early returns: root,
+    # non-html extension (and seeds).
+    assert shapes_changed == {1, 2, 3, 5, 6, 7}
+
+
+def test_fasttext_quality_matches_python_replay(spark):
+    """Implementation-independent replay: hashlib-md5 buckets and the
+    closed-form weights recomputed in pure Python over the raw parquet
+    text must reproduce the engine's n_feats and score exactly."""
+    import hashlib
+
+    from article_extractor_spark.queries import (
+        FT_BUCKETS,
+        FT_WEIGHT_MOD,
+        QUERY_FNS,
+    )
+
+    def md5_int(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    def score_of(text: str) -> tuple[int, int]:
+        toks = text.lower().split()
+        feats = [md5_int(t) % FT_BUCKETS for t in toks]
+        feats += [
+            md5_int(f"{a}_{b}") % FT_BUCKETS
+            for a, b in zip(toks, toks[1:])
+        ]
+        score = sum(
+            md5_int(f"w{b}") % FT_WEIGHT_MOD - 1000 for b in feats
+        )
+        return len(feats), score
+
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in pd.read_parquet(f"{SF_DIR}/documents.parquet").to_dict(
+            "records"
+        )
+    }
+    rows = QUERY_FNS["fasttext_quality"](spark, SF_DIR).collect()
+    assert len(rows) == len(texts)
+    n_keep = 0
+    for r in rows:
+        n_feats, score = score_of(texts[int(r["doc_id"])])
+        assert (r["n_feats"], r["score"]) == (n_feats, score), r["doc_id"]
+        assert r["keep"] == (score >= 0)
+        n_keep += int(r["keep"])
+    # the synthetic weights are symmetric around zero: both classes occur
+    assert 0 < n_keep < len(rows)
+
+
+def test_nfc_normalize_matches_unicodedata(spark):
+    """The Arrow-batched NFC kernel must agree with CPython
+    unicodedata on every row (raw text reconstructed from the parquet
+    plus the deterministic decoration), and each decomposed arm must
+    actually compose."""
+    import unicodedata
+
+    from article_extractor_spark.queries import QUERY_FNS
+
+    decor = {
+        0: " café plain",
+        1: " mañana",
+        2: " Ångström",
+        3: " café composed",
+    }
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in pd.read_parquet(f"{SF_DIR}/documents.parquet").to_dict(
+            "records"
+        )
+    }
+    rows = QUERY_FNS["nfc_normalize"](spark, SF_DIR).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        did = int(r["doc_id"])
+        raw = texts[did] + decor[did % 4]
+        expect = unicodedata.normalize("NFC", raw)
+        assert r["nfc"] == expect, did
+        assert r["changed"] == (expect != raw)
+        assert r["delta_cp"] == len(raw) - len(expect)
+        if did % 4 in (0, 1, 2):
+            # combining sequences must have composed: shorter by one
+            # codepoint per combining mark, and the precomposed char
+            # must appear in the tail
+            assert r["changed"] and r["delta_cp"] >= 1
+            tail = r["nfc"][-20:]
+            assert {0: "café", 1: "mañana", 2: "Ångström"}[
+                did % 4
+            ] in tail
