@@ -5304,6 +5304,42 @@ def q_discovery_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 MD_SUFFIX = ".md"
 
 
+def markdown_variant_expr(url: Column, is_seed: Column) -> Column:
+    """The reference's ``_convert_to_markdown_url`` decision table
+    (discovery.py:748-785) as one pure column expression over an
+    arbitrary URL column — factored out of ``q_markdown_variant_urls``
+    so the hypothesis fuzz differential can drive it over generated
+    URLs.  Semantics notes: early-return arms yield the input VERBATIM
+    (query/fragment intact); converted arms rebuild through the
+    urlunparse shape with query and fragment dropped
+    (allow_querystrings=False, the reference default)."""
+    scheme = F.regexp_extract(url, r"^([a-z]+)://", 1)
+    netloc = F.regexp_extract(url, r"^[a-z]+://([^/?#]*)", 1)
+    raw_path = F.regexp_extract(url, r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    trimmed = F.regexp_replace(path, "/+$", "")
+    seg = F.element_at(F.split(trimmed, "/"), -1)
+    has_dot = seg.contains(".")
+    ext = F.lower(F.regexp_extract(seg, r"\.([^.]*)$", 1))
+    html_ext = ext.isin("html", "htm")
+    stripped = trimmed.substr(
+        F.lit(1), F.length(trimmed) - F.length(ext) - F.lit(1)
+    )
+    md_path = (
+        F.when(trimmed.endswith(MD_SUFFIX), trimmed)
+        .when(~has_dot, F.concat(trimmed, F.lit(MD_SUFFIX)))
+        .otherwise(F.concat(stripped, F.lit(MD_SUFFIX)))
+    )
+    passthrough = (
+        is_seed
+        | (trimmed == "")
+        | (has_dot & ~trimmed.endswith(MD_SUFFIX) & ~html_ext)
+    )
+    return F.when(passthrough, url).otherwise(
+        F.concat(scheme, F.lit("://"), netloc, md_path)
+    )
+
+
 def q_markdown_variant_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The discovery crawler's markdown-URL-suffix conversion
     (reference discovery.py:748-785, ``_convert_to_markdown_url``) as a
@@ -5354,31 +5390,7 @@ def q_markdown_variant_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(F.col("doc_id"), F.lit(13)) == 0).alias("is_seed"),
         url.alias("url"),
     )
-    scheme = F.regexp_extract("url", r"^([a-z]+)://", 1)
-    netloc = F.regexp_extract("url", r"^[a-z]+://([^/?#]*)", 1)
-    raw_path = F.regexp_extract("url", r"^[a-z]+://[^/?#]*([^?#]*)", 1)
-    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
-    trimmed = F.regexp_replace(path, "/+$", "")
-    seg = F.element_at(F.split(trimmed, "/"), -1)
-    has_dot = seg.contains(".")
-    ext = F.lower(F.regexp_extract(seg, r"\.([^.]*)$", 1))
-    html_ext = ext.isin("html", "htm")
-    stripped = trimmed.substr(
-        F.lit(1), F.length(trimmed) - F.length(ext) - F.lit(1)
-    )
-    md_path = (
-        F.when(trimmed.endswith(MD_SUFFIX), trimmed)
-        .when(~has_dot, F.concat(trimmed, F.lit(MD_SUFFIX)))
-        .otherwise(F.concat(stripped, F.lit(MD_SUFFIX)))
-    )
-    passthrough = (
-        F.col("is_seed")
-        | (trimmed == "")
-        | (has_dot & ~trimmed.endswith(MD_SUFFIX) & ~html_ext)
-    )
-    md_url = F.when(passthrough, F.col("url")).otherwise(
-        F.concat(scheme, F.lit("://"), netloc, md_path)
-    )
+    md_url = markdown_variant_expr(F.col("url"), F.col("is_seed"))
     return t.select(
         "doc_id",
         "is_seed",

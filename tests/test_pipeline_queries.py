@@ -3674,3 +3674,115 @@ def test_nfc_normalize_matches_unicodedata(spark):
             assert {0: "café", 1: "mañana", 2: "Ångström"}[
                 did % 4
             ] in tail
+
+
+def test_markdown_variant_fuzz_matches_reference(spark):
+    """Seeded fuzz differential for the factored conversion expression:
+    400 randomly composed URLs (dotted/multi-dot/uppercase segments,
+    trailing-slash runs, queries, fragments, empty paths, .md/.html/
+    .HTM/.tar.gz suffixes) through ONE Spark job vs the verbatim
+    urlparse/urlunparse reference algorithm."""
+    import random
+    from urllib.parse import urlparse, urlunparse
+
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.queries import markdown_variant_expr
+
+    def reference_convert(url: str, is_seed: bool) -> str:
+        suffix = ".md"
+        if is_seed:
+            return url
+        parsed = urlparse(url)
+        path = parsed.path or "/"
+        trimmed_path = path.rstrip("/")
+        if not trimmed_path:
+            return url
+        if trimmed_path.endswith(suffix):
+            markdown_path = trimmed_path
+        else:
+            last_segment = trimmed_path.split("/")[-1]
+            if "." in last_segment:
+                _base, ext = last_segment.rsplit(".", 1)
+                if ext.lower() in {"html", "htm"}:
+                    trimmed_path = trimmed_path[: -(len(ext) + 1)]
+                else:
+                    return url
+            markdown_path = f"{trimmed_path}{suffix}"
+        return urlunparse(
+            (parsed.scheme, parsed.netloc, markdown_path, parsed.params, "", "")
+        )
+
+    rng = random.Random(20260820)
+    seg_pool = [
+        "a", "b7", "IDX", "page", "page.html", "PAGE.HTML", "x.HTM",
+        "file.htm", "doc.md", "a.tar.gz", "v1.2", "z.", ".hidden",
+        "r.pdf", "intro.md", "multi.dot.html", "md", "html",
+    ]
+    urls = []
+    for _ in range(400):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(["ex.com", "a.b.co", "h-1.org:8080"])
+        nseg = rng.randint(0, 4)
+        path = "".join(
+            "/" + rng.choice(seg_pool) for _ in range(nseg)
+        ) + rng.choice(["", "/", "//", "///"])
+        q = rng.choice(["", "?q=1", "?a=b&c=d"])
+        frag = rng.choice(["", "#top", "#s.md"])
+        urls.append((rng.random() < 0.1, f"{scheme}://{host}{path}{q}{frag}"))
+
+    df = spark.createDataFrame(urls, "is_seed boolean, url string")
+    out = df.select(
+        "is_seed",
+        "url",
+        markdown_variant_expr(F.col("url"), F.col("is_seed")).alias("md"),
+    ).collect()
+    assert len(out) == 400
+    for r in out:
+        assert r["md"] == reference_convert(r["url"], r["is_seed"]), r["url"]
+
+
+def test_nfc_kernel_fuzz_three_way(spark):
+    """Seeded unicode fuzz for the NFC kernel: strings mixing combining
+    marks, Hangul jamo, compatibility/precomposed forms, and
+    singletons through ONE Spark job — the Arrow kernel must agree
+    with CPython unicodedata AND DuckDB's utf8proc on every row
+    (three independent implementations of UAX #15)."""
+    import random
+    import unicodedata
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions.text import nfc_normalize_pudf
+
+    pieces = [
+        "é", "ñ", "Å", "ö", "é", "Å",
+        "Å",  # ANGSTROM SIGN — NFC singleton → U+00C5
+        "ḍ̇",  # d-dot-above + dot-below (reordering case)
+        "ḍ̇",  # canonical-order twin of the above
+        "각",  # Hangul jamo → precomposed syllable
+        "각",  # already-precomposed Hangul
+        "abc", " ", "́",  # lone combining mark (no base)
+        "ﬁ",  # fi ligature (compatibility: NFC must KEEP it)
+        "ば",  # ba (hiragana, composed)
+        "ば",  # ha + voicing mark → ba
+    ]
+    rng = random.Random(77)
+    rows = [
+        (i, "".join(rng.choice(pieces) for _ in range(rng.randint(0, 12))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        r["id"]: r["nfc"]
+        for r in df.select(
+            "id", nfc_normalize_pudf()(F.col("s")).alias("nfc")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in rows:
+        expect = unicodedata.normalize("NFC", s)
+        assert got[i] == expect, (i, ascii(s))
+        db = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
+        assert db == expect, (i, ascii(s))
