@@ -196,34 +196,6 @@ class Node:
                     extend(node.children[::-1])
         return out
 
-    def iter_query(self, selector: str):
-        """Lazily yield strict descendants matching ``selector`` in
-        document order — identical match semantics to ``query`` but a
-        generator, so callers that only consume the first match (the
-        title cascade probes og:title/h1/title, all usually in or near
-        <head>) stop walking as soon as they have it."""
-        stack = self.children[::-1]
-        tag = bare_tag(selector)
-        if tag is not None:
-            while stack:
-                node = stack.pop()
-                if node.name != TEXT:
-                    if node.name == tag:
-                        yield node
-                    if node.children:
-                        stack.extend(node.children[::-1])
-            return
-        matchers = compile_selector(selector)
-        while stack:
-            node = stack.pop()
-            if node.name != TEXT:
-                for m in matchers:
-                    if m(node):
-                        yield node
-                        break
-                if node.children:
-                    stack.extend(node.children[::-1])
-
     def matches(self, selector: str) -> bool:
         matchers = compile_selector(selector)
         return any(m(self) for m in matchers)

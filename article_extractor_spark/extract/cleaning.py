@@ -98,7 +98,7 @@ def title_from_url(url: str) -> str | None:
 def extract_title(doc: Node, url: str = "") -> str:
     """Cascading title extraction (title_extractor.py:16-67).
 
-    ONE document-order walk replaces the three ``iter_query`` cascades:
+    ONE document-order walk replaces three first-match query cascades:
     the walk records the first ``<h1>`` and first ``<title>`` and
     returns immediately on the first ``og:title`` meta with non-empty
     content (cascade priority is independent of document position, so

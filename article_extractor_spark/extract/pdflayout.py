@@ -56,12 +56,20 @@ def pdf_escape(s: str) -> str:
     §7.9.2.2 — the spec's own convention for non-PDFDocEncoding text),
     so the writer is total over unicode instead of dying inside an
     Arrow batch on the first CJK character (found by the format
-    fuzzer).  ``_lex_string`` reverses the convention."""
+    fuzzer).  ``_lex_string`` reverses the convention.
+
+    Latin-1 text that itself BEGINS with U+00FE U+00FF must also take
+    the UTF-16BE arm: emitted raw, its first two bytes are an
+    accidental BOM and ``_decode_text_string`` would misread the rest
+    as UTF-16BE (round-trip corruption, found by review)."""
     if not s.isascii():  # C-level gate: ASCII text skips the probe
         try:
             s.encode("latin-1")
         except UnicodeEncodeError:
             s = "\xfe\xff" + s.encode("utf-16-be").decode("latin-1")
+        else:
+            if s.startswith("\xfe\xff"):
+                s = "\xfe\xff" + s.encode("utf-16-be").decode("latin-1")
     return s.translate(_ESCAPE)
 
 

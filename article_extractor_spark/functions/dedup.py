@@ -1108,7 +1108,16 @@ def exact_substring_dedup(
         )
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("s")).alias("dup_starts"))
+        # eagerly materialize the SMALL side (one row per doc that
+        # contains a duplicate) so the corpus-scale window table can be
+        # unpersisted before this function returns — a session running
+        # many queries (the 126-query sweep) must not keep win-table
+        # cache blocks pinned for its whole lifetime (review r4).
+        # localCheckpoint blocks are ContextCleaner-managed, unlike
+        # CacheManager entries, which live until explicit unpersist.
+        .localCheckpoint(eager=True)
     )
+    wins.unpersist()
     joined = docs.join(dup_starts, "doc_id", "left")
     row = _let(
         ws_tokens(F.col(text_col)),

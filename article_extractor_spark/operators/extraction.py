@@ -242,6 +242,14 @@ def extract_articles(
         F.col(html_col).cast("string").alias("html"),
     )
 
+    # Resolve the auto threshold BEFORE the parallelism floor: the
+    # probe only reads html lengths, and running it on the pre-respread
+    # projection keeps the quantile job a column-pruned scan — placed
+    # after ensure_compute_parallelism it would shuffle every html body
+    # round-robin just to measure lengths (review r4).
+    if giant_threshold == "auto":
+        giant_threshold = resolve_giant_threshold(pruned)
+
     # Parallelism floor for the CPU-bound Arrow stage (no-op when the
     # scan already has >= cores partitions) — see operators/parallelism.
     pruned = ensure_compute_parallelism(pruned)
@@ -250,9 +258,6 @@ def extract_articles(
         return _batch_extract(
             batches, min_word_count, safe_output, emit_html, emit_markdown
         )
-
-    if giant_threshold == "auto":
-        giant_threshold = resolve_giant_threshold(pruned)
     if giant_threshold is None:
         return pruned.mapInArrow(runner, schema=ARTICLE_SCHEMA)
 

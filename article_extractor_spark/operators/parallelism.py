@@ -58,8 +58,34 @@ _TARGET_ROWS_PER_TASK = 8192
 
 # (cache_key, applicationId) -> respread width (0 = no floor needed);
 # planning the RDD to count partitions costs ~100 ms, so per-path
-# decisions are memoized for repeated load() calls inside one session
+# decisions are memoized for repeated load() calls inside one session.
+# Callers fold a DATA fingerprint (table_fingerprint) into cache_key —
+# a bare path would keep a stale width after the table is rewritten at
+# the same location (make_bigsf / test fixtures regenerating /tmp
+# corpora mid-session, review r4).
 _FLOOR_WIDTH: dict[tuple[str, str], int] = {}
+
+
+def table_fingerprint(path: str) -> str:
+    """Cheap stat signature (per-file mtime+size) of a parquet table —
+    the memo-key component that invalidates ``_FLOOR_WIDTH`` entries
+    when a table is rewritten in place.  Same pattern as queries.py's
+    ``_layout_cache_path`` data fingerprint."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            parts = sorted(
+                e for e in os.listdir(path) if e.endswith(".parquet")
+            )
+            return ";".join(
+                f"{e}:{os.path.getmtime(os.path.join(path, e))}"
+                f":{os.path.getsize(os.path.join(path, e))}"
+                for e in parts
+            )
+        return f"{os.path.getmtime(path)}:{os.path.getsize(path)}"
+    except OSError:
+        return "unstat-able"
 
 
 def _width(

@@ -57,13 +57,17 @@ def load(
     if floor and name in _CPU_TABLES:
         from .operators.parallelism import (
             ensure_compute_parallelism,
+            table_fingerprint,
             table_row_count,
             table_size_bytes,
         )
 
+        # fingerprint in the memo key: a table regenerated at the same
+        # path (make_bigsf, test fixtures) must re-derive its floor
+        # width, not inherit the stale decision (review r4)
         df = ensure_compute_parallelism(
             df,
-            cache_key=path,
+            cache_key=f"{path}|{table_fingerprint(path)}",
             size_bytes=table_size_bytes(spark, path),
             rows=table_row_count(path),
         )
@@ -1941,8 +1945,11 @@ def q_bpe_subword_counts(
     )
     if vocab_broadcast_threshold is None:
         vocab_broadcast_threshold = BPE_VOCAB_BROADCAST_MAX
-    vocab = vocab.persist()
-    if vocab.count() <= vocab_broadcast_threshold:
+    # gate on wvocab's row count (vocab is a 1:1 select over it) — a
+    # cheap count against the checkpoint, so vocab needs NO persist:
+    # each path below consumes it exactly once, and a session-lifetime
+    # CacheManager pin here leaked across multi-query runs (review r4)
+    if wvocab.count() <= vocab_broadcast_threshold:
         wmap = vocab.agg(
             F.map_from_entries(
                 F.collect_list(F.struct("w", "n_sub"))
@@ -1986,9 +1993,12 @@ def _lex_dense_ids(subs: DataFrame, col: str = "sub") -> DataFrame:
     ``row_number().over(Window.orderBy(col))`` (pinned by test)."""
     from pyspark.sql.window import Window
 
+    # eager localCheckpoint, not persist: consumed twice (the counts
+    # collect + the returned rank frame), and checkpoint blocks are
+    # ContextCleaner-freed instead of session-pinned (review r4)
     b = subs.withColumn(
         "_b", F.coalesce(F.ascii(F.substring(F.col(col), 1, 1)), F.lit(-1))
-    ).persist()
+    ).localCheckpoint(eager=True)
     counts = {
         r["_b"]: r["n"]
         for r in b.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -2063,8 +2073,15 @@ def q_packed_examples(
     )
     if vocab_broadcast_threshold is None:
         vocab_broadcast_threshold = BPE_VOCAB_BROADCAST_MAX
-    vocab = vocab.persist()
-    small_vocab = vocab.count() <= vocab_broadcast_threshold
+    # vocab is consumed multiple times below (distinct_subs + the
+    # word→ids map / joins), so it must be materialized — but as an
+    # eager localCheckpoint, NOT a persist: checkpoint blocks are
+    # freed by the ContextCleaner when the plan is dropped, while a
+    # persist pins CacheManager blocks for the whole session and
+    # leaked across the 126-query sweep (review r4).  The gate count
+    # rides wvocab's checkpoint (vocab is a 1:1 select over it).
+    vocab = vocab.localCheckpoint(eager=True)
+    small_vocab = wvocab.count() <= vocab_broadcast_threshold
     distinct_subs = vocab.select(F.explode("subs").alias("sub")).distinct()
     C = PACK_CHUNK_TOKENS
     if small_vocab:
@@ -2579,7 +2596,13 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(TFIDF_MIN_DF, TFIDF_MAX_DF + 1)
     ]
     idf = spark.createDataFrame(idf_rows, "df long, idf_q long")
-    weighted = per.join(F.broadcast(dfs), "s").join(
+    # dfs is CORPUS-SCALED (one row per distinct kept shingle) — no
+    # broadcast hint on it (review r4: a forced broadcast dies at the
+    # 8 GB ceiling on a web-scale corpus); the shuffle join on `s` is
+    # the same exchange the all-pairs self-join below needs anyway,
+    # and AQE may still elect a broadcast when dfs is actually small.
+    # Only the ≤63-row idf table is hint-broadcast.
+    weighted = per.join(dfs, "s").join(
         F.broadcast(idf), "df"
     ).select("doc_id", "s", "idf_q")
     norms = weighted.groupBy("doc_id").agg(
@@ -5092,7 +5115,10 @@ def q_sitemap_tree_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-sized side (urlset bodies) is touched once per reachable
     urlset, never re-scanned per level.  Oracle: a recursive CTE over
     the same tree's edge relation."""
-    fetched = _sitemap_tree(spark, sf_dir).persist()
+    # eager localCheckpoint, not persist: probed once per level and by
+    # the returned union; checkpoint blocks free with the plan instead
+    # of pinning the session's CacheManager (review r4)
+    fetched = _sitemap_tree(spark, sf_dir).localCheckpoint(eager=True)
     is_index = F.col("xml").startswith("<sitemapindex")
     frontier = spark.createDataFrame(
         [(SITEMAP_ROOT,), (SITEMAP_SEED_URLSET,)], "sitemap_url string"

@@ -318,53 +318,36 @@ def streaming_extraction_job(
     output table carries the identical audit trail as a batch run
     (reference storage_queue.py:87-293's append-only commit record).
 
-    Exactly-once shape: the stream checkpoint makes each source file
-    process once; lineage run_ids embed the micro-batch id so a replay
-    after a crash-before-checkpoint is visible in the lineage table
-    rather than silently double-counted.  Returns the started query;
+    Exactly-once, for real: the stream checkpoint makes each source
+    file process once on the happy path, and the per-batch write is
+    IDEMPOTENT under replay — each micro-batch owns the
+    ``batch=<batch_id>`` partition directory (data and lineage both)
+    and writes it with overwrite, so a batch re-run after a
+    crash-between-write-and-checkpoint replaces its own partial output
+    instead of appending a second copy (review r4; the batch job's
+    equivalent is ``tableio.clear_buckets`` before its appends).
+    Commit economics are unchanged: an overwrite of a batch-unique
+    subdir commits task files in place exactly like an append — the
+    expensive dynamic-partition staging move never happens because no
+    two batches share a directory.  Returns the started query;
     re-running with the same checkpoint drains only newly-landed files
     — the streaming twin of the batch job's committed-bucket resume.
 
-    Tests pin stream == batch: same corpus through this path and
-    ``run_extraction_job`` produces span-identical rows and equal
-    lineage totals."""
-    from pyspark.sql import Observation
-
-    from ..job import _bucket_metrics, _lineage_rows_from_observation
-
+    Tests pin stream == batch (span-identical rows, equal lineage
+    totals) and replay == once (same batch_id committed twice yields
+    one copy)."""
     static = spark.read.parquet(corpus_path)
     corpus = spark.readStream.schema(static.schema).parquet(corpus_path)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        df = batch_df
-        if "html" not in df.columns:
-            df = render_spans_to_html(df)
-        if "url" not in df.columns:
-            df = df.withColumn("url", F.lit(""))
-        from ..sources import tableio
-
-        extracted = extract_articles(df, min_word_count=min_word_count)
-        extracted = tableio.with_bucket(extracted, "doc_id", n_buckets)
-        buckets = list(range(n_buckets))
-        obs = Observation(f"stream-batch-{batch_id}")
-        extracted = extracted.observe(obs, *_bucket_metrics(buckets))
-        # APPEND, not dynamic overwrite: unlike the batch job's waves
-        # (each bucket written exactly once), every micro-batch lands
-        # new docs in every bucket
-        (
-            extracted.repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(output_path)
+        _stream_commit_batch(
+            batch_df,
+            batch_id,
+            output_path=output_path,
+            n_buckets=n_buckets,
+            run_id=run_id,
+            min_word_count=min_word_count,
         )
-        rows = _lineage_rows_from_observation(
-            obs.get, buckets, f"{run_id}-b{batch_id}"
-        )
-        if rows:
-            tableio.append_lineage(
-                spark.createDataFrame(rows, tableio.LINEAGE_SCHEMA),
-                output_path,
-            )
 
     return (
         corpus.writeStream.foreachBatch(commit)
@@ -372,3 +355,52 @@ def streaming_extraction_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _stream_commit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    output_path: str,
+    n_buckets: int,
+    run_id: str,
+    min_word_count: int,
+) -> None:
+    """One micro-batch of ``streaming_extraction_job`` (module-level so
+    the replay-idempotence test can invoke it twice with one batch_id).
+    Writes ``output_path/batch=<id>/bucket=<k>/`` with overwrite — the
+    batch-unique subdir is the idempotence unit."""
+    from pyspark.sql import Observation
+
+    from ..job import _bucket_metrics, _lineage_rows_from_observation
+    from ..sources import tableio
+
+    df = batch_df
+    if "html" not in df.columns:
+        df = render_spans_to_html(df)
+    if "url" not in df.columns:
+        df = df.withColumn("url", F.lit(""))
+
+    extracted = extract_articles(df, min_word_count=min_word_count)
+    extracted = tableio.with_bucket(extracted, "doc_id", n_buckets)
+    buckets = list(range(n_buckets))
+    obs = Observation(f"stream-batch-{batch_id}")
+    extracted = extracted.observe(obs, *_bucket_metrics(buckets))
+    (
+        extracted.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{output_path}/batch={int(batch_id)}")
+    )
+    rows = _lineage_rows_from_observation(
+        obs.get, buckets, f"{run_id}-b{batch_id}"
+    )
+    if rows:
+        spark = extracted.sparkSession
+        (
+            spark.createDataFrame(rows, tableio.LINEAGE_SCHEMA)
+            .write.mode("overwrite")
+            .parquet(
+                f"{tableio.lineage_path(output_path)}/batch={int(batch_id)}"
+            )
+        )

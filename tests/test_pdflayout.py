@@ -279,3 +279,20 @@ def test_unicode_text_round_trips_via_utf16_text_strings():
     ) == "東"
     # damaged UTF-16 (odd byte count) stays raw instead of raising
     assert _decode_text_string("\xfe\xff\x00") == "\xfe\xff\x00"
+
+
+def test_latin1_text_starting_with_accidental_bom_round_trips():
+    """Latin-1 text that *begins* with U+00FE U+00FF used to be emitted
+    raw, where its first two bytes read back as a UTF-16BE BOM and the
+    parser decoded the tail as CJK garbage ('þÿhell' → '桥汬').  The
+    writer now routes BOM-prefixed strings through the UTF-16BE arm."""
+    from article_extractor_spark.extract.pdflayout import _lex_string
+
+    for s in ("\xfe\xffhell", "\xfe\xff", "\xfe\xffodd!", "\xfe\xff\xfe\xff"):
+        lit = ("(" + pdf_escape(s) + ")").encode("latin-1")
+        out, _ = _lex_string(lit, 0)
+        assert out == s, (s, out)
+    # full writer→parser round trip of a body with the accidental BOM
+    r = parse_pdf(build_article_pdf(11, "\xfe\xff leading bom body"))
+    assert r["ok"], r["error"]
+    assert r["spans"][1][1].replace("\n", "") == "\xfe\xff leading bom body"

@@ -366,3 +366,25 @@ def test_streaming_job_lineage_and_batch_equivalence(spark, tmp_path):
     assert batch.count() == 55
     assert h(batch).exceptAll(h(stream_out)).count() == 0
     assert h(stream_out).exceptAll(h(batch)).count() == 0
+
+
+def test_streaming_batch_replay_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a crash-before-checkpoint (same
+    batch_id, same data) must REPLACE its own output, not append a
+    duplicate copy — each batch owns its batch=<id> partition dir."""
+    from article_extractor_spark.streaming.ingest import (
+        _stream_commit_batch,
+    )
+
+    docs = corpus_dataframe(spark, 12, seed=5, partitions=2)
+    out = str(tmp_path / "out")
+    for _ in range(2):  # first attempt + crash replay
+        _stream_commit_batch(
+            docs, 0, output_path=out, n_buckets=4,
+            run_id="replay", min_word_count=10,
+        )
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    assert got.select("doc_id").distinct().count() == 12
+    lin = spark.read.parquet(tableio.lineage_path(out))
+    assert lin.agg(F.sum("docs_in")).first()[0] == 12
