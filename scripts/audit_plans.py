@@ -519,10 +519,14 @@ CHECKS = {
     "tfidf_cosine_pairs": (
         ["BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
-        "all-pairs similarity: df table and 63-row idf table broadcast "
-        "onto the shingle postings; the self-join fans out at most "
-        "C(64,2) pairs per shingle (df cut) — no unbounded or "
-        "cartesian expansion",
+        "all-pairs similarity: the 63-row idf table is hint-broadcast; "
+        "the CORPUS-SCALED shingle-df table is deliberately NOT hinted "
+        "(an 8 GB-ceiling crash at web scale — review r4), its join "
+        "rides the same shingle-key exchange the self-join needs (AQE "
+        "may still elect broadcast when it measures small, hence the "
+        "required BroadcastHashJoin can match either join); the "
+        "self-join fans out at most C(64,2) pairs per shingle (df cut) "
+        "— no unbounded or cartesian expansion",
     ),
     "dsir_weights": (
         ["ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
