@@ -44,18 +44,20 @@ from __future__ import annotations
 import re
 from html import unescape
 
-# Start tag: name + attr soup.  Quotes delimit a region ONLY in value
-# position (immediately after '='), mirroring the stdlib tokenizer's
-# attrfind_tolerant: a '>' inside a quoted VALUE does not terminate
-# the tag, but a stray quote in an unquoted value (role=x'y>) is just
-# a character — the old any-quote-opens-a-region soup swallowed the
-# rest of the document there (found by the extraction fuzzer).
-# Tag name charset mirrors stdlib's tagfind_tolerant (anything but
-# whitespace, '/', '>', NUL — so '<h<>' names the tag 'h<').
-_START_RE = re.compile(
-    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
-    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*?)>"
-)
+# Start-tag name, mirroring stdlib's tagfind_tolerant charset
+# (anything but whitespace, '/', '>', NUL — so '<h<>' names the tag
+# 'h<').  The tag END is NOT located by a regex of its own: stdlib
+# (check_for_whole_start_tag) first scans the attribute soup with
+# locatestarttagend_tolerant and only then looks at the stop
+# character, so a quote opens a region ONLY in value position
+# (immediately after an attr name's '=') — in 'b=nclick=\'x</nav>y\''
+# the first '=' starts a BARE value that swallows the second '=' and
+# the quote as plain chars, and the '>' inside the would-be quotes
+# terminates the tag.  An earlier design here located the '>' first
+# with its own quoted-region alternation and diverged on exactly that
+# shape (found by the extraction fuzzer); _SOUP_SCAN_RE below is now
+# the single source of truth for where a start tag ends.
+_NAME_RE = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
 
 # End tags, mirroring stdlib parse_endtag's two tiers: the strict form
 # (optional whitespace, name, optional whitespace, '>'), then the
@@ -89,18 +91,25 @@ _RAWTEXT_CLOSE = {
 }
 
 
-# Full-consumption attr-soup scan mirroring stdlib's
-# locatestarttagend_tolerant: junk (whitespace / non-closing '/')
-# between attributes; attr name preceded by quote/space/slash; value
-# single-/double-/un-quoted (bare values may not START with a quote).
-# A start tag is only a tag when this scan consumes the WHOLE soup —
-# otherwise stdlib emits the scanned prefix as literal data and
-# resumes there (check_for_whole_start_tag / parse_starttag).
+# Attr-soup scan: stdlib's locatestarttagend_tolerant (Python 3.11)
+# minus its leading <name part — matched against the DOCUMENT at the
+# position right after the tag name (not an extracted soup slice), so
+# the (?<=['"\s/]) attr-name lookbehind sees real context.  Leading
+# [\s/]* (any '/', even one before '>'); attr name; value indicator
+# '=+' then single-/double-/un-quoted value (bare values may not
+# START with a quote — this is what keeps a quote mid-bare-value from
+# opening a region); '\s*' after a value; junk (whitespace /
+# non-closing '/') between attributes; trailing whitespace.  Where
+# this scan STOPS decides everything (check_for_whole_start_tag):
+# '>' → whole tag; '/>' → whole self-closing tag; EOF or letter or
+# '=' or '/' → unterminated (close()-time bogus-data recovery);
+# anything else → the scanned prefix is literal data.
 _SOUP_SCAN_RE = re.compile(
-    r"(?:\s|/(?!>))*"
+    r"[\s/]*"
     r"(?:(?<=['\"\s/])[^\s/>][^\s/=>]*"
-    r"(?:\s*=+\s*(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?"
+    r"(?:\s*=+\s*(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*)\s*)?"
     r"(?:\s|/(?!>))*)*"
+    r"\s*"
 )
 
 
@@ -207,7 +216,8 @@ def feed_fast(builder, html: str) -> None:
     startendtag_attrs = getattr(builder, "handle_startendtag_attrs", None)
     if startendtag_attrs is None:
         starttag_attrs = None
-    start_match = _START_RE.match
+    name_match = _NAME_RE.match
+    soup_scan = _SOUP_SCAN_RE.match
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -321,44 +331,42 @@ def feed_fast(builder, html: str) -> None:
                         # unterminated rawtext: content dropped (stdlib)
                         pos = n
                 continue
-        m = start_match(html, lt)
-        if not m:
-            if find(">", lt) < 0:
-                # unterminated tag at EOF: stdlib bogus-data recovery
-                pos = _recover_unterminated(builder, html, lt, n)
-                continue
-            handle_data("<")
-            pos = lt + 1
-            continue
+        m = name_match(html, lt)  # always matches: nxt is a letter
         tag = m.group(1).lower()
-        soup = m.group(2)
-        if soup:
-            consumed = _SOUP_SCAN_RE.match(soup).end()
-            if consumed < len(soup):
-                stop = soup[consumed]
-                if stop == "/" and consumed == len(soup) - 1:
-                    pass  # the self-closing slash — a valid tag
-                elif stop == "=" or ("a" <= stop <= "z") or (
-                    "A" <= stop <= "Z"
-                ):
-                    # stdlib check_for_whole_start_tag calls this
-                    # "end of input in or before attribute value" →
-                    # incomplete → close()-time bogus-data recovery
-                    # (the WHOLE run to the next '>' is literal data)
-                    pos = _recover_unterminated(builder, html, lt, n)
-                    continue
-                else:
-                    # other junk (NUL, stray quote): the scanned
-                    # prefix is literal data, parsing resumes there —
-                    # this is NOT a tag (parse_starttag's endpos path)
-                    k = lt + 1 + len(m.group(1)) + consumed
-                    handle_data(html[lt:k])
-                    pos = k
-                    continue
+        name_end = m.end()
+        j = soup_scan(html, name_end).end()
+        stop = html[j] if j < n else ""
+        if stop == ">":
+            endpos = j + 1
+            soup = html[name_end:j]
+        elif stop == "/" and html.startswith("/>", j):
+            endpos = j + 2
+            soup = html[name_end : j + 1]  # keep '/': self-closing marker
+        elif (
+            stop == ""
+            or stop == "="
+            or stop == "/"
+            or ("a" <= stop <= "z")
+            or ("A" <= stop <= "Z")
+        ):
+            # stdlib check_for_whole_start_tag's -1 paths ("end of
+            # input in or before attribute value", bare '/' at EOF)
+            # → close()-time bogus-data recovery (the WHOLE run to
+            # the next '>' is literal data, charref-decoded)
+            pos = _recover_unterminated(builder, html, lt, n)
+            continue
+        else:
+            # other junk (NUL, stray quote, ','): the scanned prefix
+            # is literal data, parsing resumes there — this is NOT a
+            # tag (check_for_whole_start_tag's `return j` path +
+            # parse_starttag's end-not-'>' data emission, raw)
+            handle_data(html[lt:j])
+            pos = j
+            continue
         if not soup:
             # dominant case in article markup (<p>, <h1>, <main>, …):
             # no attr soup at all — skip the tokenizer call entirely
-            pos = m.end()
+            pos = endpos
             handle_starttag(tag, [])
             closer = _RAWTEXT_CLOSE.get(tag)
             if closer is not None and builder.in_rawtext(tag):
@@ -376,14 +384,14 @@ def feed_fast(builder, html: str) -> None:
             # builder accepts the dict shape directly: skip the
             # tuple-list round trip through handle_starttag
             attr_dict, self_closing = _parse_attrs_dict(soup)
-            pos = m.end()
+            pos = endpos
             if self_closing:
                 startendtag_attrs(tag, attr_dict)
                 continue
             starttag_attrs(tag, attr_dict)
         else:
             attrs, self_closing = _parse_attrs(soup)
-            pos = m.end()
+            pos = endpos
             if self_closing:
                 builder.handle_startendtag(tag, attrs)
                 continue
