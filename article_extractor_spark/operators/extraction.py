@@ -323,3 +323,72 @@ def render_spans_to_html(df: DataFrame, spans_col: str = "spans") -> DataFrame:
         "\n",
     )
     return df.withColumn("html", rendered)
+
+
+METADATA_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.StringType())]
+    + [
+        T.StructField(f, T.StringType())
+        for f in (
+            "og_title",
+            "og_description",
+            "og_image",
+            "canonical_url",
+            "published_time",
+            "headline",
+            "author",
+        )
+    ]
+)
+
+
+def _batch_metadata(batches):
+    """Executor-side Arrow batch function for page_metadata."""
+    import pyarrow as pa
+
+    from ..extract.metadata import META_FIELDS, extract_page_metadata
+
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols: list[list] = [[] for _ in META_FIELDS]
+        for html in htmls:
+            meta = extract_page_metadata(html or "")
+            for idx, f in enumerate(META_FIELDS):
+                cols[idx].append(meta[f])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(doc_ids, pa.string())]
+            + [pa.array(c, pa.string()) for c in cols],
+            schema=pa.schema(
+                [(f.name, pa.string()) for f in METADATA_SCHEMA.fields]
+            ),
+        )
+
+
+def page_metadata(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Page-declared provenance metadata (og:*, canonical, JSON-LD
+    Article) for every document — extract.metadata over the shared DOM,
+    Arrow-batched, input pruned to (doc_id, html) before the exchange.
+
+    Beyond-reference: the reference declares author/date fields but
+    never populates them (server.py:399-411); a training-data pipeline
+    wants the page's self-declared provenance alongside the extracted
+    text.  Same scale shape as extract_articles: a zero-shuffle
+    map stage whose only exchange is the optional compute-parallelism
+    respread.
+    """
+    from ..shipping import ensure_shipped
+    from .parallelism import ensure_compute_parallelism
+
+    ensure_shipped(df.sparkSession)
+    pruned = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(html_col).cast("string").alias("html"),
+    )
+    pruned = ensure_compute_parallelism(pruned)
+    return pruned.mapInArrow(_batch_metadata, schema=METADATA_SCHEMA)

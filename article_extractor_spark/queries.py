@@ -26,6 +26,7 @@ from .functions import sketches as K
 from .functions import text as X
 from .operators.extraction import (
     extract_articles,
+    page_metadata,
     render_spans_to_html,
     to_server_response,
 )
@@ -4647,6 +4648,124 @@ def q_transient_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_as_metadata_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, html) pages with a metadata-rich head, built entirely
+    from JVM concat expressions so the oracle can predict every
+    extracted field analytically (the corpus-purity regime of
+    ``documents_as_interleaved_corpus``).
+
+    Presence rules exercise the extractor's conditional paths:
+    og:description absent when doc_id%5==0, og:image absent when
+    doc_id%7==0, article:published_time only when doc_id%2==0, JSON-LD
+    block absent when doc_id%3==0 and MALFORMED (truncated JSON) when
+    doc_id%11==0 (must yield NULLs, not a crash).  The JSON-LD author
+    alternates between a Person object and a bare string (both schema.org
+    shapes), and a duplicate og:title near the end of head pins
+    first-wins semantics."""
+    did = F.col("doc_id").cast("string")
+    idn = F.col("doc_id")
+    title = F.concat(F.lit("Doc "), did)
+    headline = F.concat(title, F.lit(" - Synth"))
+    author = F.concat(
+        F.lit("Author "), F.pmod(idn, F.lit(7)).cast("string")
+    )
+    pub = F.concat(
+        F.lit("2026-01-"),
+        F.lpad((F.pmod(idn, F.lit(28)) + 1).cast("string"), 2, "0"),
+        F.lit("T12:00:00Z"),
+    )
+    desc = F.substring(F.col("text"), 1, 80)
+    img = F.concat(F.lit("https://cdn.example/img-"), did, F.lit(".jpg"))
+    canonical = F.concat(F.lit("https://synth.example/docs/"), did)
+    author_json = F.when(
+        F.pmod(idn, F.lit(2)) == 0,
+        F.concat(F.lit('{"@type":"Person","name":"'), author, F.lit('"}')),
+    ).otherwise(F.concat(F.lit('"'), author, F.lit('"')))
+    jsonld = F.concat(
+        F.lit(
+            '<script type="application/ld+json">'
+            '{"@context":"https://schema.org",'
+            '"@type":"NewsArticle","headline":"'
+        ),
+        headline,
+        F.lit('","author":'),
+        author_json,
+        F.lit("}</script>"),
+    )
+    jsonld_block = (
+        F.when(F.pmod(idn, F.lit(3)) == 0, F.lit(""))
+        .when(
+            F.pmod(idn, F.lit(11)) == 0,
+            F.lit(
+                '<script type="application/ld+json">'
+                '{"@type":"NewsArticle","headline":</script>'
+            ),
+        )
+        .otherwise(jsonld)
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit(" - Synth</title>"),
+        F.lit('<meta property="og:title" content="'),
+        title,
+        F.lit('"/>'),
+        F.when(F.pmod(idn, F.lit(5)) == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit('<meta property="og:description" content="'),
+                desc,
+                F.lit('"/>'),
+            )
+        ),
+        F.when(F.pmod(idn, F.lit(7)) == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit('<meta property="og:image" content="'),
+                img,
+                F.lit('"/>'),
+            )
+        ),
+        F.lit('<link rel="canonical" href="'),
+        canonical,
+        F.lit('"/>'),
+        F.when(
+            F.pmod(idn, F.lit(2)) == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="'),
+                pub,
+                F.lit('"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        jsonld_block,
+        F.lit('<meta property="og:title" content="WRONG-dup"/>'),
+        F.lit("</head><body><article><h1>"),
+        title,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    return docs.select(did.alias("doc_id"), html.alias("html"))
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference provenance metadata (og:*, canonical, JSON-LD
+    Article) through the real DOM parser; the oracle predicts every
+    field analytically from the documents table under the same
+    presence rules the corpus builder encodes."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = documents_as_metadata_corpus(docs)
+    meta = page_metadata(corpus)
+    return meta.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "og_title",
+        "og_description",
+        "og_image",
+        "canonical_url",
+        "published_time",
+        "headline",
+        "author",
+    )
+
+
 def q_extract_excerpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E28 excerpt through the full engine: run extraction, return the
     excerpt column; the oracle recomputes the excerpt rule (≤200 chars,
@@ -8076,6 +8195,32 @@ SELECT doc_id, nfc_normalize(raw) AS nfc,
 FROM t
 """
 
+# Analytic prediction of page_metadata under the corpus builder's
+# presence rules (documents_as_metadata_corpus): every field is a
+# deterministic string function of doc_id/text, NULL exactly when the
+# builder omits (or corrupts) the carrying tag.
+ORACLE_SQL["page_metadata"] = """
+SELECT doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+  CASE WHEN doc_id % 5 = 0 THEN NULL
+       ELSE substr(text, 1, 80) END AS og_description,
+  CASE WHEN doc_id % 7 = 0 THEN NULL
+       ELSE 'https://cdn.example/img-' || CAST(doc_id AS VARCHAR)
+            || '.jpg' END AS og_image,
+  'https://synth.example/docs/' || CAST(doc_id AS VARCHAR)
+    AS canonical_url,
+  CASE WHEN doc_id % 2 = 0
+       THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+            || 'T12:00:00Z'
+       ELSE NULL END AS published_time,
+  CASE WHEN doc_id % 3 = 0 OR doc_id % 11 = 0 THEN NULL
+       ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' - Synth'
+       END AS headline,
+  CASE WHEN doc_id % 3 = 0 OR doc_id % 11 = 0 THEN NULL
+       ELSE 'Author ' || CAST(doc_id % 7 AS VARCHAR) END AS author
+FROM documents
+"""
+
 ORACLE_SQL["anchor_texts"] = f"""
 WITH base AS (
   SELECT doc_id, {_TOKS.format(c='lower(text)')} AS toks FROM documents
@@ -8721,4 +8866,5 @@ QUERY_FNS: dict[str, Query] = {
     "rate_limit_schedule": q_rate_limit_schedule,
     "rate_limit_adaptive": q_rate_limit_adaptive,
     "extract_spans_full": q_extract_spans_full,
+    "page_metadata": q_page_metadata,
 }

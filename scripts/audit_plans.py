@@ -14,6 +14,13 @@ sys.path.insert(0, ".")
 
 CHECKS = {
     # query -> (must_contain, must_not_contain, note)
+    "page_metadata": (
+        ["MapInArrow", "ReadSchema"],
+        ["Exchange hashpartitioning", "SortMergeJoin", "Window"],
+        "metadata extraction is one map stage like the flagship: "
+        "pruned (doc_id, text) scan → JVM concat corpus build → "
+        "mapInArrow DOM parse; zero data-keyed exchanges",
+    ),
     "extract_spans_full": (
         ["MapInArrow", "ReadSchema"],
         ["Exchange hashpartitioning", "SortMergeJoin"],
@@ -299,15 +306,30 @@ CHECKS = {
         "shuffles, zero Python",
     ),
     "exact_substring_dedup": (
+        ["Scan ExistingRDD", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoop",
+         "Exchange rangepartitioning", "Window ",
+         "Exchange hashpartitioning"],
+        "ExactSubstr final stage: the corpus-scale window table was "
+        "consumed in the eagerly-materialized phase 1 (audited "
+        "separately as exact_substring_dedup__phase1 — the "
+        "localCheckpoint that lets its cache blocks free mid-session, "
+        "review r4), so the returned plan is one pruned document scan "
+        "broadcast-joined (LeftOuter, BuildRight) against the tiny "
+        "checkpointed dup-starts side; positional excision is a "
+        "per-row fold — zero exchanges of any kind",
+    ),
+    "exact_substring_dedup__phase1": (
         ["partial_min", "partial_count"],
         ["CartesianProduct", "BroadcastNestedLoop",
          "Exchange rangepartitioning", "Window "],
-        "ExactSubstr: window hashes generated map-side from the scan; "
-        "count + min(struct) ride ONE aggregate whose partials run "
-        "map-side (a 10^9-occurrence boilerplate window collapses per "
-        "task before the shuffle); cnt>1 prunes the join-back build "
-        "side to duplicated keys only; positional excision is a "
-        "per-row fold — no corpus-wide window sort anywhere",
+        "ExactSubstr phase 1 (the window-stats aggregate the final "
+        "stage's checkpoint hides): window md5 hashes generated "
+        "map-side from the scan; count + min(struct) ride ONE "
+        "aggregate whose partials run map-side (a 10^9-occurrence "
+        "boilerplate window collapses per task before the shuffle); "
+        "cnt>1 prunes everything but duplicated keys before the "
+        "join-back",
     ),
     "incremental_dedup": (
         ["WindowGroupLimit"],
@@ -717,6 +739,35 @@ CHECKS = {
 }
 
 
+def _exsub_phase1(spark, sf_dir):
+    """The UNEXECUTED window-stats aggregate of exact_substring_dedup —
+    inside the operator this relation is eagerly materialized
+    (localCheckpoint) before the final plan exists, so its map-side
+    partial-aggregate properties must be audited on a directly-built
+    twin."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.functions.dedup import doc_windows
+    from article_extractor_spark.queries import load
+
+    wins = doc_windows(load(spark, sf_dir, "documents"))
+    return (
+        wins.groupBy("win_key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "s")).alias("first"),
+        )
+        .where(F.col("cnt") > 1)
+    )
+
+
+# Plans not reachable through QUERY_FNS (phase-1 relations hidden by
+# eager materialization inside an operator).
+BUILDERS = {
+    "exact_substring_dedup__phase1": _exsub_phase1,
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -729,7 +780,8 @@ def main() -> int:
     for name, spec in CHECKS.items():
         must, must_not, note = spec[0], spec[1], spec[2]
         max_counts = spec[3] if len(spec) > 3 else {}
-        df = QUERY_FNS[name](spark, sf_dir)
+        build = BUILDERS.get(name) or QUERY_FNS[name]
+        df = build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         # The compute-parallelism floor (operators/parallelism.py) adds
         # a round-robin re-spread when the test-scale scan plans fewer

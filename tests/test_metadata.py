@@ -1,0 +1,112 @@
+"""Page-metadata extraction kernel (extract/metadata.py).
+
+The Spark surface + analytic oracle live in queries.page_metadata;
+these pin the kernel's shape-handling corners directly.
+"""
+
+from article_extractor_spark.extract.metadata import (
+    META_FIELDS,
+    extract_page_metadata,
+)
+
+
+def test_full_page_all_fields():
+    html = (
+        "<html><head>"
+        '<meta property="og:title" content="T1"/>'
+        '<meta property="og:description" content="D1"/>'
+        '<meta property="og:image" content="http://x/i.jpg"/>'
+        '<link rel="canonical" href="http://x/c"/>'
+        '<meta property="article:published_time" content="2026-01-02T12:00:00Z"/>'
+        '<script type="application/ld+json">'
+        '{"@type":"NewsArticle","headline":"H1",'
+        '"author":{"@type":"Person","name":"A1"}}</script>'
+        "</head><body><p>x</p></body></html>"
+    )
+    m = extract_page_metadata(html)
+    assert m == {
+        "og_title": "T1",
+        "og_description": "D1",
+        "og_image": "http://x/i.jpg",
+        "canonical_url": "http://x/c",
+        "published_time": "2026-01-02T12:00:00Z",
+        "headline": "H1",
+        "author": "A1",
+    }
+
+
+def test_first_wins_on_duplicate_meta():
+    html = (
+        '<head><meta property="og:title" content="FIRST"/>'
+        '<meta property="og:title" content="SECOND"/></head>'
+    )
+    assert extract_page_metadata(html)["og_title"] == "FIRST"
+
+
+def test_author_shapes():
+    # bare string
+    h = (
+        '<script type="application/ld+json">'
+        '{"@type":"Article","author":"Plain"}</script>'
+    )
+    assert extract_page_metadata(h)["author"] == "Plain"
+    # list of Person objects: first wins
+    h = (
+        '<script type="application/ld+json">'
+        '{"@type":"Article","author":[{"name":"P1"},{"name":"P2"}]}'
+        "</script>"
+    )
+    assert extract_page_metadata(h)["author"] == "P1"
+
+
+def test_graph_envelope_and_type_list():
+    h = (
+        '<script type="application/ld+json">'
+        '{"@context":"https://schema.org","@graph":['
+        '{"@type":"WebSite","name":"S"},'
+        '{"@type":["BlogPosting","CreativeWork"],"headline":"G1"}]}'
+        "</script>"
+    )
+    assert extract_page_metadata(h)["headline"] == "G1"
+
+
+def test_malformed_jsonld_skipped_next_block_wins():
+    h = (
+        '<script type="application/ld+json">{broken</script>'
+        '<script type="application/ld+json">'
+        '{"@type":"Article","headline":"OK"}</script>'
+    )
+    assert extract_page_metadata(h)["headline"] == "OK"
+
+
+def test_non_article_jsonld_ignored():
+    h = (
+        '<script type="application/ld+json">'
+        '{"@type":"Organization","name":"Corp"}</script>'
+    )
+    m = extract_page_metadata(h)
+    assert m["headline"] is None and m["author"] is None
+
+
+def test_empty_and_garbage_inputs():
+    assert extract_page_metadata("") == dict.fromkeys(META_FIELDS)
+    assert extract_page_metadata("<p>no meta</p>") == dict.fromkeys(
+        META_FIELDS
+    )
+    assert extract_page_metadata(b"\x00\xff\xfe") == dict.fromkeys(
+        META_FIELDS
+    )
+
+
+def test_empty_content_ignored():
+    h = (
+        '<meta property="og:title" content=""/>'
+        '<meta property="og:title" content="REAL"/>'
+    )
+    assert extract_page_metadata(h)["og_title"] == "REAL"
+
+
+def test_meta_name_fallback():
+    # some CMSes emit name= instead of property= for og tags
+    h = '<meta name="og:description" content="ND"/>'
+    assert extract_page_metadata(h)["og_description"] == "ND"
