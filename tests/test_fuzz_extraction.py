@@ -211,3 +211,35 @@ def test_fuzz_mutated_docs_never_crash():
         if fast != slow:
             n_disagree += 1
     assert n_disagree <= 5, n_disagree
+
+
+def test_fuzz_metadata_never_crashes_and_stays_stringy():
+    """page_metadata kernel under the same mutational pressure: never
+    raises, and every field is None or str (the Arrow stage's schema
+    contract — a dict/list leaking through would kill the executor
+    task at cast time)."""
+    from article_extractor_spark.extract.metadata import (
+        META_FIELDS,
+        extract_page_metadata,
+    )
+
+    rng = random.Random(0x3E7A)
+    jsonld_snips = [
+        '<script type="application/ld+json">{"@type":"Article","headline":"H","author":',
+        '{"name":"A"}}</script>',
+        '<script type="application/ld+json">[{"@graph":[{"@type":"NewsArticle"',
+        ',"author":[{"x":1},"S"]}]}]</script>',
+        '<meta property="og:title" content="T"/>',
+        '<link rel="canonical" href="http://x/"/>',
+    ]
+    for i in range(3000):
+        html = mutate(rng, generate_document(rng))
+        # splice metadata fragments (often corrupted by mutate) into
+        # random positions so the JSON-LD/meta paths see garbage too
+        for _ in range(rng.randint(0, 3)):
+            j = rng.randrange(len(html) + 1)
+            html = html[:j] + rng.choice(jsonld_snips) + html[j:]
+        meta = extract_page_metadata(html)
+        assert set(meta) == set(META_FIELDS)
+        for k, v in meta.items():
+            assert v is None or isinstance(v, str), (i, k, type(v))
