@@ -151,6 +151,11 @@ BENCH_QUERIES = [
     "nfc_normalize",
 ]
 
+# Registry queries added after the hand-ordered list above auto-append
+# here, so a new queries() entry can never silently fall out of the
+# per-round bench record.
+BENCH_QUERIES += [n for n in QUERY_FNS if n not in set(BENCH_QUERIES)]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()

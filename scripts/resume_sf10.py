@@ -3,7 +3,12 @@ yet recorded in CORRECTNESS_SF10.json in small batches (bounding DuckDB +
 Spark peak memory), merging each batch's results into the artifact as it
 lands, so an interrupted run resumes where it left off.
 
-Usage: python scripts/resume_sf10.py [--batch N] [--last name ...]
+Usage: python scripts/resume_sf10.py [--batch N] [--artifact PATH]
+    [--sf-dir DIR] [--last name ...]
+
+Defaults target the 100x artifact (CORRECTNESS_SF10.json over
+/tmp/sf10); pass --artifact CORRECTNESS_SF1.json --sf-dir /tmp/sf1 to
+top up the 10x record the same way.
 
 --last names are deferred to the end and run one-at-a-time (for known
 memory-heavy oracles such as quality_lexical).
@@ -15,13 +20,23 @@ import json
 import subprocess
 import sys
 
-ARTIFACT = "CORRECTNESS_SF10.json"
-SF_DIR = "/tmp/sf10"
+DEFAULT_ARTIFACT = "CORRECTNESS_SF10.json"
+DEFAULT_SF_DIR = "/tmp/sf10"
 
 
 def main() -> int:
     argv = sys.argv[1:]
     batch = 8
+    artifact = DEFAULT_ARTIFACT
+    sf_dir = DEFAULT_SF_DIR
+    if "--artifact" in argv:
+        i = argv.index("--artifact")
+        artifact = argv[i + 1]
+        del argv[i : i + 2]
+    if "--sf-dir" in argv:
+        i = argv.index("--sf-dir")
+        sf_dir = argv[i + 1]
+        del argv[i : i + 2]
     if "--batch" in argv:
         i = argv.index("--batch")
         batch = int(argv[i + 1])
@@ -35,7 +50,7 @@ def main() -> int:
     sys.path.insert(0, ".")
     from article_extractor_spark.queries import QUERY_FNS
 
-    with open(ARTIFACT) as f:
+    with open(artifact) as f:
         art = json.load(f)
     done = set(art["queries"])
     remaining = [q for q in QUERY_FNS if q not in done and q not in last]
@@ -45,13 +60,13 @@ def main() -> int:
     batches = [remaining[i : i + batch] for i in range(0, len(remaining), batch)]
     batches += [[q] for q in deferred]
     for group in batches:
-        out = f"/tmp/sf10_batch.json"
+        out = "/tmp/bigsf_batch.json"
         cmd = [
             sys.executable,
             "scripts/check_oracles.py",
             "--json",
             out,
-            SF_DIR,
+            sf_dir,
             *group,
         ]
         print("RUN", group, flush=True)
@@ -64,7 +79,7 @@ def main() -> int:
             got = {}
         rows = got.get("queries", got)
         art["queries"].update(rows)
-        with open(ARTIFACT, "w") as f:
+        with open(artifact, "w") as f:
             json.dump(art, f, indent=1)
         bad = [
             k
