@@ -1,7 +1,7 @@
 """The extraction operator: one vectorized Arrow stage over a corpus.
 
 The whole per-document pipeline (SURVEY.md §2.1 E1-E29) runs inside a
-single ``mapInPandas`` batch function — no shuffle is needed for
+single ``mapInArrow`` batch function — no shuffle is needed for
 extraction itself, and no per-row Python ever touches the driver-side
 plan.  Catalyst prunes the scan to exactly the consumed columns; AQE and
 the bucketed layout handle distribution (SURVEY.md §4).
