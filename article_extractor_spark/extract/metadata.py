@@ -33,6 +33,13 @@ META_FIELDS = (
     "author",
 )
 
+_PROP_TO_FIELD = {
+    "og:title": "og_title",
+    "og:description": "og_description",
+    "og:image": "og_image",
+    "article:published_time": "published_time",
+}
+
 _ARTICLE_TYPES = {
     "Article",
     "NewsArticle",
@@ -103,27 +110,29 @@ def extract_page_metadata(html: str | bytes) -> dict:
                 continue
             if not content:
                 continue
-            key = {
-                "og:title": "og_title",
-                "og:description": "og_description",
-                "og:image": "og_image",
-                "article:published_time": "published_time",
-            }.get(prop)
+            key = _PROP_TO_FIELD.get(prop)
             if key is not None and out[key] is None:
                 out[key] = content
         elif name == "link":
+            # rel is a case-insensitive space-separated token list
+            # (HTML spec) — 'Canonical' and 'canonical alternate' both
+            # declare the canonical link
             rel = node.attrs.get("rel")
             href = node.attrs.get("href")
-            rels = rel if isinstance(rel, list) else [rel]
             if (
-                any(r == "canonical" for r in rels)
+                isinstance(rel, str)
+                and "canonical" in rel.lower().split()
                 and isinstance(href, str)
                 and href
                 and out["canonical_url"] is None
             ):
                 out["canonical_url"] = href
         elif name == "script" and not jsonld_done:
-            if str(node.attrs.get("type", "")) != "application/ld+json":
+            # MIME match mirrors browsers/structured-data parsers:
+            # ASCII-case-insensitive, surrounding whitespace stripped,
+            # parameters (';charset=…') ignored
+            mime = str(node.attrs.get("type", ""))
+            if mime.split(";", 1)[0].strip().lower() != "application/ld+json":
                 continue
             raw = "".join(
                 c.text for c in node.children if c.is_text()

@@ -152,9 +152,12 @@ def _batch_extract(
                 )
             ):
                 cols[idx].append(val)
+        # id/url columns are untouched: pass the Arrow buffers through
+        # (cast is zero-copy when the type already matches) instead of
+        # re-encoding every value from the Python lists
         arrays = [
-            pa.array(doc_ids, schema.field(0).type),
-            pa.array(urls, schema.field(1).type),
+            batch.column("doc_id").cast(schema.field(0).type),
+            batch.column("url").cast(schema.field(1).type),
         ] + [
             pa.array(col, schema.field(i + 2).type)
             for i, col in enumerate(cols)
@@ -349,7 +352,6 @@ def _batch_metadata(batches):
     from ..extract.metadata import META_FIELDS, extract_page_metadata
 
     for batch in batches:
-        doc_ids = batch.column("doc_id").to_pylist()
         htmls = batch.column("html").to_pylist()
         cols: list[list] = [[] for _ in META_FIELDS]
         for html in htmls:
@@ -357,7 +359,8 @@ def _batch_metadata(batches):
             for idx, f in enumerate(META_FIELDS):
                 cols[idx].append(meta[f])
         yield pa.RecordBatch.from_arrays(
-            [pa.array(doc_ids, pa.string())]
+            # doc_id is untouched: zero-copy Arrow pass-through
+            [batch.column("doc_id").cast(pa.string())]
             + [pa.array(c, pa.string()) for c in cols],
             schema=pa.schema(
                 [(f.name, pa.string()) for f in METADATA_SCHEMA.fields]

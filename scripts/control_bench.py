@@ -76,7 +76,14 @@ def _render_corpus(docs: int) -> list[tuple[str, str]]:
 
 
 def run_level(procs: int, trials: int, chunks_per_proc: int = 12) -> dict:
-    os.sched_setaffinity(0, set(range(procs)))
+    # pick N cpus from the ALLOWED set (a cpuset-restricted container
+    # may not own cpu 0) and restore the original mask afterwards
+    allowed = sorted(os.sched_getaffinity(0))
+    if procs > len(allowed):
+        raise SystemExit(
+            f"--procs {procs} exceeds the {len(allowed)} allowed CPUs"
+        )
+    os.sched_setaffinity(0, set(allowed[:procs]))
     try:
         n = len(_DOCS)
         n_chunks = procs * chunks_per_proc
@@ -101,7 +108,7 @@ def run_level(procs: int, trials: int, chunks_per_proc: int = 12) -> dict:
             "docs_per_sec": round(n / best, 1),
         }
     finally:
-        os.sched_setaffinity(0, set(range(os.cpu_count())))
+        os.sched_setaffinity(0, set(allowed))
 
 
 def main() -> int:

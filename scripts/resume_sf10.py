@@ -17,6 +17,7 @@ memory-heavy oracles such as quality_lexical).
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -61,6 +62,14 @@ def main() -> int:
     batches += [[q] for q in deferred]
     for group in batches:
         out = "/tmp/bigsf_batch.json"
+        # the batch file must not survive from a previous (possibly
+        # different-scale) run: check_oracles writes it only on
+        # success, so a crashed batch would otherwise merge the STALE
+        # file's rows into this artifact and mask the crash
+        try:
+            os.remove(out)
+        except FileNotFoundError:
+            pass
         cmd = [
             sys.executable,
             "scripts/check_oracles.py",

@@ -110,3 +110,30 @@ def test_meta_name_fallback():
     # some CMSes emit name= instead of property= for og tags
     h = '<meta name="og:description" content="ND"/>'
     assert extract_page_metadata(h)["og_description"] == "ND"
+
+
+def test_canonical_rel_token_list_case_insensitive():
+    h = '<link rel="Canonical alternate" href="http://x/c"/>'
+    assert extract_page_metadata(h)["canonical_url"] == "http://x/c"
+    # substring of another token must NOT match
+    h = '<link rel="canonicalish" href="http://x/n"/>'
+    assert extract_page_metadata(h)["canonical_url"] is None
+
+
+def test_jsonld_mime_variants():
+    for mime in (
+        "application/ld+json ",
+        " Application/LD+JSON",
+        "application/ld+json;charset=utf-8",
+    ):
+        h = (
+            f'<script type="{mime}">'
+            '{"@type":"Article","headline":"V"}</script>'
+        )
+        assert extract_page_metadata(h)["headline"] == "V", mime
+    # a DIFFERENT mime must not be parsed
+    h = (
+        '<script type="application/json">'
+        '{"@type":"Article","headline":"NO"}</script>'
+    )
+    assert extract_page_metadata(h)["headline"] is None
