@@ -95,11 +95,20 @@ def extract_page_metadata(html: str | bytes) -> dict:
     ``application/ld+json`` block containing an Article-typed object;
     unparseable blocks are skipped, not fatal.
     """
-    out: dict = dict.fromkeys(META_FIELDS)
     try:
         doc = parse_html(html)
     except Exception:  # noqa: BLE001 - any parse failure is a null row
-        return out
+        return dict.fromkeys(META_FIELDS)
+    return metadata_from_doc(doc)
+
+
+def metadata_from_doc(doc) -> dict:
+    """The metadata walk over an ALREADY-PARSED DOM — the fused hook
+    ``extract_document(..., emit_metadata=True)`` calls right after
+    its own parse (and before cleaning strips head/script elements),
+    so a pipeline wanting spans + provenance parses each document
+    ONCE instead of running two Arrow stages with a parse each."""
+    out: dict = dict.fromkeys(META_FIELDS)
     jsonld_done = False
     for node in doc.iter_elements():
         name = node.name

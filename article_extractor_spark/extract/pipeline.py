@@ -49,6 +49,11 @@ class ExtractOptions:
     safe_output: bool = True
     emit_html: bool = False
     emit_markdown: bool = False
+    # fused page-provenance metadata (extract/metadata.py) off the
+    # SAME parse, read before cleaning strips head/script elements;
+    # like emit_html/emit_markdown it is an output shape, not part of
+    # the extraction algorithm, so it stays out of the cache key
+    emit_metadata: bool = False
 
     def cache_key_fields(self) -> tuple:
         """The option fields that participate in response-cache /
@@ -186,6 +191,16 @@ def _extract_inner(
     except Exception as exc:  # noqa: BLE001 - any parse failure is a row, not a crash
         return _failure(url, "", f"Failed to parse HTML: {exc}")
 
+    # Fused provenance metadata: read the SAME parse, and read it NOW —
+    # clean_document is about to strip the head/script elements the
+    # metadata lives in.  Attached to every post-parse return (failure
+    # rows included: provenance is still real when extraction is not).
+    page_meta: dict | None = None
+    if opts.emit_metadata:
+        from .metadata import metadata_from_doc
+
+        page_meta = metadata_from_doc(doc)
+
     clean_document(doc, strip_selector_for_host(host))
     title = extract_title(doc, url)
 
@@ -207,10 +222,14 @@ def _extract_inner(
             candidates = [doc]
     nodes_scored = len(candidates)
     if not candidates:
-        return _failure(url, title, "Could not find main content")
+        return _failure(url, title, "Could not find main content") | {
+            "page_meta": page_meta
+        }
     ranked = rank(candidates, memo)
     if not ranked:
-        return _failure(url, title, "Could not find main content", nodes_scored)
+        return _failure(
+            url, title, "Could not find main content", nodes_scored
+        ) | {"page_meta": page_meta}
     top = refine_top(ranked).node
 
     top = _adjust_candidate_for_host(top, host)
@@ -247,7 +266,7 @@ def _extract_inner(
     except Exception as exc:  # noqa: BLE001
         return _failure(
             url, title, f"Failed to extract content: {exc}", nodes_scored
-        )
+        ) | {"page_meta": page_meta}
 
     word_count = len(text.split())
     warnings: list[str] = []
@@ -274,4 +293,5 @@ def _extract_inner(
         "author": None,
         "date_published": None,
         "language": None,
+        "page_meta": page_meta,
     }

@@ -61,7 +61,7 @@ ARTICLE_SCHEMA = T.StructType(
 _PA_SPAN = None
 
 
-def _arrow_schema():
+def _arrow_schema(emit_metadata: bool = False):
     import pyarrow as pa
 
     span = pa.list_(
@@ -74,27 +74,47 @@ def _arrow_schema():
             ]
         )
     )
-    return pa.schema(
-        [
-            ("doc_id", pa.string()),
-            ("url", pa.string()),
-            ("title", pa.string()),
-            ("author", pa.string()),
-            ("date_published", pa.string()),
-            ("language", pa.string()),
-            ("spans", span),
-            ("word_count", pa.int32()),
-            ("excerpt", pa.string()),
-            ("success", pa.bool_()),
-            ("error", pa.string()),
-            ("warnings", pa.list_(pa.string())),
-            ("content_html", pa.string()),
-            ("markdown", pa.string()),
-            ("nodes_scored", pa.int32()),
-            ("spans_emitted", pa.int32()),
-            ("proc_us", pa.int64()),
-        ]
-    )
+    fields = [
+        ("doc_id", pa.string()),
+        ("url", pa.string()),
+        ("title", pa.string()),
+        ("author", pa.string()),
+        ("date_published", pa.string()),
+        ("language", pa.string()),
+        ("spans", span),
+        ("word_count", pa.int32()),
+        ("excerpt", pa.string()),
+        ("success", pa.bool_()),
+        ("error", pa.string()),
+        ("warnings", pa.list_(pa.string())),
+        ("content_html", pa.string()),
+        ("markdown", pa.string()),
+        ("nodes_scored", pa.int32()),
+        ("spans_emitted", pa.int32()),
+        ("proc_us", pa.int64()),
+    ]
+    if emit_metadata:
+        fields.append(
+            (
+                "page_meta",
+                pa.struct([(f, pa.string()) for f in _META_FIELD_NAMES]),
+            )
+        )
+    return pa.schema(fields)
+
+
+# mirrors extract.metadata.META_FIELDS without importing the kernel at
+# module load (operators modules stay importable without the extract
+# package's regex compilation on the driver)
+_META_FIELD_NAMES = (
+    "og_title",
+    "og_description",
+    "og_image",
+    "canonical_url",
+    "published_time",
+    "headline",
+    "author",
+)
 
 
 def _batch_extract(
@@ -103,6 +123,7 @@ def _batch_extract(
     safe_output: bool,
     emit_html: bool,
     emit_markdown: bool,
+    emit_metadata: bool = False,
 ):
     """Executor-side Arrow batch function (mapInArrow: no pandas object
     inference on the nested span structs — measured ~40% of stage time).
@@ -119,11 +140,11 @@ def _batch_extract(
         safe_output=safe_output,
         emit_html=emit_html,
         emit_markdown=emit_markdown,
+        emit_metadata=emit_metadata,
     )
-    schema = _arrow_schema()
+    schema = _arrow_schema(emit_metadata)
     n_fields = len(schema) - 2  # all but doc_id/url come from the result
     for batch in batches:
-        doc_ids = batch.column("doc_id").to_pylist()
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         cols: list[list] = [[] for _ in range(n_fields)]
@@ -132,25 +153,26 @@ def _batch_extract(
             result = extract_document(html or "", url=url or "", options=opts)
             elapsed_us = int((perf_counter() - t0) * 1e6)
             spans = result["spans"]
-            for idx, val in enumerate(
-                (
-                    result["title"],
-                    result["author"],
-                    result["date_published"],
-                    result["language"],
-                    spans,
-                    result["word_count"],
-                    result["excerpt"],
-                    result["success"],
-                    result["error"],
-                    result["warnings"],
-                    result["content_html"],
-                    result["markdown"],
-                    result["nodes_scored"],
-                    len(spans),
-                    elapsed_us,
-                )
-            ):
+            vals = (
+                result["title"],
+                result["author"],
+                result["date_published"],
+                result["language"],
+                spans,
+                result["word_count"],
+                result["excerpt"],
+                result["success"],
+                result["error"],
+                result["warnings"],
+                result["content_html"],
+                result["markdown"],
+                result["nodes_scored"],
+                len(spans),
+                elapsed_us,
+            )
+            if emit_metadata:
+                vals += (result.get("page_meta"),)
+            for idx, val in enumerate(vals):
                 cols[idx].append(val)
         # id/url columns are untouched: pass the Arrow buffers through
         # (cast is zero-copy when the type already matches) instead of
@@ -214,9 +236,17 @@ def extract_articles(
     safe_output: bool = True,
     emit_html: bool = False,
     emit_markdown: bool = False,
+    emit_metadata: bool = False,
     giant_threshold: int | str | None = None,
 ) -> DataFrame:
     """Run main-content extraction over a corpus DataFrame.
+
+    ``emit_metadata=True`` adds a ``page_meta`` struct column
+    (og:*/canonical/published_time/JSON-LD headline+author,
+    extract/metadata.py) read off the SAME parse as the spans — the
+    single-parse production shape for a pipeline that wants text and
+    provenance; running ``page_metadata`` separately would parse every
+    document twice.
 
     Input needs (id, url, html) columns; everything else is pruned
     before the Arrow exchange so giant non-consumed columns never cross
@@ -259,18 +289,40 @@ def extract_articles(
 
     def runner(batches):
         return _batch_extract(
-            batches, min_word_count, safe_output, emit_html, emit_markdown
+            batches,
+            min_word_count,
+            safe_output,
+            emit_html,
+            emit_markdown,
+            emit_metadata,
+        )
+
+    out_schema = ARTICLE_SCHEMA
+    if emit_metadata:
+        out_schema = T.StructType(
+            ARTICLE_SCHEMA.fields
+            + [
+                T.StructField(
+                    "page_meta",
+                    T.StructType(
+                        [
+                            T.StructField(f, T.StringType())
+                            for f in _META_FIELD_NAMES
+                        ]
+                    ),
+                )
+            ]
         )
     if giant_threshold is None:
-        return pruned.mapInArrow(runner, schema=ARTICLE_SCHEMA)
+        return pruned.mapInArrow(runner, schema=out_schema)
 
     is_giant = F.length(F.col("html")) >= giant_threshold
     cores = df.sparkSession.sparkContext.defaultParallelism
-    normal = pruned.where(~is_giant).mapInArrow(runner, schema=ARTICLE_SCHEMA)
+    normal = pruned.where(~is_giant).mapInArrow(runner, schema=out_schema)
     giants = (
         pruned.where(is_giant)
         .repartition(cores * 2)  # round-robin: giants spread evenly
-        .mapInArrow(runner, schema=ARTICLE_SCHEMA)
+        .mapInArrow(runner, schema=out_schema)
     )
     return normal.unionByName(giants)
 

@@ -137,3 +137,66 @@ def test_jsonld_mime_variants():
         '{"@type":"Article","headline":"NO"}</script>'
     )
     assert extract_page_metadata(h)["headline"] is None
+
+
+def test_meta_field_names_pinned_to_operator_schema():
+    # operators/extraction.py mirrors META_FIELDS without importing the
+    # kernel at module load; this pin keeps the two from drifting
+    from article_extractor_spark.operators.extraction import (
+        _META_FIELD_NAMES,
+    )
+
+    assert tuple(_META_FIELD_NAMES) == tuple(META_FIELDS)
+
+
+def test_fused_emit_metadata_matches_standalone_kernel():
+    from article_extractor_spark.extract.pipeline import (
+        ExtractOptions,
+        extract_document,
+    )
+
+    html = (
+        "<html><head>"
+        '<meta property="og:title" content="T9"/>'
+        '<link rel="canonical" href="http://x/c9"/>'
+        '<script type="application/ld+json">'
+        '{"@type":"Article","headline":"H9","author":"A9"}</script>'
+        "</head><body><article><p>"
+        + ("word " * 200)
+        + "</p></article></body></html>"
+    )
+    fused = extract_document(
+        html, "", ExtractOptions(min_word_count=10, emit_metadata=True)
+    )
+    assert fused["success"]
+    assert fused["page_meta"] == extract_page_metadata(html)
+    # the head is CLEANED out of the extraction output, so the fused
+    # read must have happened before clean_document — og content must
+    # not appear in the spans
+    assert all("T9" not in (s.get("text") or "") for s in fused["spans"])
+    # disabled → None, and absent from the algorithm (cache key stable)
+    off = extract_document(html, "", ExtractOptions(min_word_count=10))
+    assert off["page_meta"] is None
+    assert (
+        ExtractOptions(min_word_count=10, emit_metadata=True).cache_key_fields()
+        == ExtractOptions(min_word_count=10).cache_key_fields()
+    )
+
+
+def test_fused_metadata_on_thin_and_empty_docs():
+    from article_extractor_spark.extract.pipeline import (
+        ExtractOptions,
+        extract_document,
+    )
+
+    # head-only fragment: extraction falls back to the document root
+    # (success + min-word warning) and the provenance rides along
+    html = '<head><meta property="og:title" content="Ghost"/></head>'
+    r = extract_document(html, "", ExtractOptions(emit_metadata=True))
+    assert r["success"] and r["warnings"]
+    assert r["page_meta"]["og_title"] == "Ghost"
+    # empty doc: a real failure row still carries the (all-None)
+    # metadata struct — attached, not missing
+    r = extract_document("", "", ExtractOptions(emit_metadata=True))
+    assert not r["success"]
+    assert r["page_meta"] == dict.fromkeys(META_FIELDS)
