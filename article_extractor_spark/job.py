@@ -44,6 +44,7 @@ def run_extraction_job(
     audit_readback: bool = False,
     emit_html: bool = False,
     emit_markdown: bool = False,
+    emit_metadata: bool = False,
     markdown_dir: str | None = None,
 ) -> dict:
     """Run (or resume) extraction over a corpus table.
@@ -97,6 +98,7 @@ def run_extraction_job(
             audit_readback=audit_readback,
             emit_html=emit_html,
             emit_markdown=emit_markdown,
+            emit_metadata=emit_metadata,
             markdown_dir=markdown_dir,
         )
     finally:
@@ -216,6 +218,7 @@ def _run_waves(
     audit_readback: bool,
     emit_html: bool = False,
     emit_markdown: bool = False,
+    emit_metadata: bool = False,
     markdown_dir: str | None = None,
 ) -> dict:
     if "bucket" not in corpus.columns:
@@ -253,6 +256,7 @@ def _run_waves(
             min_word_count=min_word_count,
             emit_html=emit_html,
             emit_markdown=emit_markdown,
+            emit_metadata=emit_metadata,
         )
         # re-derive bucket from doc_id (mapInPandas output dropped it);
         # same hash → same bucket, no join needed
@@ -450,6 +454,12 @@ def main(argv: list[str] | None = None) -> int:
         help="populate the markdown column in the output table",
     )
     p_run.add_argument(
+        "--emit-metadata",
+        action="store_true",
+        help="populate the page_meta struct column (og:*/canonical/"
+        "JSON-LD provenance) off the same parse as the spans",
+    )
+    p_run.add_argument(
         "--markdown-dir",
         default=None,
         help="also write one frontmatter-headed .md file per document "
@@ -534,6 +544,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         emit_html=args.emit_html,
         emit_markdown=args.emit_markdown,
+        emit_metadata=args.emit_metadata,
         markdown_dir=args.markdown_dir,
     )
     if args.manifest_out:

@@ -618,3 +618,33 @@ def test_iceberg_probe_and_gated_branch(spark, tmp_path):
     tableio.write_bucketed_iceberg(df, "local.db.docs", n_buckets=4)
     back = tableio.read_table_iceberg(spark, "local.db.docs")
     assert {r["doc_id"] for r in back.collect()} == {"d1", "d2"}
+
+
+def test_job_emit_metadata_column(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "out-meta")
+    stats = run_extraction_job(
+        spark,
+        corpus_path,
+        out,
+        n_buckets=N_BUCKETS,
+        waves=1,
+        emit_metadata=True,
+    )
+    assert stats["docs_processed"] == N_DOCS
+    result = spark.read.parquet(out)
+    assert "page_meta" in result.columns
+    field = dict(
+        (f.name, f) for f in result.schema.fields
+    )["page_meta"]
+    assert [sf.name for sf in field.dataType.fields] == [
+        "og_title",
+        "og_description",
+        "og_image",
+        "canonical_url",
+        "published_time",
+        "headline",
+        "author",
+    ]
+    # the struct is attached on every row (synth pages carry no og
+    # tags, so the fields are null but the struct itself is not)
+    assert result.where("page_meta is null").count() == 0
