@@ -30,6 +30,7 @@ from .operators.extraction import (
     render_spans_to_html,
     to_server_response,
 )
+from .pipeline import PIPE_SHUFFLE_SEED
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -3176,6 +3177,40 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (base_col + F.row_number().over(w) - 1)
         .cast("long")
         .alias("train_pos"),
+    )
+
+
+def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline.shuffled_pack`` over the documents table: training
+    order and token offsets fused into ONE bucket decomposition — the
+    primitive the end-to-end ``pipeline`` job packs with (packing
+    happens in shuffled EPOCH order, not id order; see pipeline.py for
+    the scale rationale).  Oracle: the single-node global window over
+    the same md5 sort key — agreement is evidence the two-base
+    decomposition (position base + token base from one 256-row totals
+    collect) is exact."""
+    from .pipeline import shuffled_pack
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    return shuffled_pack(docs, chunk_tokens=PACK_CHUNK_TOKENS)
+
+
+def q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline.materialize_chunks`` over the documents table: the
+    actual fixed-size training examples cut from the shuffled token
+    stream.  One array-slice row per document-chunk overlap crosses
+    the shuffle (never a row per token — the ``packed_examples``
+    spelling); the oracle re-derives every example with a per-token
+    zipped-unnest global window, so example strings, chunk ids, and
+    lengths must all match token-exactly."""
+    from .pipeline import materialize_chunks, shuffled_pack
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pack = shuffled_pack(docs, chunk_tokens=PACK_CHUNK_TOKENS)
+    return materialize_chunks(
+        docs, pack, chunk_tokens=PACK_CHUNK_TOKENS
     )
 
 
@@ -8349,6 +8384,57 @@ SELECT doc_id,
 FROM documents
 """
 
+# pipeline.shuffled_pack / materialize_chunks: the oracle is the
+# single-node global window over the same md5 shuffle key (the
+# training_order/sequence_pack protocol); the chunks oracle re-derives
+# every example per-token with zipped unnests, so agreement pins the
+# slice arithmetic (bounds, order keys, short final chunk) exactly.
+_PIPE_PACK_CTE = f"""
+t AS (
+  SELECT doc_id,
+    CAST(len({_TOKS.format(c='text')}) AS INT) AS n_tokens,
+    {_TOKS.format(c='text')} AS toks,
+    md5({PIPE_SHUFFLE_SEED!r} || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens, toks,
+    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+      AS train_pos,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_token
+  FROM t
+)"""
+
+ORACLE_SQL["pipeline_pack"] = f"""
+WITH {_PIPE_PACK_CTE}
+SELECT doc_id, train_pos, n_tokens, start_token,
+  start_token // {PACK_CHUNK_TOKENS} AS first_chunk,
+  (start_token + n_tokens - 1) // {PACK_CHUNK_TOKENS} AS last_chunk,
+  (start_token // {PACK_CHUNK_TOKENS})
+    != ((start_token + n_tokens - 1) // {PACK_CHUNK_TOKENS})
+    AS spans_boundary
+FROM o
+"""
+
+ORACLE_SQL["pipeline_chunks"] = f"""
+WITH {_PIPE_PACK_CTE}, u AS (
+  SELECT start_token + CAST(i AS BIGINT) AS gpos, tok
+  FROM (
+    SELECT start_token,
+           unnest(toks) AS tok,
+           unnest(range(len(toks))) AS i
+    FROM o
+    WHERE n_tokens > 0
+  )
+)
+SELECT gpos // {PACK_CHUNK_TOKENS} AS chunk_id,
+  string_agg(tok, ' ' ORDER BY gpos) AS example,
+  CAST(count(*) AS INT) AS n_tokens
+FROM u
+GROUP BY 1
+"""
+
 ORACLE_SQL["wave_diff"] = """
 WITH old AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 6
@@ -8817,6 +8903,8 @@ QUERY_FNS: dict[str, Query] = {
     "recrawl_schedule": q_recrawl_schedule,
     "table_extract": q_table_extract,
     "training_order": q_training_order,
+    "pipeline_pack": q_pipeline_pack,
+    "pipeline_chunks": q_pipeline_chunks,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
     "winnow_fingerprints": q_winnow_fingerprints,

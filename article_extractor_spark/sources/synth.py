@@ -42,8 +42,25 @@ def _rng_for(seed: int, doc_id: str) -> random.Random:
     return random.Random(f"{seed}:{doc_id}")
 
 
+# English function words interleaved into synthetic sentences so the
+# corpus reads like prose, not keyword salad — real curation filters
+# (stopword-ratio langid, Gopher's stop-hit rule) classify a
+# function-word-free text as non-English and would reject 100% of a
+# synthetic corpus, which both breaks pipeline tests and makes the
+# synth data a poor model of crawled articles.
+_FUNCTION_WORDS = (
+    "the a of and to in is it for with on that as by this from".split()
+)
+
+
 def _sentence(rng: random.Random, n_words: int) -> str:
-    words = [rng.choice(_WORDS) for _ in range(n_words)]
+    words = []
+    for _ in range(n_words):
+        # ~40% function words ≈ running English prose
+        if words and rng.random() < 0.4:
+            words.append(rng.choice(_FUNCTION_WORDS))
+        else:
+            words.append(rng.choice(_WORDS))
     words[0] = words[0].capitalize()
     # commas are a scoring signal (reference scorer.py:162): sprinkle some
     out = []
