@@ -41,7 +41,7 @@ def run_extraction_job(
     waves: int = 4,
     min_word_count: int = 150,
     resume: bool = True,
-    audit_readback: bool = False,
+    lineage_mode: str = "readback",
     emit_html: bool = False,
     emit_markdown: bool = False,
     emit_metadata: bool = False,
@@ -50,10 +50,17 @@ def run_extraction_job(
     """Run (or resume) extraction over a corpus table.
 
     Returns job stats: buckets processed/skipped, docs, wall seconds.
-    ``audit_readback=True`` re-reads each wave's written output to build
-    lineage from the files on disk (verifying the write) instead of the
-    free write-side observation — an audit mode, not the default, since
-    it costs a second pass over the output bytes.
+    ``lineage_mode`` selects how per-bucket lineage metrics + the
+    distinct-doc HLL are computed: ``"readback"`` (default) re-reads
+    each wave's written output COLUMN-PRUNED (metric ints + short
+    strings, ~1% of output bytes — parquet never materializes
+    spans/html here) and aggregates with codegen'd hash aggregates,
+    doubling as a write verification; ``"observe"`` rides the write
+    action with per-bucket conditional aggregates — zero extra jobs,
+    but CollectMetrics evaluates its expressions INTERPRETED, and the
+    measured cost (~1.9 core-ms/doc at 240k docs, more than extraction
+    itself) Amdahl-caps core-count scaling.  Both modes are pinned
+    equal by test.
 
     ``emit_html`` / ``emit_markdown`` populate the rendered-output
     columns in the result table.  ``markdown_dir`` additionally runs the
@@ -95,7 +102,7 @@ def run_extraction_job(
             waves=waves,
             min_word_count=min_word_count,
             resume=resume,
-            audit_readback=audit_readback,
+            lineage_mode=lineage_mode,
             emit_html=emit_html,
             emit_markdown=emit_markdown,
             emit_metadata=emit_metadata,
@@ -215,7 +222,7 @@ def _run_waves(
     waves: int,
     min_word_count: int,
     resume: bool,
-    audit_readback: bool,
+    lineage_mode: str,
     emit_html: bool = False,
     emit_markdown: bool = False,
     emit_metadata: bool = False,
@@ -248,9 +255,20 @@ def _run_waves(
 
     run_regs: list[int] = [0] * _HLL_M
     waves = max(1, min(waves, len(todo))) if todo else 0
+    cores = spark.sparkContext.defaultParallelism
     for wave_idx in range(waves):
         wave_buckets = todo[wave_idx::waves]
         wave_df = corpus.where(F.col("bucket").isin(wave_buckets))
+        # Bucket-aligned fast path: when the wave's scan already plans
+        # >= cores partitions, extract_articles' parallelism floor
+        # no-ops (same predicate), every stage below is narrow, and
+        # each task's rows lie inside one bucket directory's splits —
+        # so the clustered write needs NO distribution and the whole
+        # wave (scan → render → extract → observe → write) runs as one
+        # exchange-free stage.  Below the floor the respread breaks
+        # alignment and the classic repartition write keeps file
+        # counts bounded.  See tableio.write_bucketed(preshuffled=).
+        aligned = wave_df.rdd.getNumPartitions() >= cores
         extracted = extract_articles(
             wave_df,
             min_word_count=min_word_count,
@@ -261,15 +279,6 @@ def _run_waves(
         # re-derive bucket from doc_id (mapInPandas output dropped it);
         # same hash → same bucket, no join needed
         extracted = tableio.with_bucket(extracted, "doc_id", n_buckets)
-        # lineage metrics piggyback on the write action via per-bucket
-        # conditional aggregates — the job does exactly ONE pass over
-        # each wave's output bytes (round 1 re-read the written parquet
-        # to build lineage: a full second output pass at 100 TB)
-        from pyspark.sql import Observation
-
-        obs = Observation(f"wave-{wave_idx}")
-        # distinct-document sketch columns (dropped again before the
-        # write — they exist only for the Observation's register maxes)
         from .functions.sketches import HLL_M, hll_rho
         from .functions.text import md5_int
 
@@ -281,33 +290,64 @@ def _run_waves(
                 F.col("word_count").cast("string"),
             )
         )
-        extracted = extracted.withColumn(
-            "_hll_reg", _h.bitwiseAND(F.lit(HLL_M - 1))
-        ).withColumn("_hll_rho", hll_rho(_h))
-        extracted = extracted.observe(
-            obs, *_bucket_metrics(wave_buckets), *_hll_metrics()
-        )
-        extracted = extracted.drop("_hll_reg", "_hll_rho")
+        obs = None
+        if lineage_mode == "observe":
+            # opt-in: lineage metrics piggyback on the write action via
+            # per-bucket conditional aggregates + per-register HLL
+            # maxes.  "Free" in job count but NOT in CPU: CollectMetrics
+            # evaluates its aggregates INTERPRETED (no codegen), and the
+            # ~8·buckets + 256 expressions cost ~1.9 core-ms/doc at
+            # 240k docs — MORE than extraction itself (~1.0 core-ms) —
+            # which Amdahl-capped 8→32 scaling until round 4 flipped
+            # the default to the columnar read-back below.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"wave-{wave_idx}")
+            extracted = extracted.withColumn(
+                "_hll_reg", _h.bitwiseAND(F.lit(HLL_M - 1))
+            ).withColumn("_hll_rho", hll_rho(_h))
+            extracted = extracted.observe(
+                obs, *_bucket_metrics(wave_buckets), *_hll_metrics()
+            )
+            extracted = extracted.drop("_hll_reg", "_hll_rho")
         tableio.write_bucketed(
             extracted,
             output_path,
             mode="append",
             dynamic=False,
             n_buckets=n_buckets,
+            preshuffled=aligned,
         )
-        vals = obs.get
-        if audit_readback:
-            # optional audit mode: re-derive lineage from the written
-            # output and prefer it (verifies the write landed complete)
-            result = tableio.read_table(spark, output_path).where(
-                F.col("bucket").isin(wave_buckets)
-            )
-            audit_rows = tableio.build_lineage(result, run_id).collect()
-            lineage_rows = [tuple(r) for r in audit_rows]
-        else:
+        if obs is not None:
+            vals = obs.get
             lineage_rows = _lineage_rows_from_observation(
                 vals, wave_buckets, run_id
             )
+        else:
+            # default: lineage + HLL from a COLUMN-PRUNED read-back of
+            # the wave just written.  Parquet is columnar, so the two
+            # aggregations below scan only the metric ints + short
+            # strings (~1% of output bytes; spans/html never
+            # materialize), both run as codegen'd hash aggregates, and
+            # the read-back doubles as a write verification — the
+            # bucket only commits if its rows are READABLE.  Measured
+            # at 240k docs / local[32]: the interpreted write-side
+            # observation cost ~14.5 s per wave; this path's two
+            # pruned aggregations cost well under a second.
+            readback = tableio.read_table(spark, output_path).where(
+                F.col("bucket").isin(wave_buckets)
+            )
+            # the readback scan inherits the job's compute-sized (tiny)
+            # maxPartitionBytes, planning hundreds of ~1 MB splits for a
+            # few MB of pruned metric columns — coalesce to core count
+            # so the two aggregations below aren't task-launch-bound
+            # (no shuffle: coalesce merges scan partitions in place)
+            readback = readback.coalesce(cores)
+            lineage_rows = [
+                tuple(r)
+                for r in tableio.build_lineage(readback, run_id).collect()
+            ]
+            vals = None
         if markdown_dir:
             # D4 sink fed from the WRITTEN output (column-pruned read of
             # url/title/markdown/word_count — parquet never materializes
@@ -340,22 +380,37 @@ def _run_waves(
             output_path,
         )
         docs_done += sum(r[4] for r in lineage_rows)  # docs_in ordinal
-        from .functions.sketches import HLL_M as _M
-
-        for j in range(_M):
-            v = vals.get(f"hllr_{j}")
-            if v is not None and int(v) > run_regs[j]:
-                run_regs[j] = int(v)
+        if vals is not None:
+            for j in range(HLL_M):
+                v = vals.get(f"hllr_{j}")
+                if v is not None and int(v) > run_regs[j]:
+                    run_regs[j] = int(v)
+        else:
+            # register maxes as ONE codegen'd hash aggregate over the
+            # pruned read-back (title/excerpt/word_count fingerprint —
+            # identical expression to the observe path, so the two
+            # modes produce the same registers)
+            reg_rows = (
+                readback.select(
+                    _h.bitwiseAND(F.lit(HLL_M - 1)).alias("reg"),
+                    hll_rho(_h).alias("rho"),
+                )
+                .groupBy("reg")
+                .agg(F.max("rho").alias("mx"))
+                .collect()
+            )
+            for r in reg_rows:
+                j = int(r["reg"])
+                if int(r["mx"]) > run_regs[j]:
+                    run_regs[j] = int(r["mx"])
+        # wave-level stats from the committed lineage rows themselves
+        # (schema ordinals: 4=docs_in, 6=parse_failures, 8=spans)
         observed.append(
             {
                 "wave": wave_idx,
-                "docs": sum(int(vals[f"b{b}_docs_in"] or 0) for b in wave_buckets),
-                "failures": sum(
-                    int(vals[f"b{b}_parse_failures"] or 0) for b in wave_buckets
-                ),
-                "spans": sum(
-                    int(vals[f"b{b}_spans_emitted"] or 0) for b in wave_buckets
-                ),
+                "docs": sum(int(r[4]) for r in lineage_rows),
+                "failures": sum(int(r[6]) for r in lineage_rows),
+                "spans": sum(int(r[8]) for r in lineage_rows),
             }
         )
 
@@ -435,6 +490,30 @@ def main(argv: list[str] | None = None) -> int:
         "is skipped (the benchmark slice is explicit, never inferred "
         "from doc ids)",
     )
+
+    p_pipe = sub.add_parser(
+        "pipeline",
+        help="end-to-end: extraction -> curation verdicts -> shuffled "
+        "sequence packing -> materialized training examples, each "
+        "stage written under --out (see pipeline.run_pipeline)",
+    )
+    p_pipe.add_argument("--corpus", required=True)
+    p_pipe.add_argument("--out", required=True)
+    p_pipe.add_argument("--run-id", default="pipe-0")
+    p_pipe.add_argument(
+        "--buckets", type=int, default=tableio.DEFAULT_BUCKETS
+    )
+    p_pipe.add_argument("--waves", type=int, default=4)
+    p_pipe.add_argument("--min-word-count", type=int, default=150)
+    p_pipe.add_argument(
+        "--chunk-tokens",
+        type=int,
+        default=None,
+        help="packed example length in whitespace tokens",
+    )
+    p_pipe.add_argument("--benchmark-table", default=None)
+    p_pipe.add_argument("--no-resume", action="store_true")
+    p_pipe.add_argument("--manifest-out", default=None)
 
     p_run = sub.add_parser("extract", help="run the extraction job")
     p_run.add_argument("--corpus", required=True)
@@ -532,6 +611,25 @@ def main(argv: list[str] | None = None) -> int:
             f"curated {sum(summary.values())} docs -> kept {kept}; "
             f"statuses: {dict(sorted(summary.items()))}"
         )
+        return 0
+
+    if args.cmd == "pipeline":
+        from .pipeline import PIPE_CHUNK_TOKENS, run_pipeline
+
+        manifest = run_pipeline(
+            spark,
+            args.corpus,
+            args.out,
+            run_id=args.run_id,
+            n_buckets=args.buckets,
+            waves=args.waves,
+            min_word_count=args.min_word_count,
+            chunk_tokens=args.chunk_tokens or PIPE_CHUNK_TOKENS,
+            benchmark_path=args.benchmark_table,
+            resume=not args.no_resume,
+            manifest_path=args.manifest_out,
+        )
+        print(manifest)
         return 0
 
     stats = run_extraction_job(

@@ -21,6 +21,21 @@ from pyspark.sql import types as T
 
 DEFAULT_BUCKETS = 32
 
+# Parquet row-group target for bucketed writes.  A byte-range scan
+# split beyond the row-group count comes up EMPTY (a task reads the
+# row groups whose midpoint falls in its range), so a bucket file
+# written as ONE giant row group caps every downstream scan at one
+# task per file no matter how small maxPartitionBytes is set —
+# measured: a 240k-doc corpus written as 32 single-group files ran the
+# whole fused extraction wave as 32 coarse tasks, turning the 32-core
+# stage into a single straggler-bound round and capping 8→32 scaling
+# at ~0.43.  4 MiB groups give scans row-group-granular split points
+# so task width is actually governed by maxPartitionBytes.  This is
+# the knob Iceberg exposes as ``write.parquet.row-group-size-bytes``
+# (its 128 MiB default with 512 MiB target files keeps the same
+# several-groups-per-file ratio at production scale).
+ROW_GROUP_BYTES = 4 << 20
+
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
@@ -56,6 +71,7 @@ def write_bucketed(
     dynamic: bool = True,
     files_per_bucket: int = 1,
     n_buckets: int = DEFAULT_BUCKETS,
+    preshuffled: bool = False,
 ) -> None:
     """Write a table partitioned by ``bucket``.
 
@@ -69,6 +85,21 @@ def write_bucketed(
     the driver-side dynamic-overwrite commit the job bottleneck —
     measured: it erased all >8-core scaling at 240k docs).
 
+    ``preshuffled=True`` skips that exchange: the caller asserts its
+    task layout is already (near-)aligned with the bucket key — true
+    for any narrow pipeline over a scan of a bucket-partitioned table,
+    where each split lies inside one ``bucket=k`` directory.  Then the
+    clustered write needs no distribution (Iceberg's
+    ``write.distribution-mode=none`` for a write whose input is
+    already clustered): total file count is bounded by the number of
+    scan tasks (+1 per rare split that bin-packed across two bucket
+    dirs), NOT tasks × buckets, and the whole
+    scan→render→extract→write pipeline runs as ONE exchange-free
+    stage — the extraction job's hot path no longer re-serializes
+    every output byte through a shuffle (measured: the repartition
+    write added a ~flat-with-cores stage that Amdahl-capped 8→32
+    scaling at 240k docs).
+
     ``files_per_bucket > 1`` adds a doc_id-derived salt to the
     repartition key: hashing on the bucket value alone puts each
     bucket's rows in exactly one task regardless of the partition
@@ -77,6 +108,14 @@ def write_bucketed(
     straggler task).
     """
     files_per_bucket = max(files_per_bucket, 1)
+    if preshuffled:
+        writer = df.write.mode(mode).option(
+            "parquet.block.size", str(ROW_GROUP_BYTES)
+        )
+        if dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.partitionBy("bucket").parquet(path)
+        return
     if files_per_bucket > 1 and "doc_id" in df.columns:
         # salt must be decorrelated from the bucket hash — bucket is
         # pmod(xxhash64(doc_id), N), so a bare xxhash64(doc_id) salt is
@@ -91,7 +130,9 @@ def write_bucketed(
         )
     else:
         df = df.repartition(n_buckets, "bucket")
-    writer = df.write.mode(mode)
+    writer = df.write.mode(mode).option(
+        "parquet.block.size", str(ROW_GROUP_BYTES)
+    )
     if dynamic:
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.partitionBy("bucket").parquet(path)
@@ -237,4 +278,10 @@ def build_lineage(result: DataFrame, run_id: str) -> DataFrame:
 
 
 def append_lineage(lineage: DataFrame, output_path: str) -> None:
-    lineage.write.mode("append").parquet(lineage_path(output_path))
+    # lineage is <= n_buckets rows; without the coalesce,
+    # createDataFrame spreads them over defaultParallelism partitions
+    # and the append runs a 32-task write job for 32 rows (measured
+    # 1.5 s of pure task-launch overhead per wave at local[32])
+    lineage.coalesce(1).write.mode("append").parquet(
+        lineage_path(output_path)
+    )

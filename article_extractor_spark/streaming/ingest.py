@@ -313,8 +313,9 @@ def streaming_extraction_job(
     """The production "new crawl wave arrives as files" shape,
     end-to-end: AvailableNow ingest → the SAME ``extract_articles``
     mapInArrow stage the batch job runs → bucket-partitioned append →
-    per-micro-batch LINEAGE COMMIT (the batch job's write-side
-    Observation metrics, ``job._bucket_metrics``), so the streaming
+    per-micro-batch LINEAGE COMMIT (the batch job's default
+    column-pruned read-back aggregation, ``tableio.build_lineage``,
+    which also verifies the written batch is readable), so the streaming
     output table carries the identical audit trail as a batch run
     (reference storage_queue.py:87-293's append-only commit record).
 
@@ -370,9 +371,6 @@ def _stream_commit_batch(
     the replay-idempotence test can invoke it twice with one batch_id).
     Writes ``output_path/batch=<id>/bucket=<k>/`` with overwrite — the
     batch-unique subdir is the idempotence unit."""
-    from pyspark.sql import Observation
-
-    from ..job import _bucket_metrics, _lineage_rows_from_observation
     from ..sources import tableio
 
     df = batch_df
@@ -383,20 +381,25 @@ def _stream_commit_batch(
 
     extracted = extract_articles(df, min_word_count=min_word_count)
     extracted = tableio.with_bucket(extracted, "doc_id", n_buckets)
-    buckets = list(range(n_buckets))
-    obs = Observation(f"stream-batch-{batch_id}")
-    extracted = extracted.observe(obs, *_bucket_metrics(buckets))
+    batch_path = f"{output_path}/batch={int(batch_id)}"
     (
         extracted.repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{output_path}/batch={int(batch_id)}")
+        .parquet(batch_path)
     )
-    rows = _lineage_rows_from_observation(
-        obs.get, buckets, f"{run_id}-b{batch_id}"
-    )
+    # lineage from a column-pruned read-back of the batch just written
+    # (the batch job's lineage_mode="readback" default): codegen'd hash
+    # aggregate over the metric ints, and the commit only happens if
+    # the written rows are readable
+    spark = extracted.sparkSession
+    rows = [
+        tuple(r)
+        for r in tableio.build_lineage(
+            spark.read.parquet(batch_path), f"{run_id}-b{batch_id}"
+        ).collect()
+    ]
     if rows:
-        spark = extracted.sparkSession
         (
             spark.createDataFrame(rows, tableio.LINEAGE_SCHEMA)
             .write.mode("overwrite")

@@ -81,48 +81,70 @@ def single_run(cores: int, corpus_path: str, out_path: str) -> None:
     )
 
 
-def run_config(
-    cores: int,
-    corpus_path: str,
-    out_path: str,
-    trials: int,
-    pin: bool = True,
-) -> dict:
-    best: dict | None = None
+def one_trial(cores: int, corpus_path: str, out_path: str, pin: bool) -> dict | None:
     pin_prefix = (
         ["taskset", "-c", f"0-{cores - 1}"]
         if pin and shutil.which("taskset")
         else []
     )
-    for _ in range(trials):
-        proc = subprocess.run(
-            pin_prefix
-            + [
-                sys.executable,
-                __file__,
-                "--single-cores",
-                str(cores),
-                "--corpus",
-                corpus_path,
-                "--out",
-                out_path,
-            ],
-            capture_output=True,
-            text=True,
-            cwd=str(REPO),
+    proc = subprocess.run(
+        pin_prefix
+        + [
+            sys.executable,
+            __file__,
+            "--single-cores",
+            str(cores),
+            "--corpus",
+            corpus_path,
+            "--out",
+            out_path,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    if proc.returncode != 0:
+        sys.stderr.write(
+            f"trial failed (cores={cores}):\n{proc.stderr[-2000:]}\n"
         )
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                r = json.loads(line[len("RESULT "):])
-                if best is None or r["wall_sec"] < best["wall_sec"]:
-                    best = r
-        if proc.returncode != 0 and best is None:
-            raise RuntimeError(
-                f"run failed (cores={cores}):\n{proc.stderr[-2000:]}"
+    return None
+
+
+def run_configs(
+    low_cores: int,
+    high_cores: int,
+    corpus_path: str,
+    workdir: str,
+    trials: int,
+    pin: bool = True,
+) -> tuple[dict, dict]:
+    """INTERLEAVED trials: low, high, low, high, …  The box's
+    multi-minute drift phases (same config measured 27–78 s back to
+    back) would otherwise land entirely on whichever config ran
+    second; alternating puts both configs through the same phases and
+    best-of-N picks each one's quiet-window number."""
+    best: dict[int, dict | None] = {low_cores: None, high_cores: None}
+    for trial in range(trials):
+        for cores in (low_cores, high_cores):
+            r = one_trial(
+                cores, corpus_path, f"{workdir}/out-{cores}", pin
             )
-    assert best is not None
-    best["docs_per_sec"] = round(best["docs"] / best["wall_sec"], 1)
-    return best
+            if r is None:
+                continue
+            print(
+                f"trial {trial} cores={cores}: {r['wall_sec']}s",
+                file=sys.stderr,
+            )
+            if best[cores] is None or r["wall_sec"] < best[cores]["wall_sec"]:
+                best[cores] = r
+    for cores, r in best.items():
+        if r is None:
+            raise RuntimeError(f"all trials failed (cores={cores})")
+        r["docs_per_sec"] = round(r["docs"] / r["wall_sec"], 1)
+    return best[low_cores], best[high_cores]
 
 
 def main() -> int:
@@ -156,12 +178,8 @@ def main() -> int:
             tableio.write_bucketed(df, corpus_path, dynamic=False)
             spark.stop()
 
-        low = run_config(
-            args.low, corpus_path, f"{workdir}/out-low", args.trials,
-            pin=not args.no_pin,
-        )
-        high = run_config(
-            args.high, corpus_path, f"{workdir}/out-high", args.trials,
+        low, high = run_configs(
+            args.low, args.high, corpus_path, workdir, args.trials,
             pin=not args.no_pin,
         )
 
@@ -187,8 +205,9 @@ def main() -> int:
         result["protocol"] = (
             "scripts/scaling_bench.py: identical extraction job at "
             f"local[{args.low}] and local[{args.high}], CPU-pinned "
-            "subprocesses (taskset), fresh JVM per config, best of "
-            f"{args.trials} trials per config"
+            "subprocesses (taskset), fresh JVM per config, "
+            f"INTERLEAVED trials (low,high x{args.trials}) so box "
+            "drift phases hit both configs, best per config"
         )
         result["measured_at"] = time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()

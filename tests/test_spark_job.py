@@ -133,22 +133,31 @@ def test_kill_and_resume_produces_identical_table(spark, corpus_path, tmp_path):
     assert h(full).exceptAll(h(resumed)).count() == 0
 
 
-def test_lineage_from_observation_matches_audit_readback(
+def test_lineage_readback_matches_observation_mode(
     spark, corpus_path, tmp_path
 ):
-    """The default lineage path (free write-side observation) must agree
-    with the audit mode (re-reading the written output) on every metric
-    except wall-clock cpu_ms."""
+    """The default lineage path (column-pruned read-back of the written
+    wave) must agree with the opt-in observe mode (write-side
+    conditional aggregates) on every metric except wall-clock cpu_ms —
+    same pin as before round 4, with the default flipped (the
+    interpreted CollectMetrics expressions cost more CPU than
+    extraction itself; see run_extraction_job docstring)."""
     out_a = str(tmp_path / "obs")
     out_b = str(tmp_path / "audit")
-    run_extraction_job(spark, corpus_path, out_a, n_buckets=N_BUCKETS, waves=2)
+    run_extraction_job(
+        spark,
+        corpus_path,
+        out_a,
+        n_buckets=N_BUCKETS,
+        waves=2,
+        lineage_mode="observe",
+    )
     run_extraction_job(
         spark,
         corpus_path,
         out_b,
         n_buckets=N_BUCKETS,
         waves=2,
-        audit_readback=True,
     )
     cols = [
         "bucket",
