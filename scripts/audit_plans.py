@@ -420,6 +420,23 @@ CHECKS = {
         "row_number window is PARTITIONED by bucket (never a global "
         "order-by), per-bucket counts are driver metadata",
     ),
+    "pipeline_pack": (
+        ["windowspecdefinition(bucket"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+        "fused shuffled-order pack: ONE md5-bucket decomposition "
+        "yields train position AND token offset — both windows are "
+        "PARTITIONED by the hash's first byte (never a global "
+        "order-by); the two base offsets come from one 256-row "
+        "driver-metadata collect",
+    ),
+    "pipeline_chunks": (
+        ["windowspecdefinition(bucket"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+        "example materialization: the only corpus-sized shuffle moves "
+        "one token-array SLICE per document-chunk overlap (never a "
+        "row per token); chunk assembly is a hash aggregate whose "
+        "collect_list is bounded by the chunk size",
+    ),
     "bm25_topk_stored": (
         ["PartitionFilters: [", "TakeOrderedAndProject"],
         ["SortMergeJoin", "Window"],
