@@ -25,7 +25,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.extraction import extract_articles, render_spans_to_html
+from .operators.extraction import (
+    extract_articles,
+    render_spans_to_html,
+    resolve_giant_threshold,
+)
 from .session import build_session
 from .sources import tableio
 from .sources.synth import corpus_dataframe
@@ -46,10 +50,33 @@ def run_extraction_job(
     emit_markdown: bool = False,
     emit_metadata: bool = False,
     markdown_dir: str | None = None,
+    giant_threshold: int | str | None = "auto",
+    preshuffled: bool | None = None,
 ) -> dict:
     """Run (or resume) extraction over a corpus table.
 
     Returns job stats: buckets processed/skipped, docs, wall seconds.
+
+    ``giant_threshold`` routes documents above the threshold (bytes of
+    HTML) through a salted extraction branch so several multi-MB giants
+    can't pile onto one straggler task (2.45× measured on a skewed
+    corpus, scripts/giant_bench.py).  The default ``"auto"`` derives
+    the threshold — or declines to salt — from the first wave's own
+    size distribution (``resolve_giant_threshold``; buckets are
+    hash-random, so wave 0 is an unbiased sample and later waves reuse
+    its answer for free).  Pass an int from ingest-time stats at scale,
+    or ``None`` to disable.
+
+    ``preshuffled`` overrides the bucket-aligned exchange-free write
+    heuristic: ``None`` (default) auto-detects — the fast path engages
+    only when the corpus came from a ``bucket=k``-partitioned PATH
+    (physical task↔bucket alignment) AND a sampled check confirms its
+    bucket values equal ``pmod(xxhash64(CAST(doc_id AS STRING)), N)``
+    (a corpus bucketed with a different N, a foreign bucket column, or
+    a native-numeric id hash all fail it — each would make the
+    exchange-free write fan out tasks×buckets small files, ADVICE r4).
+    ``True``/``False`` force the path (A/B harnesses).
+
     ``lineage_mode`` selects how per-bucket lineage metrics + the
     distinct-doc HLL are computed: ``"readback"`` (default) re-reads
     each wave's written output COLUMN-PRUNED (metric ints + short
@@ -74,7 +101,9 @@ def run_extraction_job(
     if markdown_dir:
         emit_markdown = True
     prev_mpb: str | None = None
+    bucket_provenance = False
     if isinstance(corpus, str):
+        corpus_path = corpus
         # CPU-bound UDF stage: size scan partitions for compute, not IO.
         # With the default 128m maxPartitionBytes a small corpus
         # collapses to a handful of map tasks and extra cores idle
@@ -91,6 +120,15 @@ def run_extraction_job(
         prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
         corpus = tableio.read_table(spark, corpus)
+        # provenance half of the preshuffled gate: the corpus is
+        # PHYSICALLY laid out as bucket=k dirs (a DataFrame corpus, or
+        # a path with a mere bucket data column, never qualifies —
+        # task splits there span buckets and the exchange-free write
+        # would fan out tasks×buckets files)
+        bucket_provenance = (
+            "bucket" in corpus.columns
+            and tableio.has_bucket_dirs(spark, corpus_path, n_buckets)
+        )
 
     try:
         return _run_waves(
@@ -107,6 +145,9 @@ def run_extraction_job(
             emit_markdown=emit_markdown,
             emit_metadata=emit_metadata,
             markdown_dir=markdown_dir,
+            giant_threshold=giant_threshold,
+            preshuffled=preshuffled,
+            bucket_provenance=bucket_provenance,
         )
     finally:
         if prev_mpb is not None:
@@ -227,9 +268,29 @@ def _run_waves(
     emit_markdown: bool = False,
     emit_metadata: bool = False,
     markdown_dir: str | None = None,
+    giant_threshold: int | str | None = "auto",
+    preshuffled: bool | None = None,
+    bucket_provenance: bool = False,
 ) -> dict:
-    if "bucket" not in corpus.columns:
+    if "bucket" in corpus.columns:
+        # The wave/lineage protocol needs corpus buckets to equal the
+        # output table's string-hash re-derivation — otherwise a wave's
+        # rows land in OTHER waves' output buckets and per-wave lineage
+        # counts are garbage (ADVICE r4).  Sampled check (systematic
+        # failure modes, so 128 first rows suffice); a misaligned
+        # column is recomputed in place, trading partition pruning for
+        # a correct commit protocol.
+        values_ok = tableio.bucket_sample_aligned(corpus, n_buckets)
+        if not values_ok:
+            corpus = corpus.withColumn(
+                "bucket", tableio.string_bucket_expr(n_buckets)
+            )
+        pre_ok = values_ok and bucket_provenance
+    else:
         corpus = tableio.with_bucket(corpus, "doc_id", n_buckets)
+        pre_ok = False
+    if preshuffled is not None:
+        pre_ok = preshuffled
     if "html" not in corpus.columns:
         corpus = render_spans_to_html(corpus)
     if "url" not in corpus.columns:
@@ -259,7 +320,14 @@ def _run_waves(
     for wave_idx in range(waves):
         wave_buckets = todo[wave_idx::waves]
         wave_df = corpus.where(F.col("bucket").isin(wave_buckets))
-        # Bucket-aligned fast path: when the wave's scan already plans
+        if giant_threshold == "auto":
+            # derive the salting threshold from wave 0's own size
+            # distribution (buckets are hash-random → an unbiased
+            # sample of the corpus); later waves reuse the answer, so
+            # the probe's column-pruned length scan is paid once
+            giant_threshold = resolve_giant_threshold(wave_df)
+        # Bucket-aligned fast path: when provenance + the sampled value
+        # check passed (pre_ok) and the wave's scan already plans
         # >= cores partitions, extract_articles' parallelism floor
         # no-ops (same predicate), every stage below is narrow, and
         # each task's rows lie inside one bucket directory's splits —
@@ -268,13 +336,18 @@ def _run_waves(
         # exchange-free stage.  Below the floor the respread breaks
         # alignment and the classic repartition write keeps file
         # counts bounded.  See tableio.write_bucketed(preshuffled=).
-        aligned = wave_df.rdd.getNumPartitions() >= cores
+        aligned = (
+            preshuffled
+            if preshuffled is not None
+            else pre_ok and wave_df.rdd.getNumPartitions() >= cores
+        )
         extracted = extract_articles(
             wave_df,
             min_word_count=min_word_count,
             emit_html=emit_html,
             emit_markdown=emit_markdown,
             emit_metadata=emit_metadata,
+            giant_threshold=giant_threshold,
         )
         # re-derive bucket from doc_id (mapInPandas output dropped it);
         # same hash → same bucket, no join needed
@@ -310,6 +383,7 @@ def _run_waves(
                 obs, *_bucket_metrics(wave_buckets), *_hll_metrics()
             )
             extracted = extracted.drop("_hll_reg", "_hll_rho")
+        written_schema = extracted.schema
         tableio.write_bucketed(
             extracted,
             output_path,
@@ -334,9 +408,14 @@ def _run_waves(
             # at 240k docs / local[32]: the interpreted write-side
             # observation cost ~14.5 s per wave; this path's two
             # pruned aggregations cost well under a second.
-            readback = tableio.read_table(spark, output_path).where(
-                F.col("bucket").isin(wave_buckets)
-            )
+            # explicit schema: a wave that wrote ZERO rows to a fresh
+            # output leaves only _SUCCESS, and schema inference would
+            # throw 'Unable to infer schema' (ADVICE r4) — the schema
+            # is known (it was just written), so the empty-dir read
+            # degrades to an empty frame instead
+            readback = spark.read.schema(written_schema).parquet(
+                output_path
+            ).where(F.col("bucket").isin(wave_buckets))
             # the readback scan inherits the job's compute-sized (tiny)
             # maxPartitionBytes, planning hundreds of ~1 MB splits for a
             # few MB of pruned metric columns — coalesce to core count
@@ -360,9 +439,9 @@ def _run_waves(
             # instead of accumulating duplicate rows).
             from .sinks.markdown_sink import write_markdown_files
 
-            wave_out = tableio.read_table(spark, output_path).where(
-                F.col("bucket").isin(wave_buckets)
-            )
+            wave_out = spark.read.schema(written_schema).parquet(
+                output_path
+            ).where(F.col("bucket").isin(wave_buckets))
             manifest = tableio.with_bucket(
                 write_markdown_files(wave_out, markdown_dir),
                 "doc_id",
@@ -375,10 +454,11 @@ def _run_waves(
                 .partitionBy("bucket")
                 .parquet(markdown_dir.rstrip("/") + "/_manifest")
             )
-        tableio.append_lineage(
-            spark.createDataFrame(lineage_rows, tableio.LINEAGE_SCHEMA),
-            output_path,
-        )
+        if lineage_rows:
+            tableio.append_lineage(
+                spark.createDataFrame(lineage_rows, tableio.LINEAGE_SCHEMA),
+                output_path,
+            )
         docs_done += sum(r[4] for r in lineage_rows)  # docs_in ordinal
         if vals is not None:
             for j in range(HLL_M):
@@ -430,6 +510,12 @@ def _run_waves(
         "distinct_docs_est": estimate_from_registers(run_regs)
         if any(run_regs)
         else 0.0,
+        # which write path / skew strategy actually ran (A/B harnesses
+        # and the ADVICE no-contrast check read these)
+        "preshuffled": pre_ok,
+        "giant_threshold": giant_threshold
+        if isinstance(giant_threshold, int)
+        else None,
         "wall_sec": round(time.time() - t0, 2),
     }
 

@@ -57,10 +57,15 @@ def with_bucket(
     df: DataFrame, id_col: str = "doc_id", n_buckets: int = DEFAULT_BUCKETS
 ) -> DataFrame:
     """Stable bucket assignment on the document key (Iceberg
-    bucket-transform emulation)."""
-    return df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
-    )
+    bucket-transform emulation).
+
+    Hashes the STRING CAST of the id (``string_bucket_expr``), so a
+    corpus with a natively-numeric id gets the same bucket its
+    extraction output re-derives from the stringified id — hashing the
+    native type decorrelated wave buckets from output buckets and
+    corrupted per-wave lineage counts (ADVICE r4).  For string ids the
+    cast is a no-op."""
+    return df.withColumn("bucket", string_bucket_expr(n_buckets, id_col))
 
 
 def write_bucketed(
@@ -140,6 +145,62 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def string_bucket_expr(n_buckets: int, id_col: str = "doc_id"):
+    """Bucket of the STRING CAST of the id — the exact expression the
+    extraction output re-derives its bucket with (job.py), so a corpus
+    bucketed through this expression stays correlated with its output
+    buckets even when ``doc_id`` is natively numeric (xxhash64 of a
+    long differs from xxhash64 of its decimal string — ADVICE r4)."""
+    return F.pmod(
+        F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def has_bucket_dirs(spark: SparkSession, path: str, n_buckets: int) -> bool:
+    """True when ``path`` is physically laid out as ``bucket=k``
+    partition directories (driver-side FS metadata glob).  A table with
+    a plain ``bucket`` DATA column in unpartitioned files also exposes
+    the column after read, but its task splits span buckets — the
+    preshuffled write is only safe against the directory layout."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/bucket=*")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        statuses = fs.globStatus(jpath)
+    except Exception:  # pragma: no cover - FS-specific glob failures
+        return False
+    if statuses is None:
+        return False
+    dirs = [s for s in statuses if s.isDirectory()]
+    return 0 < len(dirs) <= n_buckets
+
+
+def bucket_sample_aligned(
+    df: DataFrame,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    sample_rows: int = 128,
+) -> bool:
+    """Cheap probabilistic check that ``df.bucket`` equals
+    ``pmod(xxhash64(CAST(id AS STRING)), n_buckets)`` — the invariant
+    the job's wave/lineage protocol and the preshuffled write both rest
+    on.  Every failure mode this guards against (corpus bucketed with a
+    different n_buckets, bucketed on a non-string id hash, or an
+    arbitrary foreign bucket column) is SYSTEMATIC — each sampled row
+    mismatches with probability ~(N-1)/N — so a first-rows sample of
+    128 misses a misalignment with probability ~N^-128.  Cost: one
+    CollectLimit job over (id, bucket), a few row groups of one file.
+    """
+    expected = string_bucket_expr(n_buckets, id_col)
+    bad = (
+        df.select(F.col(id_col), F.col("bucket"))
+        .limit(sample_rows)
+        .where(F.col("bucket") != expected)
+        .take(1)
+    )
+    return not bad
 
 
 def clear_buckets(spark: SparkSession, path: str, buckets) -> None:

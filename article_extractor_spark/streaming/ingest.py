@@ -391,12 +391,17 @@ def _stream_commit_batch(
     # lineage from a column-pruned read-back of the batch just written
     # (the batch job's lineage_mode="readback" default): codegen'd hash
     # aggregate over the metric ints, and the commit only happens if
-    # the written rows are readable
+    # the written rows are readable.  Explicit schema: an EMPTY
+    # micro-batch (zero-row input files) writes batch=<id>/ with no
+    # part files, and schema inference there would throw and fail the
+    # whole streaming query (ADVICE r4) — the schema is known, so the
+    # empty batch degrades to zero lineage rows instead
     spark = extracted.sparkSession
     rows = [
         tuple(r)
         for r in tableio.build_lineage(
-            spark.read.parquet(batch_path), f"{run_id}-b{batch_id}"
+            spark.read.schema(extracted.schema).parquet(batch_path),
+            f"{run_id}-b{batch_id}",
         ).collect()
     ]
     if rows:

@@ -273,11 +273,19 @@ def main() -> int:
             result["scaling"] = json.loads(scaling_path.read_text())
         except (OSError, ValueError):
             pass
+    import datetime
+
+    result["measured_at"] = datetime.datetime.now(
+        datetime.timezone.utc
+    ).isoformat(timespec="seconds")
     line = json.dumps(result)
     # The driver tails stdout and can truncate a long final line
     # (BENCH_r03.json lost its totals that way) — ALSO write the
     # artifact to a file so the record round-trips through json.load.
-    out_path = Path(__file__).resolve().parent / "BENCH.json"
+    # Written as BENCH_builder.json: BENCH.json is the DRIVER's artifact
+    # path, and writing it here left a permanently-dirty working tree
+    # plus two competing records with no window label (VERDICT r4).
+    out_path = Path(__file__).resolve().parent / "BENCH_builder.json"
     try:
         out_path.write_text(line + "\n")
     except OSError:

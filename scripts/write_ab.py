@@ -43,25 +43,18 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    orig_write = tableio.write_bucketed
-    force_shuffled = {"on": False}
-
-    def patched(df, path, **kw):
-        if force_shuffled["on"]:
-            kw["preshuffled"] = False
-        return orig_write(df, path, **kw)
-
-    tableio.write_bucketed = patched
-    jobmod.tableio.write_bucketed = patched
+    del tableio  # arms are forced through the job's preshuffled param
 
     results = {"shuffled": [], "preshuffled": []}
     for trial in range(args.trials):
         for arm in ("shuffled", "preshuffled"):
-            force_shuffled["on"] = arm == "shuffled"
             out = f"/tmp/write-ab-out-{arm}"
             shutil.rmtree(out, ignore_errors=True)
             t0 = time.time()
-            jobmod.run_extraction_job(
+            # force each arm explicitly — relying on the job's aligned
+            # heuristic made a no-contrast run (both arms repartition)
+            # silently measure nothing (ADVICE r4); stats echo the path
+            stats = jobmod.run_extraction_job(
                 spark,
                 args.corpus,
                 out,
@@ -69,7 +62,9 @@ def main() -> int:
                 waves=1,
                 resume=False,
                 min_word_count=10,
+                preshuffled=arm == "preshuffled",
             )
+            assert stats["preshuffled"] == (arm == "preshuffled"), stats
             dt = round(time.time() - t0, 2)
             results[arm].append(dt)
             print(f"trial {trial} {arm}: {dt}s", flush=True)

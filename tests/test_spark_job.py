@@ -657,3 +657,82 @@ def test_job_emit_metadata_column(spark, corpus_path, tmp_path):
     # the struct is attached on every row (synth pages carry no og
     # tags, so the fields are null but the struct itself is not)
     assert result.where("page_meta is null").count() == 0
+
+
+def test_preshuffled_gate_on_for_aligned_path_corpus(
+    spark, corpus_path, tmp_path
+):
+    """The exchange-free write engages only with provenance: a corpus
+    READ FROM A PATH laid out as bucket=k dirs whose bucket values pass
+    the sampled string-hash check (ADVICE r4)."""
+    out = str(tmp_path / "out-aligned")
+    stats = run_extraction_job(
+        spark, corpus_path, out, n_buckets=N_BUCKETS, waves=2
+    )
+    assert stats["preshuffled"] is True
+    assert stats["docs_processed"] == N_DOCS
+    # synth corpus is uniform: auto giant salting must decline
+    assert stats["giant_threshold"] is None
+
+
+def test_preshuffled_gate_off_for_dataframe_corpus(
+    spark, corpus_path, tmp_path
+):
+    """A DataFrame corpus has no physical bucket-dir provenance — the
+    preshuffled fast path must stay off even when its bucket VALUES are
+    aligned (task splits may span buckets, ADVICE r4)."""
+    corpus = spark.read.parquet(corpus_path)
+    stats = run_extraction_job(
+        spark, corpus, str(tmp_path / "out-df"), n_buckets=N_BUCKETS, waves=1
+    )
+    assert stats["preshuffled"] is False
+    assert stats["docs_processed"] == N_DOCS
+
+
+def test_misaligned_bucket_corpus_recomputed_and_lineage_sound(
+    spark, tmp_path
+):
+    """A corpus bucketed with a DIFFERENT n_buckets than the job's must
+    (a) not take the preshuffled path, (b) have its bucket column
+    recomputed so per-wave lineage counts stay correct — with the
+    foreign column kept, a wave's rows land in other waves' output
+    buckets and commit counts double (ADVICE r4)."""
+    path = str(tmp_path / "c16")
+    df = corpus_dataframe(spark, 40, seed=3, partitions=2)
+    df = tableio.with_bucket(df, "doc_id", 16)
+    tableio.write_bucketed(df, path, dynamic=False, n_buckets=16)
+
+    out = str(tmp_path / "out16")
+    stats = run_extraction_job(spark, path, out, n_buckets=8, waves=2)
+    assert stats["preshuffled"] is False
+    assert stats["docs_processed"] == 40
+
+    lineage = spark.read.parquet(tableio.lineage_path(out))
+    assert lineage.agg(F.sum("docs_in")).collect()[0][0] == 40
+    result = spark.read.parquet(out)
+    assert result.count() == 40
+    # every row's partition-dir bucket equals the string-hash bucket
+    expected = F.pmod(
+        F.xxhash64(F.col("doc_id").cast("string")), F.lit(8)
+    ).cast("int")
+    assert result.where(F.col("bucket") != expected).count() == 0
+    # resume over the same misaligned corpus is a no-op
+    stats2 = run_extraction_job(spark, path, out, n_buckets=8, waves=2)
+    assert stats2["docs_processed"] == 0
+
+
+def test_empty_corpus_wave_does_not_crash_readback(spark, corpus_path, tmp_path):
+    """A wave that writes ZERO rows leaves an output dir with only
+    _SUCCESS; the lineage read-back must degrade to an empty frame (it
+    reads with the known written schema), not throw 'Unable to infer
+    schema' (ADVICE r4)."""
+    out = str(tmp_path / "out-empty")
+    empty = spark.read.parquet(corpus_path).where(F.lit(False))
+    stats = run_extraction_job(spark, empty, out, n_buckets=N_BUCKETS, waves=2)
+    assert stats["docs_processed"] == 0
+    assert stats["docs_failed"] == 0
+    # a later run over the real corpus proceeds normally on the same out
+    stats2 = run_extraction_job(
+        spark, corpus_path, out, n_buckets=N_BUCKETS, waves=2
+    )
+    assert stats2["docs_processed"] == N_DOCS

@@ -388,3 +388,27 @@ def test_streaming_batch_replay_is_idempotent(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == 12
     lin = spark.read.parquet(tableio.lineage_path(out))
     assert lin.agg(F.sum("docs_in")).first()[0] == 12
+
+
+def test_streaming_job_empty_batch_does_not_fail_query(spark, tmp_path):
+    """An empty micro-batch (zero-row input file) writes batch=<id>/
+    with no part files; the lineage read-back must use the known
+    schema and commit zero rows instead of raising AnalysisException
+    and killing the whole streaming query (ADVICE r4)."""
+    from article_extractor_spark.streaming.ingest import (
+        streaming_extraction_job,
+    )
+
+    src = str(tmp_path / "empty-src")
+    corpus_dataframe(spark, 4, seed=5, partitions=1).limit(0).write.parquet(
+        src
+    )
+    out = str(tmp_path / "empty-out")
+    ckpt = str(tmp_path / "empty-ckpt")
+    q = streaming_extraction_job(spark, src, out, ckpt, n_buckets=4)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    # no lineage rows were committed for the empty batch
+    lpath = tableio.lineage_path(out)
+    if tableio.table_exists(spark, lpath):
+        assert spark.read.parquet(lpath).count() == 0
