@@ -23,22 +23,68 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 256
 
 
+def _parse_local_cluster(master: str) -> tuple[int, int, int] | None:
+    """(n_executors, cores_per_executor, mem_mb) from a
+    ``local-cluster[n,c,m]`` master string, else None."""
+    if not master.startswith("local-cluster["):
+        return None
+    inner = master[len("local-cluster[") : master.rindex("]")]
+    n, c, m = (int(x.strip()) for x in inner.split(","))
+    return n, c, m
+
+
+def wait_for_executors(
+    spark: SparkSession, n_executors: int, timeout_sec: float = 120.0
+) -> int:
+    """Block until ``n_executors`` executor JVMs have registered.
+
+    Multi-JVM masters (local-cluster, standalone) register executors
+    ASYNCHRONOUSLY after the session builds, and until they do,
+    ``sc.defaultParallelism`` reads 2 — every piece of code that sizes
+    scans/shuffles off core count (the job's maxPartitionBytes targeting,
+    the compute-parallelism floor) would mis-plan the first stages.
+    Returns the registered executor count (excluding the driver)."""
+    import time
+
+    sc = spark.sparkContext
+    deadline = time.time() + timeout_sec
+    while True:
+        infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+        # getExecutorInfos includes the driver as one entry
+        n = len(infos) - 1
+        if n >= n_executors or time.time() > deadline:
+            return n
+        time.sleep(0.2)
+
+
 def build_session(
     app_name: str = "article-extractor-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` (also settable
+    via $SPARK_GRAFT_MASTER) — e.g. ``local-cluster[4,8,4096]`` runs 4
+    separate executor JVMs of 8 cores, the in-box way to exercise real
+    serialized shuffles, per-executor broadcasts, and executor loss.
+    For local-cluster masters the executor memory is set from the
+    master string and the call blocks until all executors register."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or None
+    lc = _parse_local_cluster(master) if master else None
     if cores is None:
-        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
-            os.cpu_count() or 8
-        )
+        if lc:
+            cores = lc[0] * lc[1]
+        else:
+            cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
+                os.cpu_count() or 8
+            )
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -53,6 +99,11 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if lc:
+        builder = builder.config("spark.executor.memory", f"{lc[2]}m")
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    session = builder.getOrCreate()
+    if lc:
+        wait_for_executors(session, lc[0])
+    return session

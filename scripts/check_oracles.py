@@ -2,10 +2,15 @@
 its DuckDB oracle on the same parquet tables; compare row count, schema
 (column names), and exact values (columns sorted by name, rows sorted).
 
-Usage: python scripts/check_oracles.py [--json out.json] [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--json out.json]
+           [--master MASTER] [sf_dir] [query ...]
 
 --json writes a CORRECTNESS-style artifact with per-query wall times
 (spark_sec = the Spark query incl. toPandas; oracle_sec = DuckDB).
+--master runs the Spark side under any master URL — e.g.
+``local-cluster[2,4,2048]`` re-verifies the registry across separate
+executor JVMs (real serialized shuffles, per-executor broadcasts)
+instead of one local JVM.
 """
 
 from __future__ import annotations
@@ -35,9 +40,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     argv = sys.argv[1:]
     json_path = None
+    master = None
     if "--json" in argv:
         i = argv.index("--json")
         json_path = argv[i + 1]
+        del argv[i : i + 2]
+    if "--master" in argv:
+        i = argv.index("--master")
+        master = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
@@ -45,7 +55,7 @@ def main() -> int:
     from article_extractor_spark.queries import ORACLE_SQL, QUERY_FNS
     from article_extractor_spark.session import build_session
 
-    spark = build_session(app_name="check-oracles")
+    spark = build_session(app_name="check-oracles", master=master)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -112,7 +122,16 @@ def main() -> int:
 
     if json_path:
         with open(json_path, "w") as f:
-            json.dump({"sf_dir": sf_dir, "queries": record}, f, indent=1)
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "master": master
+                    or spark.sparkContext.master,
+                    "queries": record,
+                },
+                f,
+                indent=1,
+            )
         print(f"wrote {json_path}")
 
     print()

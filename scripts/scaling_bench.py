@@ -1,9 +1,16 @@
 """Two-parallelism scaling bench (north rule: ≥0.8 efficiency N→4N).
 
-No real cluster exists in this sandbox, so the two-cluster-size
+No real network cluster exists in this sandbox, so the two-cluster-size
 criterion is evidenced by running the IDENTICAL extraction job on the
-IDENTICAL input at local[N] and local[4N] and comparing docs/sec
-(BASELINE.md measurement protocol).
+IDENTICAL input at two parallelism levels and comparing docs/sec
+(BASELINE.md measurement protocol).  Two modes:
+
+- default (threads): local[N] vs local[4N] — one JVM, task-slot scaling.
+- ``--cluster`` (executors): local-cluster[1,C,M] vs
+  local-cluster[4,C,M] — N vs 4N SEPARATE EXECUTOR JVMS with real
+  serialized shuffle blocks, per-executor broadcast materialization,
+  and executor-side python workers; the closest in-box analog of the
+  north rule's "two cluster sizes".
 
 Each configuration runs in its OWN subprocess → fresh JVM, no GC debt
 or heap sizing inherited from the other configuration.  A warmup pass
@@ -39,7 +46,9 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def single_run(cores: int, corpus_path: str, out_path: str) -> None:
+def single_run(
+    cores: int, corpus_path: str, out_path: str, master: str | None = None
+) -> None:
     """Executed in a fresh subprocess: warmup, run job, print wall."""
     from pyspark.sql import functions as F
 
@@ -50,7 +59,11 @@ def single_run(cores: int, corpus_path: str, out_path: str) -> None:
     )
     from article_extractor_spark.session import build_session
 
-    spark = build_session(app_name=f"scaling-{cores}", cores=cores)
+    spark = build_session(
+        app_name=f"scaling-{cores}", cores=None if master else cores,
+        master=master,
+    )
+    cores = spark.sparkContext.defaultParallelism
     warm = spark.read.parquet(corpus_path).limit(64 * cores)
     warm = render_spans_to_html(warm).withColumn("url", F.lit(""))
     extract_articles(warm.repartition(cores), min_word_count=10).write.format(
@@ -81,7 +94,13 @@ def single_run(cores: int, corpus_path: str, out_path: str) -> None:
     )
 
 
-def one_trial(cores: int, corpus_path: str, out_path: str, pin: bool) -> dict | None:
+def one_trial(
+    cores: int,
+    corpus_path: str,
+    out_path: str,
+    pin: bool,
+    master: str | None = None,
+) -> dict | None:
     pin_prefix = (
         ["taskset", "-c", f"0-{cores - 1}"]
         if pin and shutil.which("taskset")
@@ -98,7 +117,8 @@ def one_trial(cores: int, corpus_path: str, out_path: str, pin: bool) -> dict | 
             corpus_path,
             "--out",
             out_path,
-        ],
+        ]
+        + (["--single-master", master] if master else []),
         capture_output=True,
         text=True,
         cwd=str(REPO),
@@ -120,6 +140,7 @@ def run_configs(
     workdir: str,
     trials: int,
     pin: bool = True,
+    masters: dict[int, str] | None = None,
 ) -> tuple[dict, dict]:
     """INTERLEAVED trials: low, high, low, high, …  The box's
     multi-minute drift phases (same config measured 27–78 s back to
@@ -130,7 +151,11 @@ def run_configs(
     for trial in range(trials):
         for cores in (low_cores, high_cores):
             r = one_trial(
-                cores, corpus_path, f"{workdir}/out-{cores}", pin
+                cores,
+                corpus_path,
+                f"{workdir}/out-{cores}",
+                pin,
+                master=(masters or {}).get(cores),
             )
             if r is None:
                 continue
@@ -157,12 +182,41 @@ def main() -> int:
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--single-cores", type=int, default=None)
+    ap.add_argument("--single-master", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--cluster",
+        action="store_true",
+        help="scale EXECUTOR JVMS, not threads: low = "
+        "local-cluster[1,C,M] vs high = local-cluster[4,C,M] — the "
+        "north rule's N vs 4N executors with real serialized "
+        "shuffles and per-executor broadcasts",
+    )
+    ap.add_argument(
+        "--exec-cores", type=int, default=8,
+        help="cores per executor JVM in --cluster mode",
+    )
+    ap.add_argument(
+        "--exec-mem", type=int, default=6144,
+        help="MiB per executor JVM in --cluster mode",
+    )
     args = ap.parse_args()
 
     if args.single_cores is not None:
-        single_run(args.single_cores, args.corpus, args.out)
+        single_run(
+            args.single_cores, args.corpus, args.out,
+            master=args.single_master,
+        )
         return 0
+
+    masters = None
+    if args.cluster:
+        c, m = args.exec_cores, args.exec_mem
+        args.low, args.high = 1 * c, 4 * c
+        masters = {
+            args.low: f"local-cluster[1,{c},{m}]",
+            args.high: f"local-cluster[4,{c},{m}]",
+        }
 
     workdir = tempfile.mkdtemp(prefix="aes-scaling-")
     corpus_path = args.corpus or f"{workdir}/corpus"
@@ -180,13 +234,15 @@ def main() -> int:
 
         low, high = run_configs(
             args.low, args.high, corpus_path, workdir, args.trials,
-            pin=not args.no_pin,
+            pin=not args.no_pin, masters=masters,
         )
 
         speedup = high["docs_per_sec"] / low["docs_per_sec"]
         ratio = args.high / args.low
         eff = speedup / ratio
         result = {
+            "mode": "executors" if args.cluster else "threads",
+            "masters": masters,
             "docs": args.docs,
             "pinned": not args.no_pin and bool(shutil.which("taskset")),
             "low": low,
@@ -202,18 +258,29 @@ def main() -> int:
         # scaling record into BENCH.json — the north rule's two-cluster
         # criterion then rides the same driver-parsed artifact as the
         # throughput numbers.
-        result["protocol"] = (
-            "scripts/scaling_bench.py: identical extraction job at "
-            f"local[{args.low}] and local[{args.high}], CPU-pinned "
-            "subprocesses (taskset), fresh JVM per config, "
-            f"INTERLEAVED trials (low,high x{args.trials}) so box "
-            "drift phases hit both configs, best per config"
-        )
+        if args.cluster:
+            result["protocol"] = (
+                "scripts/scaling_bench.py --cluster: identical "
+                f"extraction job at {masters[args.low]} (N=1 executor "
+                f"JVM) and {masters[args.high]} (4N executor JVMs), "
+                "CPU-pinned subprocesses (taskset), fresh JVMs per "
+                f"config, INTERLEAVED trials (low,high x{args.trials}) "
+                "so box drift phases hit both configs, best per config"
+            )
+        else:
+            result["protocol"] = (
+                "scripts/scaling_bench.py: identical extraction job at "
+                f"local[{args.low}] and local[{args.high}], CPU-pinned "
+                "subprocesses (taskset), fresh JVM per config, "
+                f"INTERLEAVED trials (low,high x{args.trials}) so box "
+                "drift phases hit both configs, best per config"
+            )
         result["measured_at"] = time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
         )
+        out_name = "SCALING_CLUSTER.json" if args.cluster else "SCALING.json"
         try:
-            (REPO / "SCALING.json").write_text(json.dumps(result) + "\n")
+            (REPO / out_name).write_text(json.dumps(result) + "\n")
         except OSError:
             pass
         return 0
