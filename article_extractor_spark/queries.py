@@ -3214,6 +3214,77 @@ def q_pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_packs(spark: SparkSession, sf_dir: str):
+    """Shared setup for the epoch-scoped packing queries: every 5th
+    doc plays the new crawl wave (the ``q_incremental_dedup``
+    convention), the rest is the committed corpus.  Epoch 0 is the
+    one-shot pack of the corpus; epoch 1 packs ONLY the wave, shuffled
+    among itself, with train positions continuing after epoch 0's
+    count and token offsets continuing on the next CHUNK boundary
+    (epoch boundaries are hard chunk boundaries —
+    ``pipeline.run_pipeline_wave`` semantics, where committed epochs
+    are never rewritten).  The bases come from one column-pruned
+    count/sum aggregate — at 10^12 docs the production path reads them
+    from the committed pack tables' metadata instead
+    (``pipeline._pack_bases``); either way it is metadata-scale, never
+    a re-pack of the stored corpus."""
+    from .pipeline import shuffled_pack
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_wave = F.col("doc_id") % WAVE_MOD == 0
+    corpus, wave = docs.where(~is_wave), docs.where(is_wave)
+    C = PACK_CHUNK_TOKENS
+    p0 = shuffled_pack(corpus, chunk_tokens=C)
+    tot = (
+        corpus.select(X.token_count(F.col("text")).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("t"),
+        )
+        .first()
+    )
+    base_pos, toks0 = int(tot["c"]), int(tot["t"])
+    base_tok = ((toks0 - 1) // C + 1) * C if toks0 > 0 else 0
+    p1 = shuffled_pack(
+        wave, chunk_tokens=C, base_pos=base_pos, base_tok=base_tok
+    )
+    return corpus, wave, p0, p1
+
+
+def q_pipeline_pack_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Epoch-scoped ``shuffled_pack`` — the packing step of the
+    wave-incremental pipeline (``run_pipeline_wave``): wave documents
+    get positions/offsets APPENDED after the committed corpus without
+    re-deriving its global order.  The oracle re-derives both epochs
+    with single-node global windows plus scalar-subquery bases, so
+    agreement pins the epoch bases (count / chunk-aligned token
+    offset) and the per-epoch shuffles exactly."""
+    corpus, wave, p0, p1 = _incremental_packs(spark, sf_dir)
+    return (
+        p0.withColumn("epoch", F.lit(0))
+        .unionByName(p1.withColumn("epoch", F.lit(1)))
+    )
+
+
+def q_pipeline_chunks_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-size training examples across BOTH epochs of the
+    incremental pack: chunk ids are globally disjoint by construction
+    (epoch 1 starts on the chunk after epoch 0's last), and the
+    per-token oracle re-derives every example, so the boundary chunk
+    (epoch 0's short final chunk stays short) must match exactly."""
+    from .pipeline import materialize_chunks
+
+    corpus, wave, p0, p1 = _incremental_packs(spark, sf_dir)
+    C = PACK_CHUNK_TOKENS
+    return materialize_chunks(corpus, p0, chunk_tokens=C).unionByName(
+        materialize_chunks(wave, p1, chunk_tokens=C)
+    )
+
+
 DUP_NGRAM_N = 3
 
 
@@ -8435,6 +8506,91 @@ FROM u
 GROUP BY 1
 """
 
+
+def _pipe_epoch_cte(tag: str, where: str, pos_off: str, tok_off: str) -> str:
+    """One epoch of the incremental pack as (t<tag>, o<tag>) CTEs: the
+    single-node global window over the epoch's own docs, offset by
+    scalar-subquery bases."""
+    return f"""
+t{tag} AS (
+  SELECT doc_id,
+    CAST(len({_TOKS.format(c='text')}) AS INT) AS n_tokens,
+    {_TOKS.format(c='text')} AS toks,
+    md5({PIPE_SHUFFLE_SEED!r} || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE {where}
+), o{tag} AS (
+  SELECT doc_id, n_tokens, toks,
+    CAST(({pos_off}) + row_number() OVER (ORDER BY h, doc_id) - 1
+         AS BIGINT) AS train_pos,
+    CAST(({tok_off}) + COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_token
+  FROM t{tag}
+)"""
+
+
+_PIPE_INC_BASES = f"""
+b AS (
+  SELECT CAST(count(*) AS BIGINT) AS c,
+    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t
+  FROM t0
+)"""
+
+_PIPE_INC_CTES = (
+    _pipe_epoch_cte("0", f"doc_id % {WAVE_MOD} <> 0", "0", "0")
+    + ","
+    + _PIPE_INC_BASES
+    + ","
+    + _pipe_epoch_cte(
+        "1",
+        f"doc_id % {WAVE_MOD} = 0",
+        "SELECT c FROM b",
+        "SELECT CASE WHEN t > 0 THEN ((t - 1) // "
+        f"{PACK_CHUNK_TOKENS} + 1) * {PACK_CHUNK_TOKENS} "
+        "ELSE 0 END FROM b",
+    )
+)
+
+_PIPE_INC_SELECT = f"""
+SELECT doc_id, train_pos, n_tokens, start_token,
+  start_token // {PACK_CHUNK_TOKENS} AS first_chunk,
+  (start_token + n_tokens - 1) // {PACK_CHUNK_TOKENS} AS last_chunk,
+  (start_token // {PACK_CHUNK_TOKENS})
+    != ((start_token + n_tokens - 1) // {PACK_CHUNK_TOKENS})
+    AS spans_boundary,
+  {{epoch}} AS epoch
+FROM o{{tag}}"""
+
+ORACLE_SQL["pipeline_pack_incremental"] = f"""
+WITH {_PIPE_INC_CTES}
+{_PIPE_INC_SELECT.format(epoch=0, tag=0)}
+UNION ALL
+{_PIPE_INC_SELECT.format(epoch=1, tag=1)}
+"""
+
+ORACLE_SQL["pipeline_chunks_incremental"] = f"""
+WITH {_PIPE_INC_CTES}, u AS (
+  SELECT start_token + CAST(i AS BIGINT) AS gpos, tok
+  FROM (
+    SELECT start_token, unnest(toks) AS tok,
+           unnest(range(len(toks))) AS i
+    FROM o0 WHERE n_tokens > 0
+  )
+  UNION ALL
+  SELECT start_token + CAST(i AS BIGINT) AS gpos, tok
+  FROM (
+    SELECT start_token, unnest(toks) AS tok,
+           unnest(range(len(toks))) AS i
+    FROM o1 WHERE n_tokens > 0
+  )
+)
+SELECT gpos // {PACK_CHUNK_TOKENS} AS chunk_id,
+  string_agg(tok, ' ' ORDER BY gpos) AS example,
+  CAST(count(*) AS INT) AS n_tokens
+FROM u
+GROUP BY 1
+"""
+
 ORACLE_SQL["wave_diff"] = """
 WITH old AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 6
@@ -8905,6 +9061,8 @@ QUERY_FNS: dict[str, Query] = {
     "training_order": q_training_order,
     "pipeline_pack": q_pipeline_pack,
     "pipeline_chunks": q_pipeline_chunks,
+    "pipeline_pack_incremental": q_pipeline_pack_incremental,
+    "pipeline_chunks_incremental": q_pipeline_chunks_incremental,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
     "winnow_fingerprints": q_winnow_fingerprints,

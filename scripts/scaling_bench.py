@@ -46,8 +46,47 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def _pin_executors(spark, cores: int) -> int:
+    """Pin this app's executor JVMs (and the python workers they later
+    fork, which inherit affinity) to cores 0..cores-1 — the N-core
+    cluster budget.  The driver, standalone master and worker daemons
+    stay UNPINNED: on a real cluster those live on other machines, and
+    charging their CPU to the executor budget understates scaling (the
+    whole-subprocess taskset did exactly that: 4 executor JVMs + driver
+    + 5 daemon JVMs crammed into the 8-core pin)."""
+    import subprocess as sp
+    from pathlib import Path
+
+    app_id = spark.sparkContext.applicationId
+    pids = []
+    out = sp.run(
+        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+        capture_output=True,
+        text=True,
+    ).stdout
+    for tok in out.split():
+        try:
+            cmdline = Path(f"/proc/{tok}/cmdline").read_bytes().decode(
+                "utf-8", "replace"
+            )
+        except OSError:
+            continue
+        if app_id in cmdline:
+            pids.append(int(tok))
+    for pid in pids:
+        sp.run(
+            ["taskset", "-a", "-p", "-c", f"0-{cores - 1}", str(pid)],
+            capture_output=True,
+        )
+    return len(pids)
+
+
 def single_run(
-    cores: int, corpus_path: str, out_path: str, master: str | None = None
+    cores: int,
+    corpus_path: str,
+    out_path: str,
+    master: str | None = None,
+    pin_executors: bool = False,
 ) -> None:
     """Executed in a fresh subprocess: warmup, run job, print wall."""
     from pyspark.sql import functions as F
@@ -64,6 +103,10 @@ def single_run(
         master=master,
     )
     cores = spark.sparkContext.defaultParallelism
+    if pin_executors and shutil.which("taskset"):
+        n_pinned = _pin_executors(spark, cores)
+        print(f"pinned {n_pinned} executor JVMs to 0-{cores - 1}",
+              file=sys.stderr)
     warm = spark.read.parquet(corpus_path).limit(64 * cores)
     warm = render_spans_to_html(warm).withColumn("url", F.lit(""))
     extract_articles(warm.repartition(cores), min_word_count=10).write.format(
@@ -101,9 +144,12 @@ def one_trial(
     pin: bool,
     master: str | None = None,
 ) -> dict | None:
+    # thread mode: pin the whole subprocess (one JVM = the whole
+    # "cluster").  cluster mode: launch unpinned and let the child pin
+    # ONLY its executor JVMs to the core budget (_pin_executors).
     pin_prefix = (
         ["taskset", "-c", f"0-{cores - 1}"]
-        if pin and shutil.which("taskset")
+        if pin and not master and shutil.which("taskset")
         else []
     )
     proc = subprocess.run(
@@ -118,7 +164,8 @@ def one_trial(
             "--out",
             out_path,
         ]
-        + (["--single-master", master] if master else []),
+        + (["--single-master", master] if master else [])
+        + (["--pin-executors"] if pin and master else []),
         capture_output=True,
         text=True,
         cwd=str(REPO),
@@ -183,6 +230,7 @@ def main() -> int:
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--single-cores", type=int, default=None)
     ap.add_argument("--single-master", default=None)
+    ap.add_argument("--pin-executors", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--cluster",
@@ -206,6 +254,7 @@ def main() -> int:
         single_run(
             args.single_cores, args.corpus, args.out,
             master=args.single_master,
+            pin_executors=args.pin_executors,
         )
         return 0
 
@@ -263,9 +312,12 @@ def main() -> int:
                 "scripts/scaling_bench.py --cluster: identical "
                 f"extraction job at {masters[args.low]} (N=1 executor "
                 f"JVM) and {masters[args.high]} (4N executor JVMs), "
-                "CPU-pinned subprocesses (taskset), fresh JVMs per "
-                f"config, INTERLEAVED trials (low,high x{args.trials}) "
-                "so box drift phases hit both configs, best per config"
+                "EXECUTOR JVMs (and their forked python workers) "
+                "taskset-pinned to the cluster-core budget, driver + "
+                "standalone daemons unpinned (separate machines on a "
+                "real cluster), fresh JVMs per config, INTERLEAVED "
+                f"trials (low,high x{args.trials}) so box drift phases "
+                "hit both configs, best per config"
             )
         else:
             result["protocol"] = (
