@@ -586,9 +586,10 @@ def _update_dedup_state(
 
 def run_pipeline_wave(
     spark: SparkSession,
-    corpus: str,
+    corpus: DataFrame | str,
     out: str,
     *,
+    epoch: int | None = None,
     run_id: str | None = None,
     n_buckets: int | None = None,
     waves: int = 4,
@@ -603,10 +604,16 @@ def run_pipeline_wave(
 
     Epoch 0 runs the identical full funnel as ``run_pipeline`` (it IS
     the whole corpus) and seeds the dedup state; epoch N probes the
-    state with O(wave) work.  Each call consumes one wave corpus path
-    and auto-assigns the next epoch number; a killed wave re-runs into
-    the same epoch (extraction resumes at bucket granularity, the
-    deterministic downstream stages overwrite, state commits once)."""
+    state with O(wave) work.  Each call consumes one wave corpus (path
+    or DataFrame) and auto-assigns the next epoch number; a killed wave
+    re-runs into the same epoch (extraction resumes at bucket
+    granularity, the deterministic downstream stages overwrite, state
+    commits once).
+
+    ``epoch`` pins the epoch number explicitly — the streaming funnel
+    passes its micro-batch id so a REPLAYED batch (crash between state
+    commit and stream checkpoint) is recognized by its marker and
+    skipped instead of re-ingesting as a fresh wave (exactly-once)."""
     from .job import run_extraction_job
     from .queries import curation_verdicts
     from .sources import tableio
@@ -615,7 +622,11 @@ def run_pipeline_wave(
         n_buckets = tableio.DEFAULT_BUCKETS
     t0 = time.time()
     done = committed_epochs(spark, out)
-    epoch = (max(done) + 1) if done else 0
+    if epoch is None:
+        epoch = (max(done) + 1) if done else 0
+    elif epoch in done:
+        return {"epoch": epoch, "skipped": True}
+    prior = [e for e in done if e < epoch]
     base = _epoch_dir(out, epoch)
     run_id = run_id or f"wave-{epoch}"
 
@@ -636,7 +647,9 @@ def run_pipeline_wave(
     benchmark = (
         spark.read.parquet(benchmark_path) if benchmark_path else None
     )
-    if epoch == 0:
+    if not prior:
+        # first committed wave: the full funnel (it IS the corpus),
+        # seeding the dedup state below
         verdicts = curation_verdicts(
             docs, benchmark=benchmark, bench_ids_below=None
         )
@@ -660,7 +673,7 @@ def run_pipeline_wave(
         "doc_id",
     )
 
-    base_pos, base_tok = _pack_bases(spark, out, done, chunk_tokens)
+    base_pos, base_tok = _pack_bases(spark, out, prior, chunk_tokens)
     pack = shuffled_pack(
         kept_docs,
         chunk_tokens=chunk_tokens,

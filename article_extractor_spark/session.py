@@ -101,6 +101,17 @@ def build_session(
     )
     if lc:
         builder = builder.config("spark.executor.memory", f"{lc[2]}m")
+        # Each executor JVM must size its runtime thread pools (GC,
+        # JIT, netty) for ITS core budget, not the whole box: without
+        # this, 4 executor JVMs on one machine each spawn 32-CPU-sized
+        # pools and thrash the shared cores (measured: 46.4 -> 40.6 s
+        # on the 240k-doc wave at local-cluster[4,2,4096]).  A real
+        # c-core container/node reports c processors natively — this
+        # reproduces that.
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={lc[1]}",
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     session = builder.getOrCreate()

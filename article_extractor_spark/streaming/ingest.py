@@ -412,3 +412,64 @@ def _stream_commit_batch(
                 f"{tableio.lineage_path(output_path)}/batch={int(batch_id)}"
             )
         )
+
+
+def streaming_pipeline_job(
+    spark: SparkSession,
+    corpus_path: str,
+    out: str,
+    checkpoint_path: str,
+    *,
+    n_buckets: int = 8,
+    min_word_count: int = 150,
+    chunk_tokens: int | None = None,
+    benchmark_path: str | None = None,
+):
+    """The streaming twin of the WAVE-INCREMENTAL pipeline: every
+    micro-batch of newly-landed corpus files runs the full funnel —
+    extraction → curation verdicts → epoch-scoped shuffled pack →
+    materialized examples — as ONE EPOCH of ``run_pipeline_wave``
+    (VERDICT r4 task #7 composed with task #3).
+
+    Batch/stream share the identical DataFrame code path: the batch
+    runner IS the foreachBatch body, so stream == batch equivalence is
+    structural (pinned by test_streaming_pipeline_matches_batch_waves).
+    Curation state stays incremental — each batch probes the persisted
+    exact-key table and capped MinHash band index, never re-reading
+    committed batches' text — and packing appends after the committed
+    token offset on a chunk boundary.
+
+    Exactly-once: the micro-batch id IS the epoch number, and
+    ``run_pipeline_wave`` skips an epoch whose state marker already
+    committed — a batch replayed after a crash between state commit
+    and stream checkpoint is recognized instead of re-ingested; a
+    crash EARLIER in the batch resumes into the same epoch (bucket
+    lineage for extraction, deterministic overwrites downstream).
+    """
+    from ..pipeline import PIPE_CHUNK_TOKENS, run_pipeline_wave
+
+    static = spark.read.parquet(corpus_path)
+    corpus = spark.readStream.schema(static.schema).parquet(corpus_path)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_pipeline_wave(
+            spark,
+            batch_df,
+            out,
+            epoch=int(batch_id),
+            run_id=f"stream-b{batch_id}",
+            n_buckets=n_buckets,
+            waves=1,
+            min_word_count=min_word_count,
+            chunk_tokens=chunk_tokens or PIPE_CHUNK_TOKENS,
+            benchmark_path=benchmark_path,
+        )
+
+    return (
+        corpus.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -212,3 +212,30 @@ def test_wave2_examples_reconstruct_wave2_stream(spark, incremental_out):
         for r in kept.orderBy("train_pos").collect()
     )
     assert packed == stream
+
+
+def test_pipeline_wave_replay_skips_committed_epoch(
+    spark, wave_paths, tmp_path
+):
+    """Exactly-once for the streaming funnel: a replayed micro-batch
+    (explicit epoch whose state marker already committed) is skipped,
+    leaving every output byte untouched."""
+    w1, _ = wave_paths
+    out = str(tmp_path / "replay")
+    m1 = run_pipeline_wave(
+        spark, w1, out, epoch=0, n_buckets=N_BUCKETS, waves=1,
+        min_word_count=10, chunk_tokens=CHUNK,
+    )
+    assert m1["epoch"] == 0 and "skipped" not in m1
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{out}/epochs/0/pack").collect())
+    )
+    m2 = run_pipeline_wave(
+        spark, w1, out, epoch=0, n_buckets=N_BUCKETS, waves=1,
+        min_word_count=10, chunk_tokens=CHUNK,
+    )
+    assert m2 == {"epoch": 0, "skipped": True}
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{out}/epochs/0/pack").collect())
+    )
+    assert before == after

@@ -412,3 +412,85 @@ def test_streaming_job_empty_batch_does_not_fail_query(spark, tmp_path):
     lpath = tableio.lineage_path(out)
     if tableio.table_exists(spark, lpath):
         assert spark.read.parquet(lpath).count() == 0
+
+
+def _wave_span_df(spark, n, start, seed):
+    from pyspark.sql import types as T
+
+    from article_extractor_spark.operators.extraction import SPAN_TYPE
+    from article_extractor_spark.sources.synth import iter_documents
+
+    rows = [
+        (
+            d["doc_id"],
+            d["url"],
+            [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in d["spans"]
+            ],
+        )
+        for d in iter_documents(n, seed=seed, start=start)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("spans", SPAN_TYPE),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_streaming_pipeline_matches_batch_waves(spark, tmp_path):
+    """The streaming funnel IS the wave runner per micro-batch, so two
+    landed file-waves drained by two AvailableNow runs must produce
+    row-identical epochs to two batch run_pipeline_wave calls on the
+    same file sets (extraction, verdicts, pack, examples)."""
+    import shutil
+
+    from article_extractor_spark.pipeline import (
+        committed_epochs,
+        run_pipeline_wave,
+    )
+    from article_extractor_spark.streaming.ingest import (
+        streaming_pipeline_job,
+    )
+
+    w1 = str(tmp_path / "w1")
+    w2 = str(tmp_path / "w2")
+    for path, start in ((w1, 0), (w2, 100)):
+        df = _wave_span_df(spark, 40, start, seed=21)
+        tableio.write_bucketed(
+            tableio.with_bucket(df, "doc_id", 4), path, dynamic=False,
+            n_buckets=4,
+        )
+
+    out_b = str(tmp_path / "out-batch")
+    for path in (w1, w2):
+        run_pipeline_wave(
+            spark, path, out_b, n_buckets=4, waves=1,
+            min_word_count=10, chunk_tokens=64,
+        )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_s = str(tmp_path / "out-stream")
+    shutil.copytree(w1, src)
+    streaming_pipeline_job(
+        spark, src, out_s, ckpt, n_buckets=4, min_word_count=10,
+        chunk_tokens=64,
+    ).awaitTermination(300)
+    shutil.copytree(w2, src, dirs_exist_ok=True)
+    streaming_pipeline_job(
+        spark, src, out_s, ckpt, n_buckets=4, min_word_count=10,
+        chunk_tokens=64,
+    ).awaitTermination(300)
+
+    assert committed_epochs(spark, out_b) == [0, 1]
+    assert committed_epochs(spark, out_s) == [0, 1]
+    for epoch in (0, 1):
+        for name in ("verdicts", "pack", "examples"):
+            a = spark.read.parquet(f"{out_b}/epochs/{epoch}/{name}")
+            b = spark.read.parquet(f"{out_s}/epochs/{epoch}/{name}")
+            assert a.exceptAll(b).count() == 0, (epoch, name)
+            assert b.exceptAll(a).count() == 0, (epoch, name)
