@@ -454,11 +454,10 @@ def _run_waves(
                 .partitionBy("bucket")
                 .parquet(markdown_dir.rstrip("/") + "/_manifest")
             )
-        if lineage_rows:
-            tableio.append_lineage(
-                spark.createDataFrame(lineage_rows, tableio.LINEAGE_SCHEMA),
-                output_path,
-            )
+        # driver-side pyarrow commit (~2 KB of metadata): the Spark
+        # write job here cost 1.5-2.3 s of fixed scheduler time per
+        # wave — see tableio.append_lineage_rows
+        tableio.append_lineage_rows(spark, lineage_rows, output_path)
         docs_done += sum(r[4] for r in lineage_rows)  # docs_in ordinal
         if vals is not None:
             for j in range(HLL_M):
@@ -601,6 +600,32 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("--no-resume", action="store_true")
     p_pipe.add_argument("--manifest-out", default=None)
 
+    p_wave = sub.add_parser(
+        "wave",
+        help="process ONE crawl wave incrementally: extraction -> "
+        "state-probing curation -> epoch-scoped pack appended after "
+        "the committed stream (pipeline.run_pipeline_wave; committed "
+        "epochs are never rewritten)",
+    )
+    p_wave.add_argument("--corpus", required=True)
+    p_wave.add_argument("--out", required=True)
+    p_wave.add_argument(
+        "--epoch",
+        type=int,
+        default=None,
+        help="pin the epoch number (default: next uncommitted)",
+    )
+    p_wave.add_argument("--run-id", default=None)
+    p_wave.add_argument(
+        "--buckets", type=int, default=tableio.DEFAULT_BUCKETS
+    )
+    p_wave.add_argument("--waves", type=int, default=4)
+    p_wave.add_argument("--min-word-count", type=int, default=150)
+    p_wave.add_argument("--chunk-tokens", type=int, default=None)
+    p_wave.add_argument("--benchmark-table", default=None)
+    p_wave.add_argument("--no-resume", action="store_true")
+    p_wave.add_argument("--manifest-out", default=None)
+
     p_run = sub.add_parser("extract", help="run the extraction job")
     p_run.add_argument("--corpus", required=True)
     p_run.add_argument("--out", required=True)
@@ -697,6 +722,26 @@ def main(argv: list[str] | None = None) -> int:
             f"curated {sum(summary.values())} docs -> kept {kept}; "
             f"statuses: {dict(sorted(summary.items()))}"
         )
+        return 0
+
+    if args.cmd == "wave":
+        from .pipeline import PIPE_CHUNK_TOKENS, run_pipeline_wave
+
+        manifest = run_pipeline_wave(
+            spark,
+            args.corpus,
+            args.out,
+            epoch=args.epoch,
+            run_id=args.run_id,
+            n_buckets=args.buckets,
+            waves=args.waves,
+            min_word_count=args.min_word_count,
+            chunk_tokens=args.chunk_tokens or PIPE_CHUNK_TOKENS,
+            benchmark_path=args.benchmark_table,
+            resume=not args.no_resume,
+            manifest_path=args.manifest_out,
+        )
+        print(manifest)
         return 0
 
     if args.cmd == "pipeline":

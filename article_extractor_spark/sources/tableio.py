@@ -346,3 +346,61 @@ def append_lineage(lineage: DataFrame, output_path: str) -> None:
     lineage.coalesce(1).write.mode("append").parquet(
         lineage_path(output_path)
     )
+
+
+def append_lineage_rows(
+    spark: SparkSession, rows: list[tuple], output_path: str
+) -> None:
+    """Driver-side lineage commit: serialize ≤ n_buckets rows to one
+    parquet file with pyarrow and stream it through the JVM Hadoop
+    filesystem handle — zero Spark jobs, any Hadoop FS.
+
+    The Spark spelling (``append_lineage``) launches a full 1-task
+    write job per wave — measured 1.5-2.3 s of scheduler + committer
+    fixed cost, a core-count-independent term that Amdahl-caps the
+    N→4N executor scaling (the dynamic-partition-overwrite lesson one
+    layer down).  A ~2 KB metadata record is driver work — the same
+    shape as Iceberg's manifest commit."""
+    if not rows:
+        return
+    import io
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datetime import timezone
+
+    cols = list(zip(*rows))
+    ts = [
+        (t.replace(tzinfo=timezone.utc) if t.tzinfo is None else t)
+        for t in cols[10]
+    ]
+    table = pa.table(
+        {
+            "run_id": pa.array(cols[0], pa.string()),
+            "bucket": pa.array(cols[1], pa.int32()),
+            "doc_id_min": pa.array(cols[2], pa.string()),
+            "doc_id_max": pa.array(cols[3], pa.string()),
+            "docs_in": pa.array(cols[4], pa.int64()),
+            "docs_ok": pa.array(cols[5], pa.int64()),
+            "parse_failures": pa.array(cols[6], pa.int64()),
+            "nodes_scored": pa.array(cols[7], pa.int64()),
+            "spans_emitted": pa.array(cols[8], pa.int64()),
+            "cpu_ms": pa.array(cols[9], pa.int64()),
+            "committed_at": pa.array(ts, pa.timestamp("us", tz="UTC")),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    name = f"part-{os.urandom(8).hex()}.parquet"
+    jvm = spark._jvm
+    jdir = jvm.org.apache.hadoop.fs.Path(lineage_path(output_path))
+    fs = jdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jdir)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{lineage_path(output_path)}/{name}"),
+        True,
+    )
+    out.write(bytearray(buf.getvalue()))
+    out.close()
