@@ -267,12 +267,21 @@ def main() -> int:
     # SCALING.json; it is a separate subprocess-pinned protocol, not
     # re-run inside this bench — the record carries its own protocol
     # string and timestamp).
-    scaling_path = Path(__file__).resolve().parent / "SCALING.json"
-    if scaling_path.exists():
-        try:
-            result["scaling"] = json.loads(scaling_path.read_text())
-        except (OSError, ValueError):
-            pass
+    for key, fname in (
+        ("scaling", "SCALING.json"),
+        # the executor-JVM twin: N=1 vs 4N=4 separate executor
+        # processes (scripts/scaling_bench.py --cluster)
+        ("scaling_cluster", "SCALING_CLUSTER.json"),
+        # the box's own Spark-free multi-process ceiling at the same
+        # shape (scripts/control_bench.py)
+        ("scaling_control", "CONTROL.json"),
+    ):
+        p = Path(__file__).resolve().parent / fname
+        if p.exists():
+            try:
+                result[key] = json.loads(p.read_text())
+            except (OSError, ValueError):
+                pass
     import datetime
 
     result["measured_at"] = datetime.datetime.now(

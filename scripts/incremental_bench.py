@@ -117,7 +117,19 @@ def main() -> int:
         }
         line = json.dumps(result)
         print(line)
-        (REPO / "INCREMENTAL.json").write_text(line + "\n")
+        # accumulate runs: the at-scale claim is the TREND (wave cost
+        # ~flat as the committed corpus grows, full recompute linear),
+        # which needs more than one base size in the record
+        out = REPO / "INCREMENTAL.json"
+        runs = []
+        if out.exists():
+            try:
+                prev = json.loads(out.read_text())
+                runs = prev.get("runs", [prev] if prev else [])
+            except ValueError:
+                pass
+        runs.append(result)
+        out.write_text(json.dumps({"runs": runs}) + "\n")
         return 0
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
