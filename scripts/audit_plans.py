@@ -429,6 +429,15 @@ CHECKS = {
         "order-by); the two base offsets come from one 256-row "
         "driver-metadata collect",
     ),
+    "pipeline_pack_incremental": (
+        ["windowspecdefinition(bucket"],
+        ["CartesianProduct", "Exchange rangepartitioning"],
+        "epoch-scoped pack keeps the same bucket-partitioned window "
+        "shape per epoch; the epoch bases (committed count + "
+        "chunk-aligned token offset) are driver literals, so the "
+        "wave's plan is identical to a one-shot pack of the wave — "
+        "never a re-sort of the committed stream",
+    ),
     "pipeline_chunks": (
         ["windowspecdefinition(bucket"],
         ["CartesianProduct", "Exchange rangepartitioning"],
