@@ -422,17 +422,34 @@ def incremental_verdicts(
     out: str,
     benchmark: DataFrame | None = None,
 ) -> DataFrame:
-    """Curation verdicts for ONE new wave against the persisted dedup
-    state — same status vocabulary and priority as
-    ``queries.curation_verdicts`` (quality:<reason> → exact_dup →
-    near_dup → contaminated → kept:<split>), but every corpus-sized
-    input is the WAVE, never the stored corpus:
+    """Curation verdicts for ONE new wave against the PERSISTED dedup
+    state under ``out/state`` — the file-backed wrapper of
+    ``incremental_verdict_frame`` used by ``run_pipeline_wave``."""
+    return incremental_verdict_frame(
+        docs,
+        spark.read.parquet(f"{out}/state/exact_keys"),
+        spark.read.parquet(f"{out}/state/band_index"),
+        benchmark=benchmark,
+    )
+
+
+def incremental_verdict_frame(
+    docs: DataFrame,
+    stored_ck: DataFrame,
+    index: DataFrame,
+    benchmark: DataFrame | None = None,
+) -> DataFrame:
+    """Curation verdicts for ONE new wave against dedup state — same
+    status vocabulary and priority as ``queries.curation_verdicts``
+    (quality:<reason> → exact_dup → near_dup → contaminated →
+    kept:<split>), but every corpus-sized input is the WAVE, never the
+    stored corpus:
 
     - quality/split/decontamination are per-document (O(wave));
-    - exact dup: wave content keys probe ``state/exact_keys`` (thin
-      equi-join on the md5 key) and dedup within the wave;
+    - exact dup: wave content keys probe ``stored_ck`` (ck, canon —
+      thin equi-join on the md5 key) and dedup within the wave;
     - near dup: the wave is MinHash-signed once; its bands probe the
-      capped ``state/band_index`` (``incremental_minhash_pairs``) for
+      capped band ``index`` (``incremental_minhash_pairs``) for
       stored matches, and ``minhash_lsh_pairs`` over the wave alone
       catches wave-internal clusters.
     """
@@ -452,7 +469,7 @@ def incremental_verdicts(
         "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
     )
 
-    stored_ck = spark.read.parquet(f"{out}/state/exact_keys").select(
+    stored_ck = stored_ck.select(
         "ck", F.col("canon").alias("stored_canon")
     )
     ck = docs.select(
@@ -468,7 +485,6 @@ def incremental_verdicts(
         )
     )
 
-    index = spark.read.parquet(f"{out}/state/band_index")
     cross = (
         D.incremental_minhash_pairs(docs, index)
         .groupBy("new_doc")

@@ -3268,6 +3268,40 @@ def q_pipeline_pack_incremental(
     )
 
 
+def q_pipeline_verdicts_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental curation of a new crawl wave against corpus state —
+    the curation step of ``run_pipeline_wave``, as a pure composition:
+    every 5th doc plays the wave, the rest is the committed corpus
+    whose content-key table and write-time-capped band index stand in
+    for the persisted ``out/state`` tables, and benchmark docs
+    (stored ids < 10) drive decontamination.  Statuses carry the full
+    funnel vocabulary with the epoch semantics documented in
+    pipeline.py: a wave doc duplicating a STORED doc is
+    exact_dup/near_dup with the stored doc as canonical; within-wave
+    clusters canonicalize by min label.  The oracle re-derives all of
+    it — wave-side band probe, within-wave recursive-CTE components,
+    stored-key coalescing — in SQL."""
+    from .pipeline import incremental_verdict_frame
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_wave = F.col("doc_id") % WAVE_MOD == 0
+    corpus, wave = docs.where(~is_wave), docs.where(is_wave)
+    stored_ck = (
+        corpus.select(
+            "doc_id", F.md5(D.normalized_text(F.col("text"))).alias("ck")
+        )
+        .groupBy("ck")
+        .agg(F.min("doc_id").alias("canon"))
+    )
+    index = D.capped_band_index(corpus)
+    bench = corpus.where(F.col("doc_id") < DECONTAM_BENCH_IDS)
+    return incremental_verdict_frame(
+        wave, stored_ck, index, benchmark=bench
+    )
+
+
 def q_pipeline_chunks_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8591,6 +8625,109 @@ FROM u
 GROUP BY 1
 """
 
+def _pipeline_verdicts_incremental_sql() -> str:
+    """Wave-vs-state curation in SQL: the corpus side of the minhash
+    banding is re-ranked into the capped stored index, the wave side
+    probes it; within-wave components come from a recursive CTE over
+    wave-only capped pairs; exact canonicals coalesce stored over
+    within-wave; decontamination grams come from the STORED benchmark
+    docs only.  Mirrors ``pipeline.incremental_verdict_frame``."""
+    norm = _NORM.format(c="text")
+    return f"""
+WITH RECURSIVE {_minhash_sql()},
+qf AS ({ORACLE_SQL["quality_filter"]}),
+sp AS ({ORACLE_SQL["split_assign"]}),
+wave AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {WAVE_MOD} = 0
+), ck0 AS (
+  SELECT doc_id, md5({norm}) AS ck FROM documents
+), stored AS (
+  SELECT ck, MIN(doc_id) AS stored_canon FROM ck0
+  WHERE doc_id % {WAVE_MOD} <> 0 GROUP BY ck
+), wcanon AS (
+  SELECT ck, MIN(doc_id) AS wave_canon FROM ck0
+  WHERE doc_id % {WAVE_MOD} = 0 GROUP BY ck
+), ec AS (
+  SELECT c.doc_id,
+         COALESCE(s.stored_canon, w.wave_canon) AS exact_canon
+  FROM ck0 c
+  JOIN wcanon w USING (ck)
+  LEFT JOIN stored s USING (ck)
+  WHERE c.doc_id % {WAVE_MOD} = 0
+), idx AS (
+  SELECT doc_id, band, band_hash,
+    row_number() OVER (
+      PARTITION BY band, band_hash ORDER BY doc_id
+    ) AS rn
+  FROM banded WHERE doc_id % {WAVE_MOD} <> 0
+), xc AS (
+  SELECT w.doc_id, MIN(i.doc_id) AS cross_canon
+  FROM banded w JOIN idx i
+    ON w.band = i.band AND w.band_hash = i.band_hash
+   AND w.doc_id <> i.doc_id
+  WHERE w.doc_id % {WAVE_MOD} = 0 AND i.rn <= {D.BUCKET_CAP}
+  GROUP BY w.doc_id
+), wb AS (
+  SELECT doc_id, band, band_hash,
+    row_number() OVER (
+      PARTITION BY band, band_hash ORDER BY doc_id
+    ) AS rn
+  FROM banded WHERE doc_id % {WAVE_MOD} = 0
+), wpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wb a JOIN wb b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE a.rn <= {D.BUCKET_CAP} AND b.rn <= {D.BUCKET_CAP}
+), wedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM wpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM wpairs
+), reach(start, node) AS (
+  SELECT doc_id, doc_id FROM wave
+  UNION
+  SELECT r.start, e.dst FROM reach r JOIN wedges e ON e.src = r.node
+), wlabel AS (
+  SELECT start AS doc_id, MIN(node) AS label FROM reach GROUP BY start
+), nd AS (
+  SELECT w.doc_id,
+         COALESCE(x.cross_canon, l.label, w.doc_id) AS nd_canon
+  FROM wave w
+  LEFT JOIN xc x USING (doc_id)
+  LEFT JOIN wlabel l USING (doc_id)
+), g AS (
+  SELECT doc_id,
+         array_to_string(w[i:i+{DECONTAM_N - 1}], ' ') AS gram
+  FROM toks,
+       UNNEST(CASE WHEN len(w) >= {DECONTAM_N}
+                   THEN generate_series(1, len(w) - {DECONTAM_N - 1})
+                   ELSE []::BIGINT[] END) AS u(i)
+), bgrams AS (
+  SELECT DISTINCT gram FROM g
+  WHERE doc_id < {DECONTAM_BENCH_IDS} AND doc_id % {WAVE_MOD} <> 0
+), de AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN bgrams USING (gram)
+  WHERE g.doc_id % {WAVE_MOD} = 0
+)
+SELECT w.doc_id,
+  CASE WHEN NOT qf.keep THEN 'quality:' || qf.reason
+       WHEN w.doc_id != ec.exact_canon THEN 'exact_dup'
+       WHEN w.doc_id != nd.nd_canon THEN 'near_dup'
+       WHEN de.doc_id IS NOT NULL THEN 'contaminated'
+       ELSE 'kept:' || sp.split END AS status
+FROM wave w
+JOIN qf ON w.doc_id = qf.doc_id
+JOIN ec ON w.doc_id = ec.doc_id
+JOIN nd ON w.doc_id = nd.doc_id
+LEFT JOIN de ON w.doc_id = de.doc_id
+JOIN sp ON w.doc_id = sp.doc_id
+"""
+
+
+ORACLE_SQL["pipeline_verdicts_incremental"] = (
+    _pipeline_verdicts_incremental_sql()
+)
+
 ORACLE_SQL["wave_diff"] = """
 WITH old AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 6
@@ -9063,6 +9200,7 @@ QUERY_FNS: dict[str, Query] = {
     "pipeline_chunks": q_pipeline_chunks,
     "pipeline_pack_incremental": q_pipeline_pack_incremental,
     "pipeline_chunks_incremental": q_pipeline_chunks_incremental,
+    "pipeline_verdicts_incremental": q_pipeline_verdicts_incremental,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
     "winnow_fingerprints": q_winnow_fingerprints,
