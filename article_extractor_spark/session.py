@@ -71,10 +71,23 @@ def build_session(
     For local-cluster masters the executor memory is set from the
     master string and the call blocks until all executors register."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or None
+    if master is None:
+        # under spark-submit the master arrives as a JVM system
+        # property — honor it instead of overriding with local[cores]
+        # (a submitted `--master local-cluster[...]`/standalone URL
+        # must win, or the deployment silently runs single-JVM)
+        from pyspark import SparkConf
+
+        try:
+            master = SparkConf().get("spark.master", None)
+        except Exception:  # pragma: no cover - no JVM props available
+            master = None
     lc = _parse_local_cluster(master) if master else None
     if cores is None:
         if lc:
             cores = lc[0] * lc[1]
+        elif master and master.startswith("local[") and master[6:-1].isdigit():
+            cores = int(master[6:-1])
         else:
             cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
                 os.cpu_count() or 8
