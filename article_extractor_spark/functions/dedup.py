@@ -356,6 +356,39 @@ def capped_band_index(
     )
 
 
+def compact_band_index(
+    index: DataFrame, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
+    """Maintenance re-cap of a persisted band index that grew by
+    per-wave appends (``run_pipeline_wave``'s state update caps each
+    wave WITHIN ITSELF, so after E epochs a hot bucket holds up to
+    cap·E rows and every probe's join fanout grows with corpus age).
+
+    Keeps the ``bucket_cap`` smallest doc_ids per (band, band_hash) —
+    the same deterministic rule as write-time capping — which makes
+    compaction EXACT, not lossy-heuristic: any doc among the global
+    cap-smallest of a union is among its own wave's cap-smallest, so
+    re-capping the appended index reproduces, row for row, the index
+    a from-scratch ``capped_band_index`` would build over the union
+    corpus (the oracle for ``band_index_compact``, and the analog of
+    ``vacuum_plan``'s rewrite decision one table over).  Rank compiles
+    to WindowGroupLimit: map-side drop before the sort, one shuffle on
+    the bucket key (reused as the rewrite's shard partitioning)."""
+    from pyspark.sql.window import Window
+
+    return (
+        index.select("doc_id", "band", "band_hash")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("band", "band_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") <= bucket_cap)
+        .drop("rn")
+    )
+
+
 def write_band_index(
     docs: DataFrame,
     path: str,

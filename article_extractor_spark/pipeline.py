@@ -734,3 +734,37 @@ def run_pipeline_wave(
             json.dump(manifest, fh, indent=2, sort_keys=True)
             fh.write("\n")
     return manifest
+
+
+def compact_state(spark: SparkSession, out: str) -> dict:
+    """Maintenance: re-cap the persisted band index after per-wave
+    appends (``dedup.compact_band_index`` — EXACT, reproduces the
+    from-scratch index over the union corpus).  Rewrites atomically:
+    compacted rows land in a fresh directory, then swap via rename —
+    a probe running concurrently sees old or new, never a mix.  Run
+    every ~10 epochs, like ``vacuum_plan`` one table over."""
+    from .functions import dedup as D
+
+    state = f"{out}/state"
+    idx = spark.read.parquet(f"{state}/band_index")
+    before = idx.count()
+    compacted = D.compact_band_index(idx).withColumn(
+        "shard", F.pmod(F.col("band_hash"), F.lit(64))
+    )
+    tmp = f"{state}/band_index__compacting"
+    (
+        compacted.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    after = spark.read.parquet(tmp).count()
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(state).getFileSystem(spark._jsc.hadoopConfiguration())
+    old = P(f"{state}/band_index__old")
+    fs.delete(old, True)
+    fs.rename(P(f"{state}/band_index"), old)
+    fs.rename(P(tmp), P(f"{state}/band_index"))
+    fs.delete(old, True)
+    return {"rows_before": before, "rows_after": after}

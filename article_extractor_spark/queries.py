@@ -3775,6 +3775,25 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-index maintenance compaction (``dedup.compact_band_index``):
+    the persisted MinHash index grows by per-wave appends, each wave
+    capped within itself; re-capping to the ``bucket_cap`` smallest
+    doc_ids per bucket is EXACT — the compacted index equals, row for
+    row, a from-scratch ``capped_band_index`` over the union corpus
+    (any global cap-smallest doc is its own wave's cap-smallest).
+    This query builds the grown state (corpus index ∪ wave index, the
+    ``run_pipeline_wave`` append shape), compacts it, and the oracle
+    is the from-scratch capped index over ALL documents — agreement
+    proves the equivalence, not just plausibility."""
+    docs = load(spark, sf_dir, "documents")
+    is_wave = F.col("doc_id") % WAVE_MOD == 0
+    grown = D.capped_band_index(docs.where(~is_wave)).unionByName(
+        D.capped_band_index(docs.where(is_wave))
+    )
+    return D.compact_band_index(grown)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.3
@@ -8728,6 +8747,13 @@ ORACLE_SQL["pipeline_verdicts_incremental"] = (
     _pipeline_verdicts_incremental_sql()
 )
 
+# from-scratch capped index over the WHOLE corpus — equality with the
+# compacted corpus∪wave appended index is the exactness proof
+ORACLE_SQL["band_index_compact"] = f"""
+WITH {_minhash_sql()}
+SELECT doc_id, band, band_hash FROM mh_capped WHERE rn <= {D.BUCKET_CAP}
+"""
+
 ORACLE_SQL["wave_diff"] = """
 WITH old AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 6
@@ -9201,6 +9227,7 @@ QUERY_FNS: dict[str, Query] = {
     "pipeline_pack_incremental": q_pipeline_pack_incremental,
     "pipeline_chunks_incremental": q_pipeline_chunks_incremental,
     "pipeline_verdicts_incremental": q_pipeline_verdicts_incremental,
+    "band_index_compact": q_band_index_compact,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
     "winnow_fingerprints": q_winnow_fingerprints,

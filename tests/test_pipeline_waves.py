@@ -239,3 +239,36 @@ def test_pipeline_wave_replay_skips_committed_epoch(
         map(tuple, spark.read.parquet(f"{out}/epochs/0/pack").collect())
     )
     assert before == after
+
+
+def test_compact_state_equals_from_scratch_index(spark, incremental_out):
+    """After two appended waves, compacting the persisted band index
+    must reproduce ROW FOR ROW the from-scratch capped index over the
+    union of both waves' extracted text (the exactness property that
+    makes compaction safe maintenance, not lossy pruning)."""
+    from article_extractor_spark.functions import dedup as D
+    from article_extractor_spark.pipeline import (
+        compact_state,
+        docs_from_extraction,
+    )
+
+    out, _, _, _ = incremental_out
+    stats = compact_state(spark, out)
+    assert stats["rows_after"] <= stats["rows_before"]
+
+    extracted = spark.read.parquet(f"{out}/epochs/0/extracted").unionByName(
+        spark.read.parquet(f"{out}/epochs/1/extracted")
+    )
+    docs = docs_from_extraction(extracted.where(F.col("success")))
+    scratch = D.capped_band_index(docs)
+    stored = spark.read.parquet(f"{out}/state/band_index").select(
+        "doc_id", "band", "band_hash"
+    )
+    assert stored.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(stored).count() == 0
+    # probes still work against the compacted index
+    pairs = D.incremental_minhash_pairs(
+        docs.where(F.col("doc_id") == "zdup-near"),
+        spark.read.parquet(f"{out}/state/band_index"),
+    )
+    assert pairs.count() > 0
