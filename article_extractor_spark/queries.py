@@ -3794,6 +3794,36 @@ def q_band_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.compact_band_index(grown)
 
 
+def q_ivf_append_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest — the embedding-side twin of
+    ``incremental_dedup``/``band_index_compact``: a new wave of
+    vectors (every 5th vec_id) is assigned cells against the STORED
+    corpus's FROZEN codebook (its ``N_CENTROIDS`` smallest vec_ids),
+    landing directly in the cell-partitioned layout
+    (``write_cell_partitioned``'s partition column) with no
+    re-clustering and no stored-vector re-read.  ``assign_cells`` is a
+    pure function of (vector, codebook) — integer L2, ties → smallest
+    cid — so the appended table probes identically to a from-scratch
+    build under the same codebook; the oracle re-derives every wave
+    assignment in SQL.  (Centroid DRIFT handling is a policy above
+    this operator: retrain + rewrite via ``train_ivf_codebook`` +
+    ``write_cell_partitioned``, the ``compact_state`` pattern.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    is_wave = F.col("vec_id") % WAVE_MOD == 0
+    stored, wave = emb.where(~is_wave), emb.where(is_wave)
+    codebook = (
+        stored.orderBy("vec_id")
+        .limit(S.N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            S.quantized(F.col("embedding")).alias("cvec"),
+        )
+    )
+    return S.assign_cells(wave, codebook=codebook).select(
+        "vec_id", "cell"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.3
@@ -8754,6 +8784,29 @@ WITH {_minhash_sql()}
 SELECT doc_id, band, band_hash FROM mh_capped WHERE rn <= {D.BUCKET_CAP}
 """
 
+_IVF_SQ = (
+    "list_aggregate(list_transform(range(1, len(e.qv) + 1), "
+    "i -> (e.qv[i] - c.cvec[i]) * (e.qv[i] - c.cvec[i])), 'sum')"
+)
+
+ORACLE_SQL["ivf_append_wave"] = f"""
+WITH base AS (
+  SELECT vec_id, {_QUANT} AS qv FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, qv AS cvec FROM base
+  WHERE vec_id % {WAVE_MOD} <> 0
+  ORDER BY vec_id LIMIT {S.N_CENTROIDS}
+), wave AS (
+  SELECT vec_id, qv FROM base WHERE vec_id % {WAVE_MOD} = 0
+)
+SELECT vec_id, cell FROM (
+  SELECT e.vec_id, c.cid AS cell,
+    row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_IVF_SQ} ASC, c.cid ASC) AS rn
+  FROM wave e, cents c
+) WHERE rn = 1
+"""
+
 ORACLE_SQL["wave_diff"] = """
 WITH old AS (
   SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 6
@@ -9228,6 +9281,7 @@ QUERY_FNS: dict[str, Query] = {
     "pipeline_chunks_incremental": q_pipeline_chunks_incremental,
     "pipeline_verdicts_incremental": q_pipeline_verdicts_incremental,
     "band_index_compact": q_band_index_compact,
+    "ivf_append_wave": q_ivf_append_wave,
     "chunk_windows": q_chunk_windows,
     "heavy_hitters": q_heavy_hitters,
     "winnow_fingerprints": q_winnow_fingerprints,
