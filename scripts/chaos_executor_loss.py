@@ -185,4 +185,115 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(
+        main_wave() if os.environ.get("CHAOS_MODE") == "wave" else main()
+    )
+
+
+def main_wave() -> int:
+    """Executor loss during the WAVE-INCREMENTAL pipeline (task #2
+    composed with task #3): wave 1 commits cleanly as epoch 0, then an
+    executor JVM is SIGKILLed while wave 2 runs its state-probing
+    funnel — epoch 1 must still commit exactly once with outputs
+    row-identical to an undisturbed two-wave run."""
+    from pyspark.sql import functions as F
+
+    from article_extractor_spark.pipeline import (
+        committed_epochs,
+        run_pipeline_wave,
+    )
+    from article_extractor_spark.session import build_session
+    from article_extractor_spark.sources import tableio
+    from article_extractor_spark.sources.synth import corpus_dataframe
+
+    workdir = tempfile.mkdtemp(prefix="aes-chaos-wave-")
+    try:
+        try:
+            spark = build_session(app_name="chaos-wave-clean", master=MASTER)
+        except Exception as exc:  # pragma: no cover - env-dependent
+            print(f"SKIP cannot build {MASTER}: {exc}")
+            return 0
+
+        w1 = f"{workdir}/w1"
+        w2 = f"{workdir}/w2"
+        df = corpus_dataframe(spark, N_DOCS, seed=13)
+        tableio.write_bucketed(
+            tableio.with_bucket(df, "doc_id"), w1, dynamic=False
+        )
+        df2 = corpus_dataframe(spark, N_DOCS // 2, seed=29).withColumn(
+            "doc_id", F.concat(F.lit("w2-"), F.col("doc_id"))
+        )
+        tableio.write_bucketed(
+            tableio.with_bucket(df2, "doc_id"), w2, dynamic=False
+        )
+
+        def epoch_rows(out, epoch):
+            rows = {}
+            for name in ("verdicts", "pack", "examples"):
+                rows[name] = {
+                    tuple(r)
+                    for r in spark.read.parquet(
+                        f"{out}/epochs/{epoch}/{name}"
+                    ).collect()
+                }
+            return rows
+
+        clean_out = f"{workdir}/out-clean"
+        run_pipeline_wave(spark, w1, clean_out, min_word_count=10)
+        t0 = time.time()
+        run_pipeline_wave(spark, w2, clean_out, min_word_count=10)
+        wave2_wall = time.time() - t0
+        clean_rows = epoch_rows(clean_out, 1)
+        spark.stop()
+        time.sleep(2)
+
+        spark = build_session(app_name="chaos-wave-kill", master=MASTER)
+        app_id = spark.sparkContext.applicationId
+        chaos_out = f"{workdir}/out-chaos"
+        run_pipeline_wave(spark, w1, chaos_out, min_word_count=10)
+        result_box: dict = {}
+
+        def run_wave2():
+            try:
+                result_box["manifest"] = run_pipeline_wave(
+                    spark, w2, chaos_out, min_word_count=10
+                )
+            except Exception as exc:  # noqa: BLE001 - recorded
+                result_box["error"] = repr(exc)
+
+        th = threading.Thread(target=run_wave2)
+        th.start()
+        time.sleep(max(2.0, wave2_wall / 3))
+        victims = executor_pids(app_id)
+        killed = victims[0] if victims else None
+        if killed:
+            os.kill(killed, signal.SIGKILL)
+        th.join(timeout=600)
+        alive = th.is_alive()
+
+        chaos_rows = epoch_rows(chaos_out, 1)
+        epochs = committed_epochs(spark, chaos_out)
+        result = {
+            "mode": "wave-pipeline",
+            "ok": (
+                not alive
+                and "manifest" in result_box
+                and killed is not None
+                and epochs == [0, 1]
+                and chaos_rows == clean_rows
+            ),
+            "master": MASTER,
+            "killed_executor_pid": killed,
+            "job_error": result_box.get("error"),
+            "job_hung": alive,
+            "epochs": epochs,
+            "rows_equal": chaos_rows == clean_rows,
+            "epoch1_kept": result_box.get("manifest", {}).get("kept_docs"),
+        }
+        print("RESULT " + json.dumps(result))
+        spark.stop()
+        return 0 if result["ok"] else 1
+    finally:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)

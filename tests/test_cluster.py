@@ -57,3 +57,30 @@ def test_executor_loss_mid_wave_converges_to_clean_result():
     result = json.loads(lines[-1][len("RESULT "):])
     assert result["killed_executor_pid"], result
     assert result["ok"], result
+
+
+def test_executor_loss_during_incremental_wave_commits_once():
+    """Executor loss composed with the wave-incremental pipeline:
+    SIGKILL an executor while wave 2's state-probing funnel runs —
+    epoch 1 commits exactly once, row-identical to an undisturbed
+    two-wave run."""
+    proc = _run(
+        "chaos_executor_loss.py",
+        {"CHAOS_MODE": "wave", "CHAOS_DOCS": "6000"},
+    )
+    lines = [
+        ln
+        for raw in proc.stdout.splitlines()
+        for ln in raw.split("\r")
+        if ln.startswith(("RESULT ", "SKIP "))
+    ]
+    if not lines:
+        pytest.fail(
+            f"no RESULT/SKIP line (rc={proc.returncode}):\n"
+            f"{proc.stderr[-2000:]}"
+        )
+    if lines[-1].startswith("SKIP"):
+        pytest.skip(lines[-1])
+    result = json.loads(lines[-1][len("RESULT "):])
+    assert result["killed_executor_pid"], result
+    assert result["ok"], result
