@@ -184,12 +184,6 @@ def main() -> int:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    raise SystemExit(
-        main_wave() if os.environ.get("CHAOS_MODE") == "wave" else main()
-    )
-
-
 def main_wave() -> int:
     """Executor loss during the WAVE-INCREMENTAL pipeline (task #2
     composed with task #3): wave 1 commits cleanly as epoch 0, then an
@@ -297,3 +291,9 @@ def main_wave() -> int:
         import shutil
 
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(
+        main_wave() if os.environ.get("CHAOS_MODE") == "wave" else main()
+    )
